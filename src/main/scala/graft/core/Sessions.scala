@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so Verify / Bench / tests share identical
+  * semantics-relevant config.
+  *
+  *  - UTC session TZ (oracle parity with DuckDB).
+  *  - ANSI stays at the Spark 4 default (true) — the reference runs
+  *    pyspark>=4.0.1 with the same default (SURVEY.md §1.2).
+  *  - `parquet.nanosAsLong`: the testdata `events.ts` is TIMESTAMP(NANOS),
+  *    which the vectorized reader rejects; read it as LongType (ns since
+  *    epoch) and convert explicitly (see queries.Events).
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting is
+  *    the 100 TB posture; at local-mode scale it is near-free.
+  *  - shuffle.partitions defaults to the core count, not 200: at 100 TB this
+  *    is cluster-sized instead, but AQE coalescing makes the static value a
+  *    ceiling, not a tuning knob.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(master: String = s"local[$cpus]",
+              shufflePartitions: String = cpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

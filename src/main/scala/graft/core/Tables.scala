@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata star-schema access (TESTDATA.md). One parquet file per table
+  * under the scale-factor dir passed to every query: `{dir}/{name}.parquet`.
+  *
+  * View-registration mirrors the reference's catalog convention: view name =
+  * last path segment (reference scripts/spark_ops.py:49-64).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every star-schema table as a temp view named after the table.
+    * Idempotent; used by SQL-text queries (ordinal group-by etc.). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Reference-style view registration: name = last path segment
+    * (reference scripts/spark_ops.py:62-64). */
+  def registerViewFromPath(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val name = new org.apache.hadoop.fs.Path(path).getName
+      .stripSuffix(".parquet")
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

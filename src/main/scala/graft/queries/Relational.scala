@@ -1,0 +1,487 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables.{t, registerAll}
+
+/** SURVEY.md §2 relational operator inventory re-expressed over the driver's
+  * star schema (TESTDATA.md), one named query per operator family, each with
+  * a DuckDB oracle (SparkEntry.oracleSql). Operator IDs (P1, J5, A6, ...)
+  * cite SURVEY.md §2 which cites the reference file:line.
+  *
+  * Design rules (100 TB posture):
+  *  - declarative DataFrame ops only — Catalyst handles pushdown/pruning;
+  *  - every query ends in a deterministic ORDER BY on a unique key so the
+  *    driver's hash compare is stable (sort is eliminated by Catalyst when a
+  *    downstream agg, e.g. Bench's count(), discards order);
+  *  - aggregate/computed columns aliased identically in Spark and oracle SQL;
+  *  - oracle SQL carries explicit casts (BIGINT/INT) where DuckDB's result
+  *    type would otherwise diverge from Spark's (e.g. DuckDB SUM(int) is
+  *    HUGEINT, row_number() is BIGINT).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- P: projections / filters
+
+  /** P1+F5+U6: projection with aliases, column arithmetic, scale-by-100
+    * (reference sql/feature_store_drivers.sql:2-14, scripts/05_ml_model.py:337). */
+  private val p1Project: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+      (col("l_quantity") * lit(100)).as("qty_x100"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P2+P3: COALESCE over a string→float→int cast chain with sentinel 99
+    * (reference sql/feature_store_drivers.sql:5-6). */
+  private val p2CoalesceCast: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      coalesce(
+        nullif(col("l_linenumber").cast("string"), lit("1"))
+          .cast("float").cast("int"),
+        lit(99)).as("pos"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4+F1+F2+F3: TO_DATE/TO_TIMESTAMP parsing, YEAR(), interval arithmetic
+    * (reference sql/feature_store_drivers.sql:11,27,33). */
+  private val p4Dates: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      to_date(col("l_shipdate")).as("ship_date"),
+      year(col("l_shipdate")).as("ship_year"),
+      (to_date(col("l_shipdate")) - expr("INTERVAL 1 YEAR")).cast("date")
+        .as("prev_year"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P5: parameterized point-in-time date-bound filter feeding an agg
+    * (reference sql/feature_store_drivers.sql:16). Filter is pushed to the
+    * parquet scan by Catalyst. */
+  private val p5PitFilter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")) <= lit("1998-06-30"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** P7+P8+P12: IS NOT NULL, inequality, IN-list membership filters
+    * (reference sql/abt_champions.sql:8-9, scripts/05_ml_model.py:268). */
+  private val p7Filters: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_custkey").isNotNull &&
+        col("o_totalprice") > lit(100000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- J: joins
+
+  /** J1: LEFT equi-join of a dim onto a pre-aggregated fact, small build side
+    * → broadcast hash join (reference sql/feature_store_drivers.sql:168-170). */
+  private val j1LeftJoinAgg: Q = (s, dir) => {
+    val byCust = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total_spent"))
+    t(s, dir, "customer")
+      .join(byCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2: LEFT join on a date-typed expression key
+    * (reference sql/feature_store_drivers.sql:171). */
+  private val j2ExprJoin: Q = (s, dir) => {
+    val ordDaily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val shipDaily = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("sd"))
+      .agg(count(lit(1)).as("n_ships"))
+    ordDaily.join(shipDaily, col("d") === col("sd"), "left")
+      .select(col("d"), col("n_orders"), col("n_ships"))
+      .orderBy("d")
+  }
+
+  /** J3: LEFT join with mixed string/int key types → implicit coercion
+    * (reference sql/abt_champions.sql:19-21). */
+  private val j3MixedTypeJoin: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .withColumn("nk_str", col("c_nationkey").cast("string"))
+    val nat = t(s, dir, "nation")
+    cust.join(nat, col("nk_str") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4: existence flag from a left join — CASE WHEN key IS NOT NULL
+    * (reference sql/abt_champions.sql:16). */
+  private val j4ExistsFlag: Q = (s, dir) => {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 7000)
+      .select("c_custkey")
+    t(s, dir, "orders")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        when(col("c_custkey").isNotNull, 1).otherwise(0).as("fl_rich"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J5: IN-subquery → left-semi join
+    * (reference sql/feature_store_drivers.sql:59,87,117). */
+  private val j5SemiJoin: Q = (s, dir) => {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    t(s, dir, "lineitem").join(urgent, Seq("l_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_extendedprice").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Anti-join complement of J5 (completes the semi/anti pair). */
+  private val j6AntiJoin: Q = (s, dir) => {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    t(s, dir, "lineitem").join(urgent, Seq("l_orderkey"), "left_anti")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- A: aggregations
+
+  /** A1+A9+A11: hash group-by with an aggregate battery — the q1_agg shape
+    * mandated by the driver contract, widened (reference
+    * sql/feature_store_drivers.sql:30-61). */
+  private val q1Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+      sum("l_quantity").as("sum_qty"),
+      sum("l_extendedprice").as("sum_base"),
+      avg("l_discount").as("avg_disc"),
+      count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A4+O1: ordinal GROUP BY / ORDER BY via SQL text
+    * (reference sql/champions.sql:3-9). */
+  private val a4OrdinalGroupBy: Q = (s, dir) => {
+    registerAll(s, dir)
+    s.sql("""SELECT YEAR(o_orderdate) AS yr, o_orderpriority,
+             SUM(o_totalprice) AS total_price, COUNT(*) AS cnt
+             FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  /** A5: conditional counts via SUM(CASE WHEN ... 1 ELSE 0)
+    * (reference sql/feature_store_drivers.sql:35-36,55-57). */
+  private val a5ConditionalCounts: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_linestatus").agg(
+      sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+      sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_discounted"),
+      sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("n_bulk"))
+      .orderBy("l_linestatus")
+
+  /** A6: exact median — PERCENTILE(x, 0.5), incl. over an expression and a
+    * conditional CASE input (reference sql/feature_store_drivers.sql:46-54).
+    * Exact (sort-based ObjectHashAggregate), NOT percentile_approx: exactness
+    * is required for oracle hash-parity. At 100 TB this swaps to
+    * percentile_approx behind Extensions.approxPercentileFlag. */
+  private val a6Median: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+      percentile(col("l_extendedprice") * (lit(1) - col("l_discount")), lit(0.5))
+        .as("median_net"),
+      percentile(when(col("l_linestatus") === "F", col("l_quantity")), lit(0.5))
+        .as("median_qty_f"))
+      .orderBy("l_returnflag")
+
+  /** A7+A8: NULL-skipping conditional AVG and AVG over an expression
+    * (reference sql/feature_store_drivers.sql:38-45,43-45). */
+  private val a7ConditionalAvg: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      avg(when(col("l_linestatus") === "F", col("l_quantity"))).as("avg_qty_f"),
+      avg(col("l_extendedprice") - col("l_tax") * col("l_extendedprice"))
+        .as("avg_after_tax"),
+      avg(col("l_quantity") - col("l_discount") * lit(10)).as("avg_gain"))
+      .orderBy("l_returnflag")
+
+  /** A10: MAX over a literal carries a parameter through the agg
+    * (reference sql/feature_store_drivers.sql:32). */
+  private val a10MaxLiteral: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      max(lit("1998-06-30")).as("dt_ref"),
+      count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** A12: DISTINCT projection (reference sql/feature_store_drivers.sql:19-28). */
+  private val a12Distinct: Q = (s, dir) =>
+    t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** A13: scalar max/min reduction (reference scripts/01_raw.py:179). */
+  private val a13ScalarReduce: Q = (s, dir) =>
+    t(s, dir, "orders").agg(
+      max(col("o_totalprice")).as("max_price"),
+      min(col("o_totalprice")).as("min_price"),
+      count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- W: windows
+
+  /** W1+W2: ROW_NUMBER() per group + top-1 filter — the `champions` shape
+    * (reference sql/champions.sql:17,22-25). Tie-broken on the key for
+    * deterministic oracle hashing. */
+  private val w1TopPerGroup: Q = (s, dir) => {
+    val totals = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      .agg(sum("o_totalprice").as("total_spent"))
+    val w = Window.partitionBy("yr")
+      .orderBy(desc("total_spent"), col("o_custkey"))
+    totals.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("yr", "o_custkey", "total_spent", "rn")
+      .orderBy("yr")
+  }
+
+  // ---------------------------------------------------------------- O: sorts / top-k
+
+  /** O2: global multi-column sort (reference sql/abt_champions.sql:10,28). */
+  private val o2MultiSort: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy(desc("c_nationkey"), col("c_custkey"))
+
+  /** O4: top-k by value → TakeOrderedAndProject
+    * (reference scripts/05_ml_model.py:260-266). */
+  private val o4TopK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(5)
+
+  // ---------------------------------------------------------------- U: set ops / dedup / pivot
+
+  /** U1: UNION ALL of two branches (reference scripts/05_ml_model.py:414). */
+  private val u1Union: Q = (s, dir) => {
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"), lit("hi").as("bucket"))
+    val lo = t(s, dir, "orders").filter(col("o_totalprice") < 50000)
+      .select(col("o_orderkey"), lit("lo").as("bucket"))
+    hi.unionByName(lo).orderBy("o_orderkey")
+  }
+
+  /** U3: order-sensitive keep-last dedup via window + filter — Spark's
+    * dropDuplicates keeps an ARBITRARY row, so parity with the reference's
+    * sorted keep-last (scripts/05_ml_model.py:440-441) requires row_number. */
+  private val u3KeepLast: Q = (s, dir) => {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(desc("l_linenumber"), desc("l_partkey"), desc("l_suppkey"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber").as("last_line"),
+        col("l_partkey"))
+      .orderBy("l_orderkey")
+  }
+
+  /** U5: pivot long→wide with fixed pivot values
+    * (reference scripts/05_ml_model.py:444-448). */
+  private val u5Pivot: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("o_totalprice"))
+      .orderBy("yr")
+
+  // ---------------------------------------------------------------- F: scalar functions
+
+  /** F6: lexicographic ISO-date-string comparison
+    * (reference scripts/05_ml_model.py:305, scripts/spark_ops.py:172). */
+  private val f6StringDateCompare: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("dt_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .filter(col("dt_str") > lit("1999-06-15"))
+      .groupBy("dt_str").agg(count(lit(1)).as("cnt"))
+      .orderBy("dt_str")
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "p1_project" -> p1Project,
+    "p2_coalesce_cast" -> p2CoalesceCast,
+    "p4_dates" -> p4Dates,
+    "p5_pit_filter" -> p5PitFilter,
+    "p7_filters" -> p7Filters,
+    "j1_left_join_agg" -> j1LeftJoinAgg,
+    "j2_expr_join" -> j2ExprJoin,
+    "j3_mixed_type_join" -> j3MixedTypeJoin,
+    "j4_exists_flag" -> j4ExistsFlag,
+    "j5_semi_join" -> j5SemiJoin,
+    "j6_anti_join" -> j6AntiJoin,
+    "a4_ordinal_groupby" -> a4OrdinalGroupBy,
+    "a5_conditional_counts" -> a5ConditionalCounts,
+    "a6_median" -> a6Median,
+    "a7_conditional_avg" -> a7ConditionalAvg,
+    "a10_max_literal" -> a10MaxLiteral,
+    "a12_distinct" -> a12Distinct,
+    "a13_scalar_reduce" -> a13ScalarReduce,
+    "w1_top_per_group" -> w1TopPerGroup,
+    "o2_multi_sort" -> o2MultiSort,
+    "o4_topk" -> o4TopK,
+    "u1_union" -> u1Union,
+    "u3_keep_last" -> u3KeepLast,
+    "u5_pivot" -> u5Pivot,
+    "f6_string_date_compare" -> f6StringDateCompare,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         SUM(l_extendedprice) AS sum_base, AVG(l_discount) AS avg_disc,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS net_price,
+         l_quantity * 100 AS qty_x100
+         FROM lineitem ORDER BY 1, 2""",
+    "p2_coalesce_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+         COALESCE(CAST(CAST(NULLIF(CAST(l_linenumber AS VARCHAR), '1') AS FLOAT) AS INT), 99) AS pos
+         FROM lineitem ORDER BY 1, 2""",
+    "p4_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(year(l_shipdate) AS INT) AS ship_year,
+         CAST(CAST(l_shipdate AS DATE) - INTERVAL 1 YEAR AS DATE) AS prev_year
+         FROM lineitem ORDER BY 1, 2""",
+    "p5_pit_filter" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-06-30'
+         GROUP BY 1 ORDER BY 1""",
+    "p7_filters" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_custkey IS NOT NULL AND o_totalprice > 100000
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+         ORDER BY 1""",
+    "j1_left_join_agg" ->
+      """SELECT c.c_custkey, c.c_name,
+         COALESCE(o.n_orders, 0) AS n_orders, o.total_spent
+         FROM customer c LEFT JOIN (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  SUM(o_totalprice) AS total_spent
+           FROM orders GROUP BY 1) o
+         ON c.c_custkey = o.o_custkey ORDER BY 1""",
+    "j2_expr_join" ->
+      """SELECT od.d, od.n_orders, sd.n_ships FROM (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1) od
+         LEFT JOIN (
+           SELECT CAST(l_shipdate AS DATE) AS sd,
+                  CAST(COUNT(*) AS BIGINT) AS n_ships
+           FROM lineitem GROUP BY 1) sd
+         ON od.d = sd.sd ORDER BY 1""",
+    "j3_mixed_type_join" ->
+      """SELECT c.c_custkey, n.n_name
+         FROM customer c LEFT JOIN nation n
+         ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+         ORDER BY 1""",
+    "j4_exists_flag" ->
+      """SELECT o.o_orderkey,
+         CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS fl_rich
+         FROM orders o LEFT JOIN (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 7000) c
+         ON o.o_custkey = c.c_custkey ORDER BY 1""",
+    "j5_semi_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(l_extendedprice) AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
+    "j6_anti_join" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem
+         WHERE l_orderkey NOT IN (
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
+    "a4_ordinal_groupby" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+         SUM(o_totalprice) AS total_price, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a5_conditional_counts" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+         CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a6_median" ->
+      """SELECT l_returnflag,
+         median(l_quantity) AS median_qty,
+         median(l_extendedprice * (1 - l_discount)) AS median_net,
+         median(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS median_qty_f
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a7_conditional_avg" ->
+      """SELECT l_returnflag,
+         AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS avg_qty_f,
+         AVG(l_extendedprice - l_tax * l_extendedprice) AS avg_after_tax,
+         AVG(l_quantity - l_discount * 10) AS avg_gain
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a10_max_literal" ->
+      """SELECT l_returnflag, MAX('1998-06-30') AS dt_ref,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a12_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+         FROM orders ORDER BY 1, 2""",
+    "a13_scalar_reduce" ->
+      """SELECT MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price,
+         CAST(COUNT(*) AS BIGINT) AS cnt FROM orders""",
+    "w1_top_per_group" ->
+      """SELECT yr, o_custkey, total_spent, CAST(rn AS INT) AS rn FROM (
+           SELECT yr, o_custkey, total_spent,
+                  ROW_NUMBER() OVER (PARTITION BY yr
+                    ORDER BY total_spent DESC, o_custkey) AS rn
+           FROM (
+             SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+                    SUM(o_totalprice) AS total_spent
+             FROM orders GROUP BY 1, 2) t)
+         WHERE rn = 1 ORDER BY yr""",
+    "o2_multi_sort" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+         ORDER BY c_nationkey DESC, c_custkey""",
+    "o4_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""",
+    "u1_union" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 300000
+         UNION ALL
+         SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 50000
+         ORDER BY 1""",
+    "u3_keep_last" ->
+      """SELECT l_orderkey, l_linenumber AS last_line, l_partkey FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+           FROM lineitem) WHERE rn = 1 ORDER BY 1""",
+    "u5_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS F,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS O,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS P
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "f6_string_date_compare" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt_str,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d') > '1999-06-15'
+         GROUP BY 1 ORDER BY 1""",
+  )
+}
