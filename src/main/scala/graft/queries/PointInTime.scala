@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+
+/** The reference's core workload shape — the point-in-time feature store
+  * (reference sql/feature_store_drivers.sql:1-171, driven per-date by
+  * scripts/spark_ops.py:177-194) — re-expressed over the star schema:
+  * supplier features as of a reference date, computed only from lineitem
+  * events <= that date (no leakage).
+  *
+  * Mirrors the reference structurally:
+  *  - tb_results analog: projected/cast/filtered lineitem (P1-P5);
+  *  - tb_drivers analog: keys active in the trailing year, applied as a
+  *    semi-join to each aggregate (J5, fs.sql:24-28,59,87,117);
+  *  - three aggregate batteries over lifetime / trailing-1-year /
+  *    current-season windows (A1-A3) with conditional counts (A5), exact
+  *    medians incl. conditional (A6), conditional avg (A7), avg over an
+  *    expression (A8), COUNT(*) (A9), MAX(literal) dtRef carry (A10),
+  *    SUM over the current season (fs.sql:115);
+  *  - left-join chain of the three batteries on the key (J1,
+  *    fs.sql:168-170) + a date-expression join attaching a per-refdate
+  *    event attribute (J2, fs.sql:171).
+  *
+  * Scale posture: one shuffle per battery (groupBy l_suppkey) + one for the
+  * semi-join; the three batteries join on the same key so AQE broadcasts the
+  * (tiny, one-row-per-key) build sides. The point-in-time filter is pushed
+  * to the parquet scan. At 100 TB the per-date driver loop batches dates
+  * (see etl.Ingestor) rather than widening this single-date plan.
+  */
+object PointInTime {
+
+  val refDate = "1999-06-30"
+
+  def supplierFeatures(s: SparkSession, dir: String, date: String): DataFrame = {
+    val refD = to_date(lit(date))
+
+    // tb_results analog (fs.sql:1-17): project, cast, point-in-time cut.
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey"), col("l_returnflag"), col("l_quantity"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"),
+      to_date(col("l_shipdate")).as("dt_event"))
+      .filter(col("dt_event") <= refD)
+
+    // tb_drivers analog (fs.sql:24-28): keys active in the trailing year.
+    val active = li
+      .filter(col("dt_event") >= (refD - expr("INTERVAL 1 YEAR")).cast("date"))
+      .select("l_suppkey").distinct()
+
+    // One battery = the A5/A6/A7/A8/A9 aggregate set with a suffix.
+    def battery(src: DataFrame, sfx: String): DataFrame =
+      src.join(active, Seq("l_suppkey"), "left_semi")
+        .groupBy("l_suppkey").agg(
+          count(lit(1)).as(s"qtd_runs$sfx"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .as(s"qtd_returns$sfx"),
+          avg(col("l_quantity")).as(s"avg_qty$sfx"),
+          avg(when(col("l_returnflag") === "R", col("l_quantity")))
+            .as(s"avg_qty_r$sfx"),
+          avg(col("net") - col("l_quantity")).as(s"avg_margin$sfx"),
+          percentile(col("l_quantity"), lit(0.5)).as(s"median_qty$sfx"),
+          percentile(col("net"), lit(0.5)).as(s"median_net$sfx"),
+          percentile(when(col("l_returnflag") === "R", col("net")), lit(0.5))
+            .as(s"median_net_r$sfx"))
+
+    // fs.sql:30-61 / 63-90 / 92-120: lifetime, trailing year, current season.
+    val life = li.join(active, Seq("l_suppkey"), "left_semi")
+      .groupBy("l_suppkey").agg(
+        max(lit(date)).as("dt_ref"),                       // A10 dtRef carry
+        year(refD).as("dt_year"),
+        count(lit(1)).as("qtd_runs"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("qtd_returns"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(when(col("l_returnflag") === "R", col("l_quantity"))).as("avg_qty_r"),
+        avg(col("net") - col("l_quantity")).as("avg_margin"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("net"), lit(0.5)).as("median_net"),
+        percentile(when(col("l_returnflag") === "R", col("net")), lit(0.5))
+          .as("median_net_r"))
+    val lastYear = battery(
+      li.filter(col("dt_event") >= (refD - expr("INTERVAL 1 YEAR")).cast("date")),
+      "_1y")
+    val current = li.filter(year(col("dt_event")) >= year(refD))
+      .join(active, Seq("l_suppkey"), "left_semi")
+      .groupBy("l_suppkey").agg(
+        count(lit(1)).as("qtd_runs_cur"),
+        sum(col("net")).as("total_net_cur"),
+        avg(col("l_quantity")).as("avg_qty_cur"),
+        percentile(col("net"), lit(0.5)).as("median_net_cur"))
+
+    // tb_event analog (fs.sql:19-22,171): per-refdate attribute via a
+    // date-expression left join.
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders_ref"))
+
+    life
+      .join(lastYear, Seq("l_suppkey"), "left")     // fs.sql:168-169
+      .join(current, Seq("l_suppkey"), "left")      // fs.sql:170
+      .join(daily, to_date(col("dt_ref")) === col("d"), "left") // fs.sql:171
+      .drop("d")
+      .orderBy("l_suppkey")
+  }
+
+  private def oracleFor(date: String): String =
+    s"""WITH li AS (
+          SELECT l_suppkey, l_returnflag, l_quantity,
+                 l_extendedprice * (1 - l_discount) AS net,
+                 CAST(l_shipdate AS DATE) AS dt_event
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '$date'),
+        active AS (
+          SELECT DISTINCT l_suppkey FROM li
+          WHERE dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE)),
+        life AS (
+          SELECT l_suppkey, MAX('$date') AS dt_ref,
+                 CAST(year(DATE '$date') AS INT) AS dt_year,
+                 CAST(COUNT(*) AS BIGINT) AS qtd_runs,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS qtd_returns,
+                 AVG(l_quantity) AS avg_qty,
+                 AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS avg_qty_r,
+                 AVG(net - l_quantity) AS avg_margin,
+                 median(l_quantity) AS median_qty,
+                 median(net) AS median_net,
+                 median(CASE WHEN l_returnflag = 'R' THEN net END) AS median_net_r
+          FROM li WHERE l_suppkey IN (SELECT l_suppkey FROM active)
+          GROUP BY 1),
+        last_year AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS BIGINT) AS qtd_runs_1y,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS qtd_returns_1y,
+                 AVG(l_quantity) AS avg_qty_1y,
+                 AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS avg_qty_r_1y,
+                 AVG(net - l_quantity) AS avg_margin_1y,
+                 median(l_quantity) AS median_qty_1y,
+                 median(net) AS median_net_1y,
+                 median(CASE WHEN l_returnflag = 'R' THEN net END) AS median_net_r_1y
+          FROM li
+          WHERE dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE)
+            AND l_suppkey IN (SELECT l_suppkey FROM active)
+          GROUP BY 1),
+        cur AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS BIGINT) AS qtd_runs_cur,
+                 SUM(net) AS total_net_cur,
+                 AVG(l_quantity) AS avg_qty_cur,
+                 median(net) AS median_net_cur
+          FROM li
+          WHERE year(dt_event) >= year(DATE '$date')
+            AND l_suppkey IN (SELECT l_suppkey FROM active)
+          GROUP BY 1),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders_ref
+          FROM orders GROUP BY 1)
+        SELECT t1.*, t2.qtd_runs_1y, t2.qtd_returns_1y, t2.avg_qty_1y,
+               t2.avg_qty_r_1y, t2.avg_margin_1y, t2.median_qty_1y,
+               t2.median_net_1y, t2.median_net_r_1y,
+               t3.qtd_runs_cur, t3.total_net_cur, t3.avg_qty_cur,
+               t3.median_net_cur, t4.n_orders_ref
+        FROM life t1
+        LEFT JOIN last_year t2 ON t1.l_suppkey = t2.l_suppkey
+        LEFT JOIN cur t3 ON t1.l_suppkey = t3.l_suppkey
+        LEFT JOIN daily t4 ON CAST(t1.dt_ref AS DATE) = t4.d
+        ORDER BY t1.l_suppkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fs_point_in_time" -> oracleFor(refDate),
+  )
+}
