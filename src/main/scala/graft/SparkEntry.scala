@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.queries.{PointInTime, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,6 +16,9 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (PointInTime.queries, PointInTime.oracle),
+    (TextAnalysis.queries, TextAnalysis.oracle),
+    (Dedup.queries, Dedup.oracle),
+    (Similarity.queries, Similarity.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

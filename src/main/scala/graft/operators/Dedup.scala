@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.functions.Portable
+import graft.functions.Portable.{h60Sql, h60pSql, P}
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * LLM-pipeline dedup battery (SURVEY.md §7.4): exact content hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * All hashing uses Portable.h60 (md5-derived) so every stage is
+  * re-computable by the DuckDB oracle — Spark's murmur `hash()` would be
+  * faster per-row but unverifiable; at 100 TB swap Portable.h60 for
+  * `xxhash64` behind a config if profile shows md5 dominating (it does not
+  * at bench scale; the shuffle dominates).
+  *
+  * Scale posture per operator:
+  *  - exact dedup: one shuffle on the 128-bit content hash — the canonical
+  *    100 TB dedup; combiner-friendly (partial min/count).
+  *  - MinHash: signatures are a pure map stage (array ops in-row, no
+  *    explode-shuffle); LSH banding shuffles once on (band, bandHash) —
+  *    candidate volume is controlled by band geometry (B×R), not O(n²).
+  *  - SimHash: pure map to a 32-bit signature, then a band-equality
+  *    self-join on 16-bit halves (each half must collide for hamming<=k
+  *    candidates by pigeonhole when k<2) — again no O(n²).
+  *  - n-gram Jaccard: exact pairwise, restricted to shingle-sharing pairs
+  *    via an inverted-index join; the explode is the scan, the join keys on
+  *    shingle hash. This is the exact-verify stage LSH candidates feed at
+  *    scale; standalone it bounds work by shared-shingle pairs.
+  *  - embedding cosine: O(n²) exact — kept as the oracle/verify path;
+  *    operators.Similarity provides the LSH-bucketed scale path.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val wsPat = "\\s+"
+
+  /** Whitespace-normalized lowercase content — the dedup canonical form. */
+  private def norm(c: Column): Column =
+    regexp_replace(trim(lower(c)), wsPat, " ")
+
+  private def toksOf(c: Column): Column = split(trim(lower(c)), wsPat)
+
+  /** 3-word shingle array (falls back to the whole normalized text for
+    * ultra-short docs so every doc has >= 1 shingle). */
+  private def shingles(tk: Column, fallback: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array(fallback))
+
+  /** D1: exact dedup — group by md5 of normalized content; keeper = min
+    * doc_id per group, n_copies counts exact duplicates. One combiner-
+    * friendly shuffle on the hash; at 100 TB this is the standard first
+    * pass (sf0.1 testdata plants 8 exact dups). */
+  val d1Exact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(norm(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  /** MinHash signature columns mh0..mh{k-1} for a shingle-array column. */
+  private def minhashCols(sh: Column): Seq[Column] = {
+    val hashes = transform(sh, x => Portable.h60(x) % P)
+    Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hashes, h => (h * a + b) % P)).as(s"mh$i")
+    }
+  }
+
+  /** D2: MinHash signatures — 12 permutations over 3-word shingles, all
+    * in-row array math (no shuffle before the presentation sort). This is
+    * the expensive map stage of MinHash-LSH dedup; d3 consumes it. */
+  val d2MinhashSig: Q = (s, dir) => {
+    val tk = toksOf(col("text"))
+    val sh = shingles(tk, norm(col("text")))
+    t(s, dir, "documents")
+      .select(col("doc_id") +: minhashCols(sh): _*)
+      .orderBy("doc_id")
+  }
+
+  /** D3: MinHash-LSH candidate pairs — band the 12-value signature into 4
+    * bands × 3 rows, hash each band, self-join on (band, bandHash) →
+    * candidate pairs, then verify with exact shingle-set Jaccard. Exact
+    * dups always collide on every band; near-dups collide with prob
+    * 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
+  val d3MinhashLsh: Q = (s, dir) => {
+    val tk = toksOf(col("text"))
+    val sh = shingles(tk, norm(col("text")))
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id") +: (minhashCols(sh) :+
+        array_distinct(transform(sh, x => Portable.h60(x))).as("shset")): _*)
+    val banded = sig.select(col("doc_id"), col("shset"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+            col(s"mh${3 * b + 2}"))).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("shset"), col("bb.band"), col("bb.bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
+      col("shset").as("sa"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
+      col("shset").as("sb"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** D4: SimHash — 32-bit signature: per token-hash bit j, sum ±1 across
+    * tokens; bit j of the signature = (sum > 0). Pure in-row array math.
+    * Output: signature + its two 16-bit halves (the banding keys a
+    * hamming<=1 join would use by pigeonhole). */
+  val d4Simhash: Q = (s, dir) => {
+    val tk = toksOf(col("text"))
+    val th = transform(tk, x => Portable.h60(x))
+    val sim = (0 until 32).map { j =>
+      when(aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+        > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    t(s, dir, "documents")
+      .select(col("doc_id"), sim.as("simhash"))
+      .withColumn("band_lo", col("simhash") % 65536)
+      .withColumn("band_hi", shiftright(col("simhash"), 16) % 65536)
+      .orderBy("doc_id")
+  }
+
+  /** D5: n-gram Jaccard near-dup — inverted-index self-join on shingle
+    * hash (only pairs sharing >=1 shingle are scored), exact Jaccard from
+    * per-doc distinct-shingle counts; top-20 most-similar pairs with a
+    * deterministic tie-break. The join is the scale path: work is bounded
+    * by co-occurring shingles, never O(n²). */
+  val d5NgramJaccard: Q = (s, dir) => {
+    val tk = toksOf(col("text"))
+    val sh = shingles(tk, norm(col("text")))
+    val docSh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sh, x => Portable.h60(x)))).as("sh"))
+    val counts = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = docSh.select(col("doc_id").as("a"), col("sh"))
+      .join(docSh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** D6: embedding-cosine near-dup — exact pairwise cosine >= 0.45 over
+    * the 64-dim vectors (double accumulation, ordered fold). O(n²) verify
+    * path; the LSH-bucketed scale path is operators.Similarity.s2. */
+  val d6EmbeddingCosine: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("ea"), col("eb"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0d),
+          (acc, v) => acc + v) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(desc("cosine"), col("a"), col("b"))
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared DuckDB CTE: doc_id, norm text, tokens, shingle strings. */
+  private val shingleCte =
+    s"""b AS (
+          SELECT doc_id,
+            regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+            string_split_regex(trim(lower(text)), '\\s+') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [norm] END AS shingles
+          FROM b)"""
+
+  private def mhSelSql: String =
+    Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
+    }.mkString(",\n            ")
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1Exact,
+    "d2_minhash_sig" -> d2MinhashSig,
+    "d3_minhash_lsh" -> d3MinhashLsh,
+    "d4_simhash" -> d4Simhash,
+    "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d6_embedding_cosine" -> d6EmbeddingCosine,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+         min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d2_minhash_sig" ->
+      s"""WITH $shingleCte,
+          hs AS (
+            SELECT doc_id,
+              list_transform(shingles, x -> ${h60pSql("x")}) AS hs
+            FROM sh)
+          SELECT doc_id,
+            $mhSelSql
+          FROM hs ORDER BY doc_id""",
+    "d3_minhash_lsh" ->
+      s"""WITH $shingleCte,
+          hs AS (
+            SELECT doc_id,
+              list_transform(shingles, x -> ${h60pSql("x")}) AS hs,
+              list_distinct(list_transform(shingles, x -> ${h60Sql("x")})) AS shset
+            FROM sh),
+          sig AS (
+            SELECT doc_id, shset,
+            $mhSelSql
+            FROM hs),
+          banded AS (
+            SELECT doc_id, shset, u.band,
+              CASE u.band
+                WHEN 0 THEN md5(mh0 || ',' || mh1 || ',' || mh2)
+                WHEN 1 THEN md5(mh3 || ',' || mh4 || ',' || mh5)
+                WHEN 2 THEN md5(mh6 || ',' || mh7 || ',' || mh8)
+                ELSE md5(mh9 || ',' || mh10 || ',' || mh11) END AS bh
+            FROM sig, (SELECT unnest(range(4)) AS band) u),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              l.shset AS sa, r.shset AS sb
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+          SELECT a, b,
+            CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa, sb))) AS jaccard
+          FROM cand
+          WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa, sb))) >= 0.8
+          ORDER BY a, b""",
+    "d4_simhash" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+              list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> ${h60Sql("x")}) AS th
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+              ${(0 until 32).map(j =>
+        s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" +\n              ")} AS simhash
+            FROM b)
+          SELECT doc_id, simhash,
+            simhash % 65536 AS band_lo,
+            (simhash >> 16) % 65536 AS band_hi
+          FROM s ORDER BY doc_id""",
+    "d5_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+          ds AS (
+            SELECT DISTINCT doc_id, unnest(
+              list_transform(shingles, x -> ${h60Sql("x")})) AS sh
+            FROM sh),
+          counts AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+          pairs AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+            FROM ds l JOIN ds r ON l.sh = r.sh AND l.doc_id < r.doc_id
+            GROUP BY 1, 2)
+          SELECT p.a, p.b,
+            CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+          FROM pairs p
+          JOIN counts ca ON p.a = ca.doc_id
+          JOIN counts cb ON p.b = cb.doc_id
+          ORDER BY jaccard DESC, p.a, p.b LIMIT 20""",
+    "d6_embedding_cosine" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.45
+         ORDER BY cosine DESC, a, b""",
+  )
+}

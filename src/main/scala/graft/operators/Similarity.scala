@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.functions.Portable
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * SURVEY.md §7.4: exact brute-force cosine top-k as the baseline/oracle,
+  * and a random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale posture:
+  *  - s1 brute force is O(q·n) — correct and fine when the query set is
+  *    small (it broadcasts); it is the verify oracle for s2's recall.
+  *  - s2 buckets both sides by a P-plane sign signature, joins on the
+  *    bucket (shuffle keyed by bucket, cardinality 2^P), and reranks
+  *    exactly within buckets. At 100 TB: bucket count scales with P (and
+  *    multi-probe on neighboring buckets raises recall) so per-bucket
+  *    candidate lists stay executor-sized; the plane matrix is a literal
+  *    (derived from Portable.h60), never collected or broadcast state.
+  *  - dot products are higher-order array functions (zip_with/aggregate)
+  *    with double accumulation in array order — bit-reproducible in the
+  *    DuckDB oracle (list_transform/list_sum fold the same way).
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dims = 64
+  private val planes = 6 // 2^6 buckets; raise with n to keep buckets small
+
+  /** Pseudo-random-but-portable plane component in [-1, 1]:
+    * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000. */
+  private def planeVal(p: Int, d: Int): Double = {
+    // Mirrors Portable.h60 on literals; computed once at plan build.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pl${p}_$d".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    ((h % 2001L) - 1000L) / 1000.0
+  }
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def normD(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Sign-bucket of a vector under the fixed plane matrix:
+    * bit p = (dot(v, plane_p) > 0). Pure in-row math (codegen'd). */
+  private def bucketOf(emb: Column): Column =
+    (0 until planes).map { p =>
+      val dot = (0 until dims).map(d =>
+        element_at(emb, d + 1).cast("double") * lit(planeVal(p, d)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** S1: exact brute-force cosine top-k — queries = vec_id < 10, k = 5
+    * nearest others by cosine (desc, id tie-break). The oracle baseline
+    * every ANN variant is measured against. */
+  val s1CosineTopK: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** S2: LSH-bucketed ANN — 6 random-hyperplane sign bits → bucket id;
+    * candidates share the query's bucket; exact cosine rerank, top-3 per
+    * query. Recall < 1 vs s1 by construction (measured in the spec); at
+    * scale this replaces the O(q·n) join with a bucket-keyed join. */
+  val s2LshAnn: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"), bucketOf(col("embedding")).as("bkt"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bkt"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bkt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** S3: bucket histogram — the LSH load-balance diagnostic (bucket id →
+    * vector count). At 100 TB this is the skew check run before choosing P. */
+  val s3BucketStats: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(bucketOf(col("embedding")).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bkt")
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB fragment: bucket id of `e.embedding` under the same planes. */
+  private def bucketSql(emb: String): String =
+    (0 until planes).map { p =>
+      val terms = (0 until dims).map(d =>
+        s"CAST($emb[${d + 1}] AS DOUBLE) * (${planeVal(p, d)})")
+        .mkString(" + ")
+      s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+
+  private val normCte =
+    """e AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings)"""
+
+  val queries: Map[String, Q] = Map(
+    "s1_cosine_topk" -> s1CosineTopK,
+    "s2_lsh_ann" -> s2LshAnn,
+    "s3_bucket_stats" -> s3BucketStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      s"""WITH $normCte,
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+                WHERE vec_id < 10),
+          c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e),
+          scored AS (
+            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+            FROM q JOIN c ON qid <> cid),
+          ranked AS (
+            SELECT qid, cid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS INT) AS rk
+            FROM scored)
+          SELECT qid, cid, cosine, rk FROM ranked
+          WHERE rk <= 5 ORDER BY qid, rk""",
+    "s2_lsh_ann" ->
+      s"""WITH $normCte,
+          eb AS (SELECT vec_id, embedding, nrm,
+                   ${bucketSql("embedding")} AS bkt FROM e),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bkt
+                FROM eb WHERE vec_id < 10),
+          c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bkt FROM eb),
+          scored AS (
+            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+            FROM q JOIN c USING (bkt) WHERE qid <> cid),
+          ranked AS (
+            SELECT qid, cid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS INT) AS rk
+            FROM scored)
+          SELECT qid, cid, cosine, rk FROM ranked
+          WHERE rk <= 3 ORDER BY qid, rk""",
+    "s3_bucket_stats" ->
+      s"""SELECT ${bucketSql("embedding")} AS bkt,
+          CAST(count(*) AS BIGINT) AS n_vectors
+          FROM embeddings GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.functions.Portable
+
+/** Text-analysis operators over the `documents` table — the LLM-training-
+  * data-pipeline battery the driver mandates beyond the reference's own
+  * inventory (SURVEY.md §7.4): token counting, quality scoring, language-ID,
+  * and document fingerprinting.
+  *
+  * Design rules:
+  *  - everything is built-in-function SQL (regexp/md5/split/higher-order
+  *    array ops) — no UDFs, stays inside whole-stage codegen, and is
+  *    re-expressible in DuckDB for the driver's oracle gate;
+  *  - all scoring formulas are deterministic so results hash-match the
+  *    oracle exactly (floats canonicalized to 6 sig figs by the checker);
+  *  - per-document narrow transforms: no shuffle at all except the final
+  *    presentation ORDER BY — at 100 TB this is a pure map stage that scales
+  *    linearly with input splits.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val wsPat = "\\s+"
+  private val tokPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]" // BPE-ish pre-tokenizer
+  private val punctPat = "[^A-Za-z0-9\\s]"
+  private val stopPat = "\\b(the|a|of|and|to|in|is)\\b"
+
+  private def toks(c: Column): Column = split(trim(c), wsPat)
+
+  /** T1: token counting — whitespace tokens and a BPE-ish regex
+    * pre-tokenization count (letters / digits / single punct). */
+  val t1Tokens: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(tokPat)).as("n_regex_tokens"),
+      length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  /** T2: quality scoring — length, punctuation ratio, stopword ratio,
+    * average word length, and a fixed weighted quality score. */
+  val t2Quality: Q = (s, dir) => {
+    val nWords = size(toks(col("text")))
+    val nPunct = regexp_count(col("text"), lit(punctPat))
+    val nStop = regexp_count(lower(col("text")), lit(stopPat))
+    val lenNoWs = length(regexp_replace(col("text"), wsPat, ""))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      nWords.as("n_words"),
+      (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
+      (nStop.cast("double") / nWords).as("stop_ratio"),
+      (lenNoWs.cast("double") / nWords).as("avg_word_len"))
+      .withColumn("quality_score",
+        lit(0.4) * least(col("n_words") / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(col("stop_ratio") * lit(5.0), lit(1.0)))
+      .orderBy("doc_id")
+  }
+
+  /** T3: language-ID — marker-stopword n-gram heuristic: per-language marker
+    * counts (normalized by word count) + non-ASCII ratio for CJK; argmax with
+    * a fixed tie-break order. The heuristic is the operator — the testdata
+    * `lang` column is an independent label, not the target. */
+  val t3LangId: Q = (s, dir) => {
+    val low = lower(col("text"))
+    val nW = size(toks(col("text"))).cast("double")
+    def sc(pat: String): Column = regexp_count(low, lit(pat)).cast("double") / nW
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      sc("\\b(the|a|is|and|of|to)\\b").as("s_en"),
+      sc("\\b(der|die|das|und|ist|ein)\\b").as("s_de"),
+      sc("\\b(le|la|les|et|est|une)\\b").as("s_fr"),
+      sc("\\b(el|los|las|y|es|una)\\b").as("s_es"),
+      (regexp_count(col("text"), lit("[^\\x00-\\x7F]")).cast("double") /
+        length(col("text"))).as("s_zh"))
+      .withColumn("lang_pred",
+        when(col("s_zh") > 0.05, "zh")
+          .when(col("s_de") >= greatest(col("s_en"), col("s_fr"), col("s_es")) &&
+            col("s_de") > 0, "de")
+          .when(col("s_fr") >= greatest(col("s_en"), col("s_es")) &&
+            col("s_fr") > 0, "fr")
+          .when(col("s_es") >= col("s_en") && col("s_es") > 0, "es")
+          .when(col("s_en") > 0, "en")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** T4: document fingerprinting — md5 content fingerprint of
+    * whitespace-normalized text, its 60-bit integer form (Portable.h60),
+    * and a min-shingle rolling fingerprint (min h60 over 3-word shingles —
+    * the K=1 MinHash; see operators.Dedup for the full signature). */
+  val t4Fingerprint: Q = (s, dir) => {
+    val norm = regexp_replace(trim(lower(col("text"))), wsPat, " ")
+    val tk = toks(lower(col("text")))
+    val shingles = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array(norm))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      Portable.h60(norm).as("fp60"),
+      array_min(transform(shingles, s => Portable.h60(s))).as("fp_min_shingle"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  private val h = Portable.h60Sql _
+
+  val queries: Map[String, Q] = Map(
+    "t1_tokens" -> t1Tokens,
+    "t2_quality" -> t2Quality,
+    "t3_langid" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '$tokPat')) AS INT) AS n_regex_tokens,
+          CAST(length(text) AS INT) AS len_chars
+          FROM documents ORDER BY doc_id""",
+    "t2_quality" ->
+      s"""WITH b AS (
+            SELECT doc_id, CAST(length(text) AS INT) AS len_chars,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+              CAST(len(regexp_extract_all(text, '$punctPat')) AS DOUBLE)
+                / length(text) AS punct_ratio,
+              CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+              CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\\s+')) AS avg_word_len
+            FROM documents)
+          SELECT *, 0.4 * least(n_words / 100.0, 1.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.3 * least(stop_ratio * 5.0, 1.0) AS quality_score
+          FROM b ORDER BY doc_id""",
+    "t3_langid" ->
+      """WITH b AS (
+           SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|a|is|and|of|to)\b'))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b'))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b'))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b'))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS s_es,
+             len(regexp_extract_all(text, '[^\x00-\x7F]'))
+               / CAST(length(text) AS DOUBLE) AS s_zh
+           FROM documents)
+         SELECT *, CASE
+           WHEN s_zh > 0.05 THEN 'zh'
+           WHEN s_de >= greatest(s_en, s_fr, s_es) AND s_de > 0 THEN 'de'
+           WHEN s_fr >= greatest(s_en, s_es) AND s_fr > 0 THEN 'fr'
+           WHEN s_es >= s_en AND s_es > 0 THEN 'es'
+           WHEN s_en > 0 THEN 'en'
+           ELSE 'und' END AS lang_pred
+         FROM b ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+              regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+              string_split_regex(trim(lower(text)), '\\s+') AS tk
+            FROM documents),
+          sh AS (
+            SELECT doc_id, norm,
+              CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+              ELSE [norm] END AS shingles
+            FROM b)
+          SELECT doc_id, md5(norm) AS fp_md5,
+            ${h("norm")} AS fp60,
+            list_min(list_transform(shingles, s -> ${h("s")})) AS fp_min_shingle
+          FROM sh ORDER BY doc_id""",
+  )
+}
