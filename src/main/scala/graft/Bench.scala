@@ -2,19 +2,24 @@ package graft
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}} for the driver's
-  * BENCH_r{N}.json. Per-query timing is a full materialization via count()
-  * (terminal sorts are eliminated by Catalyst under the count, so what is
-  * measured is scan+compute, not the driver-side ordering). */
+  * BENCH_r{N}.json. Timing forces FULL materialization of the query's own
+  * physical plan via queryExecution.toRdd.count() — a plain df.count()
+  * would let Catalyst prune every projected column (map-only queries like
+  * the minhash signatures would measure as a parquet row-count, i.e. ~0). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.get()
-    // warm the JVM/codegen path once so per-query numbers are steady-state
-    try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
+    def run(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    // Warm the JVM once so numbers are steady-state: q1 (codegen agg),
+    // t1 (regex), d2 (interpreted higher-order + md5 paths — first such
+    // query in a fresh JVM pays ~20s of C2 compilation otherwise).
+    try { run("q1_agg"); run("t1_tokens"); run("d2_minhash_sig") }
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

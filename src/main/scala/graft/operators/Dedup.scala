@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
 import graft.functions.Portable
-import graft.functions.Portable.{h60Sql, h60pSql, P}
+import graft.functions.Portable.{h60pSql, P}
 
 /** Deduplication operators over `documents` / `embeddings` — the
   * LLM-pipeline dedup battery (SURVEY.md §7.4): exact content hash,
@@ -17,21 +17,24 @@ import graft.functions.Portable.{h60Sql, h60pSql, P}
   * `xxhash64` behind a config if profile shows md5 dominating (it does not
   * at bench scale; the shuffle dominates).
   *
+  * Expression staging matters here: higher-order array lambdas are
+  * interpreted (no whole-stage codegen), and Catalyst inlines single-use
+  * aliases — so tokens / shingles / shingle-hashes are staged via
+  * withColumn and referenced MANY times downstream. CollapseProject keeps
+  * multiply-referenced non-cheap aliases materialized, so `split` and the
+  * md5 pass run once per row instead of once per (row × permutation).
+  * Measured on d3: ~25s → sub-second at sf0.001.
+  *
   * Scale posture per operator:
-  *  - exact dedup: one shuffle on the 128-bit content hash — the canonical
-  *    100 TB dedup; combiner-friendly (partial min/count).
-  *  - MinHash: signatures are a pure map stage (array ops in-row, no
-  *    explode-shuffle); LSH banding shuffles once on (band, bandHash) —
-  *    candidate volume is controlled by band geometry (B×R), not O(n²).
-  *  - SimHash: pure map to a 32-bit signature, then a band-equality
-  *    self-join on 16-bit halves (each half must collide for hamming<=k
-  *    candidates by pigeonhole when k<2) — again no O(n²).
-  *  - n-gram Jaccard: exact pairwise, restricted to shingle-sharing pairs
-  *    via an inverted-index join; the explode is the scan, the join keys on
-  *    shingle hash. This is the exact-verify stage LSH candidates feed at
-  *    scale; standalone it bounds work by shared-shingle pairs.
-  *  - embedding cosine: O(n²) exact — kept as the oracle/verify path;
-  *    operators.Similarity provides the LSH-bucketed scale path.
+  *  - exact dedup: one combiner-friendly shuffle on the content hash.
+  *  - MinHash: signatures are a pure map stage; LSH banding shuffles on
+  *    (band, bandHash) — candidate volume is controlled by band geometry
+  *    (B×R), never O(n²).
+  *  - SimHash: pure map to a 32-bit signature + 16-bit halves for banding.
+  *  - n-gram Jaccard: inverted-index join on shingle hash bounds work by
+  *    co-occurring shingles.
+  *  - embedding cosine: O(n²) exact verify path; operators.Similarity.s2
+  *    is the LSH-bucketed scale path.
   */
 object Dedup {
 
@@ -43,21 +46,40 @@ object Dedup {
   private def norm(c: Column): Column =
     regexp_replace(trim(lower(c)), wsPat, " ")
 
-  private def toksOf(c: Column): Column = split(trim(lower(c)), wsPat)
+  /** Shingle-hash mixing constants (coprime with prime P). */
+  private val (sA, sB, sC) = (48271L, 69621L, 16807L)
 
-  /** 3-word shingle array (falls back to the whole normalized text for
-    * ultra-short docs so every doc has >= 1 shingle). */
-  private def shingles(tk: Column, fallback: Column): Column =
-    when(size(tk) >= 3,
-      transform(sequence(lit(1), size(tk) - 2), i =>
-        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
-      .otherwise(array(fallback))
+  /** Stage tk (tokens), th (mod-P token hashes) and hs (mod-P 3-gram
+    * shingle hashes) as materialized columns; downstream expressions
+    * reference the staged attribute, not the expression tree.
+    *
+    * The shingle hash is an ARITHMETIC mix of the three token hashes
+    * ((th_i*A + th_i+1*B + th_i+2*C) mod P, each product reduced mod P so
+    * nothing exceeds 3e9·1e9 < 2^63) rather than md5 over a concatenated
+    * shingle string: one md5 per TOKEN instead of one md5 + string build
+    * per SHINGLE — measured ~5x on the signature stage, and identical in
+    * the DuckDB oracle. */
+  private def withShingleCols(df: DataFrame): DataFrame =
+    df.withColumn("tk", split(trim(lower(col("text"))), wsPat))
+      .withColumn("th", transform(col("tk"), x => Portable.h60(x) % P))
+      .withColumn("hs",
+        when(size(col("th")) >= 3,
+          transform(sequence(lit(1), size(col("th")) - 2), i =>
+            ((element_at(col("th"), i) * sA) % P +
+              (element_at(col("th"), i + 1) * sB) % P +
+              (element_at(col("th"), i + 2) * sC) % P) % P))
+          .otherwise(array(Portable.h60(norm(col("text"))) % P)))
+
+  /** MinHash columns mh0..mh11 over the staged `hs` attribute — pure
+    * modular arithmetic on longs. */
+  private def minhashCols: Seq[Column] =
+    Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"mh$i")
+    }
 
   /** D1: exact dedup — group by md5 of normalized content; keeper = min
-    * doc_id per group, n_copies counts exact duplicates. One combiner-
-    * friendly shuffle on the hash; at 100 TB this is the standard first
-    * pass (sf0.1 testdata plants 8 exact dups). */
+    * doc_id per group, n_copies counts exact duplicates (sf0.1 testdata
+    * plants 8). The canonical 100 TB first pass. */
   val d1Exact: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), md5(norm(col("text"))).as("content_hash"))
@@ -65,36 +87,22 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
-  /** MinHash signature columns mh0..mh{k-1} for a shingle-array column. */
-  private def minhashCols(sh: Column): Seq[Column] = {
-    val hashes = transform(sh, x => Portable.h60(x) % P)
-    Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hashes, h => (h * a + b) % P)).as(s"mh$i")
-    }
-  }
-
   /** D2: MinHash signatures — 12 permutations over 3-word shingles, all
-    * in-row array math (no shuffle before the presentation sort). This is
-    * the expensive map stage of MinHash-LSH dedup; d3 consumes it. */
-  val d2MinhashSig: Q = (s, dir) => {
-    val tk = toksOf(col("text"))
-    val sh = shingles(tk, norm(col("text")))
-    t(s, dir, "documents")
-      .select(col("doc_id") +: minhashCols(sh): _*)
+    * in-row array math (no shuffle before the presentation sort). */
+  val d2MinhashSig: Q = (s, dir) =>
+    withShingleCols(t(s, dir, "documents"))
+      .select(col("doc_id") +: minhashCols: _*)
       .orderBy("doc_id")
-  }
 
   /** D3: MinHash-LSH candidate pairs — band the 12-value signature into 4
     * bands × 3 rows, hash each band, self-join on (band, bandHash) →
-    * candidate pairs, then verify with exact shingle-set Jaccard. Exact
-    * dups always collide on every band; near-dups collide with prob
-    * 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
+    * candidate pairs, then verify with exact Jaccard over the distinct
+    * shingle-hash sets. Exact dups collide on every band; near-dups with
+    * prob 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
   val d3MinhashLsh: Q = (s, dir) => {
-    val tk = toksOf(col("text"))
-    val sh = shingles(tk, norm(col("text")))
-    val sig = t(s, dir, "documents")
-      .select(col("doc_id") +: (minhashCols(sh) :+
-        array_distinct(transform(sh, x => Portable.h60(x))).as("shset")): _*)
+    val sig = withShingleCols(t(s, dir, "documents"))
+      .select(col("doc_id") +: (minhashCols :+
+        array_distinct(col("hs")).as("shset")): _*)
     val banded = sig.select(col("doc_id"), col("shset"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -114,19 +122,19 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** D4: SimHash — 32-bit signature: per token-hash bit j, sum ±1 across
-    * tokens; bit j of the signature = (sum > 0). Pure in-row array math.
-    * Output: signature + its two 16-bit halves (the banding keys a
-    * hamming<=1 join would use by pigeonhole). */
+  /** D4: SimHash — 32-bit signature over the staged token-hash array:
+    * per bit j, sum ±1 across tokens; bit j = (sum > 0). Output includes
+    * the two 16-bit halves (banding keys for a hamming<=1 join by
+    * pigeonhole). */
   val d4Simhash: Q = (s, dir) => {
-    val tk = toksOf(col("text"))
-    val th = transform(tk, x => Portable.h60(x))
     val sim = (0 until 32).map { j =>
-      when(aggregate(th, lit(0L),
+      when(aggregate(col("th"), lit(0L),
         (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
         > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     t(s, dir, "documents")
+      .withColumn("tk", split(trim(lower(col("text"))), wsPat))
+      .withColumn("th", transform(col("tk"), x => Portable.h60(x)))
       .select(col("doc_id"), sim.as("simhash"))
       .withColumn("band_lo", col("simhash") % 65536)
       .withColumn("band_hi", shiftright(col("simhash"), 16) % 65536)
@@ -136,17 +144,13 @@ object Dedup {
   /** D5: n-gram Jaccard near-dup — inverted-index self-join on shingle
     * hash (only pairs sharing >=1 shingle are scored), exact Jaccard from
     * per-doc distinct-shingle counts; top-20 most-similar pairs with a
-    * deterministic tie-break. The join is the scale path: work is bounded
-    * by co-occurring shingles, never O(n²). */
+    * deterministic tie-break. */
   val d5NgramJaccard: Q = (s, dir) => {
-    val tk = toksOf(col("text"))
-    val sh = shingles(tk, norm(col("text")))
-    val docSh = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sh, x => Portable.h60(x)))).as("sh"))
+    val docSh = withShingleCols(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("shh"))
     val counts = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = docSh.select(col("doc_id").as("a"), col("sh"))
-      .join(docSh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+    val pairs = docSh.select(col("doc_id").as("a"), col("shh"))
+      .join(docSh.select(col("doc_id").as("b"), col("shh")), Seq("shh"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     pairs
@@ -160,8 +164,7 @@ object Dedup {
   }
 
   /** D6: embedding-cosine near-dup — exact pairwise cosine >= 0.45 over
-    * the 64-dim vectors (double accumulation, ordered fold). O(n²) verify
-    * path; the LSH-bucketed scale path is operators.Similarity.s2. */
+    * the 64-dim vectors (double accumulation, ordered fold). */
   val d6EmbeddingCosine: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
@@ -182,20 +185,25 @@ object Dedup {
 
   // ---------------------------------------------------------------- oracles
 
-  /** Shared DuckDB CTE: doc_id, norm text, tokens, shingle strings. */
+  /** Shared DuckDB CTE mirroring withShingleCols: doc_id, tk, th, hs. */
   private val shingleCte =
     s"""b AS (
           SELECT doc_id,
             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
             string_split_regex(trim(lower(text)), '\\s+') AS tk
           FROM documents),
-        sh AS (
+        thc AS (
+          SELECT doc_id, norm,
+            list_transform(tk, x -> ${h60pSql("x")}) AS th
+          FROM b),
+        hsc AS (
           SELECT doc_id,
-            CASE WHEN len(tk) >= 3 THEN
-              list_transform(range(1, len(tk) - 1),
-                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-            ELSE [norm] END AS shingles
-          FROM b)"""
+            CASE WHEN len(th) >= 3 THEN
+              list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * $sA) % $P + (th[i+1] * $sB) % $P
+                      + (th[i+2] * $sC) % $P) % $P)
+            ELSE [${h60pSql("norm")}] END AS hs
+          FROM thc)"""
 
   private def mhSelSql: String =
     Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
@@ -217,25 +225,16 @@ object Dedup {
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keeper""",
     "d2_minhash_sig" ->
-      s"""WITH $shingleCte,
-          hs AS (
-            SELECT doc_id,
-              list_transform(shingles, x -> ${h60pSql("x")}) AS hs
-            FROM sh)
+      s"""WITH $shingleCte
           SELECT doc_id,
             $mhSelSql
-          FROM hs ORDER BY doc_id""",
+          FROM hsc ORDER BY doc_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte,
-          hs AS (
-            SELECT doc_id,
-              list_transform(shingles, x -> ${h60pSql("x")}) AS hs,
-              list_distinct(list_transform(shingles, x -> ${h60Sql("x")})) AS shset
-            FROM sh),
           sig AS (
-            SELECT doc_id, shset,
+            SELECT doc_id, list_distinct(hs) AS shset,
             $mhSelSql
-            FROM hs),
+            FROM hsc),
           banded AS (
             SELECT doc_id, shset, u.band,
               CASE u.band
@@ -260,7 +259,7 @@ object Dedup {
       s"""WITH b AS (
             SELECT doc_id,
               list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                x -> ${h60Sql("x")}) AS th
+                x -> ${Portable.h60Sql("x")}) AS th
             FROM documents),
           s AS (
             SELECT doc_id,
@@ -274,13 +273,12 @@ object Dedup {
     "d5_ngram_jaccard" ->
       s"""WITH $shingleCte,
           ds AS (
-            SELECT DISTINCT doc_id, unnest(
-              list_transform(shingles, x -> ${h60Sql("x")})) AS sh
-            FROM sh),
+            SELECT DISTINCT doc_id, unnest(list_distinct(hs)) AS shh
+            FROM hsc),
           counts AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
           pairs AS (
             SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-            FROM ds l JOIN ds r ON l.sh = r.sh AND l.doc_id < r.doc_id
+            FROM ds l JOIN ds r ON l.shh = r.shh AND l.doc_id < r.doc_id
             GROUP BY 1, 2)
           SELECT p.a, p.b,
             CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard

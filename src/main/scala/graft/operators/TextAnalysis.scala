@@ -45,17 +45,18 @@ object TextAnalysis {
   /** T2: quality scoring — length, punctuation ratio, stopword ratio,
     * average word length, and a fixed weighted quality score. */
   val t2Quality: Q = (s, dir) => {
-    val nWords = size(toks(col("text")))
     val nPunct = regexp_count(col("text"), lit(punctPat))
     val nStop = regexp_count(lower(col("text")), lit(stopPat))
     val lenNoWs = length(regexp_replace(col("text"), wsPat, ""))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      length(col("text")).as("len_chars"),
-      nWords.as("n_words"),
-      (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
-      (nStop.cast("double") / nWords).as("stop_ratio"),
-      (lenNoWs.cast("double") / nWords).as("avg_word_len"))
+    t(s, dir, "documents")
+      .withColumn("n_words", size(toks(col("text"))))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        col("n_words"),
+        (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
+        (nStop.cast("double") / col("n_words")).as("stop_ratio"),
+        (lenNoWs.cast("double") / col("n_words")).as("avg_word_len"))
       .withColumn("quality_score",
         lit(0.4) * least(col("n_words") / lit(100.0), lit(1.0)) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
@@ -69,10 +70,12 @@ object TextAnalysis {
     * `lang` column is an independent label, not the target. */
   val t3LangId: Q = (s, dir) => {
     val low = lower(col("text"))
-    val nW = size(toks(col("text"))).cast("double")
-    def sc(pat: String): Column = regexp_count(low, lit(pat)).cast("double") / nW
-    t(s, dir, "documents").select(
-      col("doc_id"),
+    def sc(pat: String): Column =
+      regexp_count(low, lit(pat)).cast("double") / col("n_words")
+    t(s, dir, "documents")
+      .withColumn("n_words", size(toks(col("text"))))
+      .select(
+        col("doc_id"),
       sc("\\b(the|a|is|and|of|to)\\b").as("s_en"),
       sc("\\b(der|die|das|und|ist|ein)\\b").as("s_de"),
       sc("\\b(le|la|les|et|est|une)\\b").as("s_fr"),
@@ -95,21 +98,25 @@ object TextAnalysis {
     * whitespace-normalized text, its 60-bit integer form (Portable.h60),
     * and a min-shingle rolling fingerprint (min h60 over 3-word shingles —
     * the K=1 MinHash; see operators.Dedup for the full signature). */
-  val t4Fingerprint: Q = (s, dir) => {
-    val norm = regexp_replace(trim(lower(col("text"))), wsPat, " ")
-    val tk = toks(lower(col("text")))
-    val shingles = when(size(tk) >= 3,
-      transform(sequence(lit(1), size(tk) - 2), i =>
-        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
-      .otherwise(array(norm))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      md5(norm).as("fp_md5"),
-      Portable.h60(norm).as("fp60"),
-      array_min(transform(shingles, s => Portable.h60(s))).as("fp_min_shingle"))
+  val t4Fingerprint: Q = (s, dir) =>
+    // tk/sh staged via withColumn: multiply-referenced aliases survive
+    // CollapseProject, so split/shingling run once per row (see Dedup).
+    t(s, dir, "documents")
+      .withColumn("nrm", regexp_replace(trim(lower(col("text"))), wsPat, " "))
+      .withColumn("tk", toks(lower(col("text"))))
+      .withColumn("sh",
+        when(size(col("tk")) >= 3,
+          transform(sequence(lit(1), size(col("tk")) - 2), i =>
+            concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .otherwise(array(col("nrm"))))
+      .select(
+        col("doc_id"),
+        md5(col("nrm")).as("fp_md5"),
+        Portable.h60(col("nrm")).as("fp60"),
+        array_min(transform(col("sh"), s => Portable.h60(s)))
+          .as("fp_min_shingle"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------- oracles
 
