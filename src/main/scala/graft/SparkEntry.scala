@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
-import graft.queries.{PointInTime, Relational}
+import graft.queries.{Events, Pipeline, PointInTime, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,8 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (PointInTime.queries, PointInTime.oracle),
+    (Events.queries, Events.oracle),
+    (Pipeline.queries, Pipeline.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),

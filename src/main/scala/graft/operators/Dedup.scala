@@ -164,21 +164,21 @@ object Dedup {
   }
 
   /** D6: embedding-cosine near-dup — exact pairwise cosine >= 0.45 over
-    * the 64-dim vectors (double accumulation, ordered fold). */
+    * the 64-dim vectors. Flat codegen'd dot products (functions.Vectors):
+    * the interpreted zip_with/aggregate form costs ~60s on 2M pairs. */
   val d6EmbeddingCosine: Q = (s, dir) => {
+    import graft.functions.Vectors
     val e = t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+      Vectors.norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
       col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("ea"), col("eb"),
-          (x, y) => x.cast("double") * y.cast("double")), lit(0.0d),
-          (acc, v) => acc + v) / (col("na") * col("nb"))).as("cosine"))
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(desc("cosine"), col("a"), col("b"))
   }

@@ -41,13 +41,11 @@ object Similarity {
     ((h % 2001L) - 1000L) / 1000.0
   }
 
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  // Flat codegen'd vector math — see functions.Vectors (interpreted
+  // zip_with/aggregate dominates pairwise joins otherwise).
+  private def dotD(a: Column, b: Column): Column = graft.functions.Vectors.dot(a, b)
 
-  private def normD(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def normD(a: Column): Column = graft.functions.Vectors.norm(a)
 
   /** Sign-bucket of a vector under the fixed plane matrix:
     * bit p = (dot(v, plane_p) > 0). Pure in-row math (codegen'd). */

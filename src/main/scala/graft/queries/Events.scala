@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables.t
+
+/** Event-stream (batch) queries over the `events` table: JSON prop
+  * extraction, event-time windowed aggregation, and gap-based
+  * sessionization — the batch duals of graft.streaming's structured-
+  * streaming operators (same logical shapes, verifiable via the DuckDB
+  * oracle; streaming variants can't be oracle-checked so they get specs).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark's vectorized reader
+  * rejects nanos, so Sessions sets `legacy.parquet.nanosAsLong` and `ts`
+  * arrives as LongType nanoseconds. tsCol converts ns → µs-precision
+  * TimestampType via integer floor-div (values are post-1970 so floor ==
+  * truncation in DuckDB's CAST(ts AS TIMESTAMP) too).
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ns-long → TimestampType (µs), matching DuckDB CAST(ts AS TIMESTAMP). */
+  private def tsCol: Column = timestamp_micros((col("ts") / 1000L).cast("long"))
+
+  /** E1: JSON property extraction — get_json_object over the `props` JSON
+    * string column + aggregate by extracted value bucket. */
+  val e1JsonProps: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), avg("value").as("avg_value"))
+      .orderBy("k_bucket")
+
+  /** E2: event-time windowed aggregation — tumbling 1-hour windows per
+    * event_type (batch dual of a streaming window agg; the streaming
+    * variant adds a watermark). */
+  val e2HourlyAgg: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", tsCol).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** E3: gap-based sessionization — a new session starts after a >30 min
+    * silence per user (lag window + running sum), then per-user session
+    * stats. The batch dual of mapGroupsWithState sessionization. */
+  val e3Sessions: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (col("ts") - col("prev_ts")) > lit(30L * 60 * 1000000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** E4: per-type daily pivot — event counts per day wide by type
+    * (U5 pivot shape on event-time). */
+  val e4DailyPivot: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", tsCol)).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .orderBy("day")
+
+  val queries: Map[String, Q] = Map(
+    "e1_json_props" -> e1JsonProps,
+    "e2_hourly_agg" -> e2HourlyAgg,
+    "e3_sessions" -> e3Sessions,
+    "e4_daily_pivot" -> e4DailyPivot,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_json_props" ->
+      """SELECT CAST(FLOOR(CAST(props->>'k' AS INT) / 10) AS INT) AS k_bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt, AVG(value) AS avg_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "e2_hourly_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e3_sessions" ->
+      """WITH w AS (
+           SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+               OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM w),
+         s AS (
+           SELECT user_id, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM f)
+         SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "e4_daily_pivot" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Parquet sinks replicating the reference's Delta write surface
+  * (SURVEY.md §2.1 S5-S8) without Delta jars.
+  *
+  * Scale posture: file-count control is a parameter, not a hardcoded
+  * `coalesce(1)` — the reference's single-file layout is an MB-scale
+  * choice; at 100 TB the default (0 = natural partitioning) keeps write
+  * parallelism, and compaction is an explicit maintenance call.
+  */
+object Sinks {
+
+  /** S5: full overwrite (schema replaced by construction on Parquet).
+    * targetFiles = 0 → keep natural partitioning (scale default);
+    * n > 0 → coalesce(n) (reference used 1). */
+  def overwrite(df: DataFrame, path: String, targetFiles: Int = 0): Unit = {
+    val out = if (targetFiles > 0) df.coalesce(targetFiles) else df
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** S7: compaction — rewrite a table at a target file count. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+    val df = spark.read.parquet(path)
+    // Materialize before overwriting the path being read.
+    val staged = stagePath(path)
+    df.coalesce(math.max(targetFiles, 1)).write.parquet(staged)
+    swap(spark, staged, path)
+  }
+
+  /** S6: Delta `replaceWhere` emulation on plain Parquet — replace only
+    * the `sliceCol = sliceValue` rows of a table partitioned by partCol
+    * (reference scripts/spark_ops.py:169-175 writes the feature store
+    * with replaceWhere dtRef='<date>' partitionBy dtYear).
+    *
+    * Algorithm (idempotent; atomic per partition-directory swap):
+    *  1. first write → plain partitioned write;
+    *  2. else: affected partitions = distinct partCol values in the new
+    *     slice (metadata-scale collect — one value per year here);
+    *  3. read ONLY those partitions (partition-pruned scan), drop rows of
+    *     the incoming slice value, union the new slice;
+    *  4. write the merged partitions to a staging dir, then swap each
+    *     affected `partCol=v` directory via rename (close to atomic per
+    *     partition; readers of other partitions are never touched).
+    *
+    * Re-running the same slice yields byte-identical content (the old
+    * slice is dropped before the union every time).
+    */
+  def replaceSlice(spark: SparkSession, newSlice: DataFrame, path: String,
+                   sliceCol: String, sliceValue: String,
+                   partCol: String): Unit =
+    replaceSlices(spark, newSlice, path, sliceCol, Seq(sliceValue), partCol)
+
+  /** Batched form of [[replaceSlice]]: drop ALL incoming slice values from
+    * the affected partitions, union the new slices, swap once — the
+    * backfill batching lever (etl.Ingestor.execBatched). */
+  def replaceSlices(spark: SparkSession, newSlices: DataFrame, path: String,
+                    sliceCol: String, sliceValues: Seq[String],
+                    partCol: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      newSlices.write.partitionBy(partCol).parquet(path)
+      return
+    }
+    val affected = newSlices.select(partCol).distinct().collect()
+      .map(_.get(0).toString)
+    require(affected.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isin(affected.toSeq: _*))
+      .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
+    val merged = existing.unionByName(newSlices)
+    val staged = stagePath(path)
+    merged.write.partitionBy(partCol).parquet(staged)
+    affected.foreach { v =>
+      val dst = new Path(root, s"$partCol=$v")
+      val src = new Path(staged, s"$partCol=$v")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new Path(staged), true)
+  }
+
+  private def stagePath(path: String): String =
+    s"$path-staging-${UUID.randomUUID().toString.take(8)}"
+
+  /** Swap a staged rewrite into place (used by compact). */
+  private def swap(spark: SparkSession, staged: String, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(staged), new Path(path))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversion — the standard
+  * pattern for libraries that ship custom Catalyst expressions without
+  * requiring SparkSessionExtensions registration (works with ANY session,
+  * including ones the graft library did not build). */
+package object graftshim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

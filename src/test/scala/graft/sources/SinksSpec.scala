@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.SparkSpec
+
+/** S5/S6/S7 sink semantics — especially the Delta-replaceWhere emulation:
+  * slice replacement, idempotency, multi-partition slices, new-partition
+  * arrival, and batched replacement (SURVEY.md §7.3 "hardest parity item"). */
+class SinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def store(rows: (String, Int, String, Double)*) =
+    rows.toDF("dt_ref", "dt_year", "key", "value")
+
+  private def readStore(path: String) =
+    spark.read.parquet(path)
+      .select("dt_ref", "dt_year", "key", "value")
+      .as[(String, Int, String, Double)].collect().toSet
+
+  test("replaceSlice: first write creates a partitioned store") {
+    val path = tmpDir("sinks") + "/store"
+    Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 1.0)),
+      path, "dt_ref", "2024-01-01", "dt_year")
+    assert(readStore(path) === Set(("2024-01-01", 2024, "a", 1.0)))
+    assert(Files.exists(Paths.get(path, "dt_year=2024")))
+  }
+
+  test("replaceSlice: replaces exactly the incoming slice, keeps others") {
+    val path = tmpDir("sinks") + "/store"
+    Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 1.0)),
+      path, "dt_ref", "2024-01-01", "dt_year")
+    Sinks.replaceSlice(spark, store(("2024-02-01", 2024, "a", 2.0)),
+      path, "dt_ref", "2024-02-01", "dt_year")
+    // re-run Feb with different content — Feb replaced, Jan untouched
+    Sinks.replaceSlice(spark, store(("2024-02-01", 2024, "a", 9.0)),
+      path, "dt_ref", "2024-02-01", "dt_year")
+    assert(readStore(path) === Set(
+      ("2024-01-01", 2024, "a", 1.0), ("2024-02-01", 2024, "a", 9.0)))
+  }
+
+  test("replaceSlice: re-running the same slice is idempotent") {
+    val path = tmpDir("sinks") + "/store"
+    val slice = store(("2024-01-01", 2024, "a", 1.0), ("2024-01-01", 2024, "b", 2.0))
+    Sinks.replaceSlice(spark, slice, path, "dt_ref", "2024-01-01", "dt_year")
+    val first = readStore(path)
+    Sinks.replaceSlice(spark, slice, path, "dt_ref", "2024-01-01", "dt_year")
+    assert(readStore(path) === first)
+  }
+
+  test("replaceSlice: untouched partitions are never rewritten") {
+    val path = tmpDir("sinks") + "/store"
+    Sinks.replaceSlice(spark, store(("2023-06-01", 2023, "x", 1.0)),
+      path, "dt_ref", "2023-06-01", "dt_year")
+    val dir2023 = Paths.get(path, "dt_year=2023")
+    val before = Files.list(dir2023).toArray.map(_.toString).toSet
+    Sinks.replaceSlice(spark, store(("2024-06-01", 2024, "y", 2.0)),
+      path, "dt_ref", "2024-06-01", "dt_year")
+    val after = Files.list(dir2023).toArray.map(_.toString).toSet
+    assert(before === after) // 2023 partition files untouched
+    assert(readStore(path) === Set(
+      ("2023-06-01", 2023, "x", 1.0), ("2024-06-01", 2024, "y", 2.0)))
+  }
+
+  test("replaceSlices: batched replacement drops all incoming slice values") {
+    val path = tmpDir("sinks") + "/store"
+    Sinks.replaceSlices(spark,
+      store(("2024-01-01", 2024, "a", 1.0), ("2024-02-01", 2024, "b", 2.0)),
+      path, "dt_ref", Seq("2024-01-01", "2024-02-01"), "dt_year")
+    Sinks.replaceSlices(spark,
+      store(("2024-01-01", 2024, "a", 5.0), ("2024-03-01", 2024, "c", 3.0)),
+      path, "dt_ref", Seq("2024-01-01", "2024-03-01"), "dt_year")
+    assert(readStore(path) === Set(
+      ("2024-01-01", 2024, "a", 5.0), ("2024-02-01", 2024, "b", 2.0),
+      ("2024-03-01", 2024, "c", 3.0)))
+  }
+
+  test("overwrite + compact preserve content; compact controls file count") {
+    val path = tmpDir("sinks") + "/t"
+    val df = (1 to 100).toDF("n").repartition(8)
+    Sinks.overwrite(df, path)
+    assert(spark.read.parquet(path).count() === 100)
+    Sinks.compact(spark, path, targetFiles = 1)
+    val files = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet"))
+    assert(files.length === 1)
+    assert(spark.read.parquet(path).as[Int].collect().toSet === (1 to 100).toSet)
+  }
+}
