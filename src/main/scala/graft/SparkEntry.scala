@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
-import graft.queries.{Events, Pipeline, PointInTime, Relational}
+import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     (PointInTime.queries, PointInTime.oracle),
     (Events.queries, Events.oracle),
     (Pipeline.queries, Pipeline.oracle),
+    (MlQueries.queries, MlQueries.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ML stage semantics (SURVEY.md §2.9 / §5.2.5): exact imputation, split
+  * granularity + proportions, pipeline fit/score mechanics, metric sanity,
+  * and importances — metric-level, not bitwise (MLlib != sklearn trees). */
+class MlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val abt = graft.queries.MlQueries.abt(spark, "/root/testdata/sf0.001")
+  private val features =
+    Seq("n_orders", "total_spent", "avg_price", "avg_urgent_price", "n_urgent")
+
+  test("imputer: fills NULLs with the arbitrary value, only in listed cols") {
+    val df = Seq((Some(1.0), Some(2.0)), (None, None))
+      .toDF("sprint_avg", "other")
+    val out = new ArbitraryNumberImputer()
+      .setFillValue(99.0).setInputCols(Array("sprint_avg"))
+      .transform(df)
+    assert(out.as[(Double, Option[Double])].collect().toSet ===
+      Set((1.0, Some(2.0)), (99.0, None)))
+  }
+
+  test("imputer: unknown column fails transformSchema") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      new ArbitraryNumberImputer().setFillValue(0.0)
+        .setInputCols(Array("nope")).transformSchema(df.schema)
+    }
+  }
+
+  test("split: OOT year held out; keys split ~80/20; no key overlap") {
+    val sp = AbtSplits.split(abt, "o_custkey", "yr", ootYear = 1998)
+    assert(sp.oot.select("yr").distinct().as[Int].collect().toSeq === Seq(1998))
+    assert(sp.train.filter(col("yr") >= 1998).count() === 0)
+    val trainKeys = sp.train.select("o_custkey", "yr").distinct()
+    val testKeys = sp.test.select("o_custkey", "yr").distinct()
+    assert(trainKeys.join(testKeys, Seq("o_custkey", "yr")).count() === 0)
+    val (ntr, nte) = (trainKeys.count().toDouble, testKeys.count().toDouble)
+    val ratio = nte / (ntr + nte)
+    assert(ratio > 0.1 && ratio < 0.3, s"test ratio $ratio outside [0.1, 0.3]")
+  }
+
+  test("pipeline: fit + score adds prediction/probability; metrics sane") {
+    val sp = AbtSplits.split(abt, "o_custkey", "yr", ootYear = 1998)
+    val model = ChampionModel.fit(sp.train, features,
+      impute99 = Seq("avg_urgent_price"))
+    val scored = ChampionModel.score(model, sp.oot)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.columns.contains("p_champ"))
+    val m = ChampionModel.evaluate(scored)
+    assert(m.accuracy > 0.5 && m.accuracy <= 1.0)
+    assert(m.auc >= 0.5 && m.auc <= 1.0, s"OOT AUC ${m.auc} not better than random")
+    // probabilities are probabilities
+    val bad = scored.filter(col("p_champ") < 0 || col("p_champ") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("feature importances: positive, sorted desc, sum <= 1") {
+    val sp = AbtSplits.split(abt, "o_custkey", "yr", ootYear = 1998)
+    val model = ChampionModel.fit(sp.train, features,
+      impute99 = Seq("avg_urgent_price"))
+    val imp = ChampionModel.featureImportances(model, features)
+    assert(imp.nonEmpty)
+    assert(imp.forall(_._2 > 0))
+    assert(imp === imp.sortBy(-_._2))
+    assert(imp.map(_._2).sum <= 1.0 + 1e-9)
+  }
+
+  test("raceTable: keep-last semantics + pivot + zero fill") {
+    val df = Seq(
+      (2024, "a", 0.1, 1), (2024, "a", 0.9, 2), // keep ord=2 → 0.9
+      (2024, "b", 0.5, 1),
+      (2025, "a", 0.7, 1),
+    ).toDF("yr", "ent", "p", "ord")
+    val out = Scoring.raceTable(df, "yr", "ent", "p", "ord", Seq("a", "b"))
+      .orderBy("yr").as[(Int, Double, Double)].collect().toSeq
+    assert(out === Seq((2024, 0.9, 0.5), (2025, 0.7, 0.0)))
+  }
+}
