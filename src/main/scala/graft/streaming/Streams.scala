@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.sources.Sinks
+
+/** Structured Streaming surface (SURVEY.md §2.11 / §7.4): the reference
+  * has no streaming — its closest construct is the manual per-date
+  * micro-batch backfill (scripts/spark_ops.py:177-194). This module is
+  * the modernization the survey prescribes: the same incremental
+  * contracts expressed as streams, plus the watermarked window agg and
+  * stateful sessionization a 100 TB event pipeline needs. Batch duals
+  * (oracle-checked) live in queries.Events; these share the logical
+  * shapes so the specs compare against them.
+  */
+object Streams {
+
+  /** Hourly tumbling-window counts per event_type with a watermark —
+    * streaming dual of queries.Events.e2HourlyAgg. `ts` is event-time
+    * (TimestampType); late data beyond the watermark is dropped. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** One incoming event for sessionization (ts = epoch ns). */
+  case class Ev(user_id: Long, ts: Long, value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** A closed session. */
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long,
+                     n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the streaming
+    * dual of queries.Events.e3Sessions (lag + running sum). A session
+    * closes when a later event arrives more than `gapNs` after the last
+    * one; the open session stays in state across micro-batches (flushed
+    * by timeout in a continuous deployment; final-open sessions are
+    * intentionally unemitted under AvailableNow, mirroring the batch
+    * query's "max(sess_id)" which counts them separately).
+    *
+    * State size = one SessState per active user — bounded by active-user
+    * cardinality, the canonical mapGroupsWithState sizing rule.
+    */
+  def sessionize(events: Dataset[Ev], gapNs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(_.ts)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          evs.foreach { e =>
+            open match {
+              case Some(st) if e.ts - st.last > gapNs =>
+                closed += Session(user, st.start, st.last, st.n, st.sum)
+                open = Some(SessState(e.ts, e.ts, 1L, e.value))
+              case Some(st) =>
+                open = Some(st.copy(last = math.max(st.last, e.ts),
+                  n = st.n + 1, sum = st.sum + e.value))
+              case None =>
+                open = Some(SessState(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming backfill — the batch Ingestor's contract as a stream:
+    * read available files once (Trigger.AvailableNow), and per
+    * micro-batch replace each contained `sliceCol` slice of the store
+    * (idempotent via Sinks.replaceSlices — a replayed batch rewrites the
+    * same slices, the exactly-once pattern for this sink). */
+  def ingestAvailableNow(stream: DataFrame, storePath: String,
+                         checkpoint: String, sliceCol: String,
+                         partCol: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val slices = batch.select(sliceCol).distinct().collect()
+          .map(_.get(0).toString).toSeq
+        if (slices.nonEmpty) {
+          Sinks.replaceSlices(batch.sparkSession, batch, storePath,
+            sliceCol, slices, partCol)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming operators vs their batch duals: windowed agg parity,
+  * stateful sessionization across micro-batches, and the AvailableNow
+  * ingest → replaceSlice store contract (idempotent on re-run). */
+class StreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hourlyCounts matches the batch groupBy on the same data") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly").outputMode(OutputMode.Complete())
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:55:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "click", 4.0),
+      (t("2024-01-01 10:10:00"), "view", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("hourly")
+      .select(date_format(col("hour"), "HH").cast("int").as("h"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .as[(Int, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(got === Set((10, "click", 2L, 3.0), (11, "click", 1L, 4.0),
+      (10, "view", 1L, 8.0)))
+  }
+
+  test("sessionize: closes sessions on gap, carries state across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val gapNs = 30L * 60 * 1000000000L // 30 min
+    val out = Streams.sessionize(mem.toDS(), gapNs)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    val h = 3600L * 1000000000L
+    // batch 1: two close events for user 1 → one open session, nothing out
+    mem.addData(Streams.Ev(1, h, 1.0), Streams.Ev(1, h + 60L * 1000000000L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() === 0)
+    // batch 2: event 2h later → closes the first session (n=2, sum=3)
+    mem.addData(Streams.Ev(1, 3 * h, 4.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess")
+      .as[Streams.Session].collect().toSeq
+    q.stop()
+    assert(sessions === Seq(
+      Streams.Session(1, h, h + 60L * 1000000000L, 2, 3.0)))
+  }
+
+  test("ingestAvailableNow: stream-ingested store matches batch ingest; idempotent") {
+    val base = tmpDir("stream")
+    val inDir = s"$base/in"
+    val slice = Seq(
+      ("2024-01-10", 2024, "a", 1.0), ("2024-01-10", 2024, "b", 2.0),
+      ("2024-02-05", 2024, "a", 3.0), ("2025-01-15", 2025, "c", 4.0),
+    ).toDF("dt_ref", "dt_year", "key", "value")
+    slice.write.parquet(inDir)
+
+    def runStream(store: String, ckpt: String): Unit =
+      Streams.ingestAvailableNow(
+        spark.readStream.schema(slice.schema).parquet(inDir),
+        store, ckpt, "dt_ref", "dt_year")
+
+    val store = s"$base/store"
+    runStream(store, s"$base/ckpt1")
+    def read(p: String) = spark.read.parquet(p)
+      .select("dt_ref", "dt_year", "key", "value")
+      .as[(String, Int, String, Double)].collect().toSet
+    val expected = Set(
+      ("2024-01-10", 2024, "a", 1.0), ("2024-01-10", 2024, "b", 2.0),
+      ("2024-02-05", 2024, "a", 3.0), ("2025-01-15", 2025, "c", 4.0))
+    assert(read(store) === expected)
+    // replay with a fresh checkpoint — replaceSlices makes it idempotent
+    runStream(store, s"$base/ckpt2")
+    assert(read(store) === expected)
+  }
+}
