@@ -166,11 +166,79 @@ object PointInTime {
         LEFT JOIN daily t4 ON CAST(t1.dt_ref AS DATE) = t4.d
         ORDER BY t1.l_suppkey"""
 
+  /** Single-pass variant: the three window batteries as CONDITIONAL
+    * aggregates in ONE groupBy — 1 shuffle instead of 3 shuffles + 2
+    * joins. This is the 100 TB shape (the per-window scan/shuffle of the
+    * reference's CTE structure is the dominant cost at scale); semantics
+    * differ from the join form only where a key has no rows in a window
+    * (COUNT 0 vs NULL — both forms have their own oracle). */
+  def supplierFeaturesSinglePass(s: SparkSession, dir: String,
+                                 date: String): DataFrame = {
+    val refD = to_date(lit(date))
+    val yearAgo = (refD - expr("INTERVAL 1 YEAR")).cast("date")
+    val li = t(s, dir, "lineitem").select(
+      col("l_suppkey"), col("l_returnflag"), col("l_quantity"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"),
+      to_date(col("l_shipdate")).as("dt_event"))
+      .filter(col("dt_event") <= refD)
+    val in1y = col("dt_event") >= yearAgo
+    val inCur = year(col("dt_event")) >= year(refD)
+    val isR = col("l_returnflag") === "R"
+    li.groupBy("l_suppkey").agg(
+      max(lit(date)).as("dt_ref"),
+      year(refD).as("dt_year"),
+      // lifetime battery
+      count(lit(1)).as("qtd_runs"),
+      sum(when(isR, 1).otherwise(0)).as("qtd_returns"),
+      avg(col("l_quantity")).as("avg_qty"),
+      avg(when(isR, col("l_quantity"))).as("avg_qty_r"),
+      percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+      // trailing-year battery, conditionalized
+      sum(when(in1y, 1).otherwise(0)).as("qtd_runs_1y"),
+      avg(when(in1y, col("l_quantity"))).as("avg_qty_1y"),
+      percentile(when(in1y, col("l_quantity")), lit(0.5)).as("median_qty_1y"),
+      // current-season battery, conditionalized
+      sum(when(inCur, 1).otherwise(0)).as("qtd_runs_cur"),
+      sum(when(inCur, col("net"))).as("total_net_cur"),
+      avg(when(inCur, col("l_quantity"))).as("avg_qty_cur"),
+      percentile(when(inCur, col("net")), lit(0.5)).as("median_net_cur"))
+      // active-in-trailing-year restriction without the semi-join
+      .filter(col("qtd_runs_1y") > 0)
+      .orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
+    "fs_single_pass" -> ((s, dir) => supplierFeaturesSinglePass(s, dir, refDate)),
   )
+
+  private def singlePassOracle(date: String): String =
+    s"""WITH li AS (
+          SELECT l_suppkey, l_returnflag, l_quantity,
+                 l_extendedprice * (1 - l_discount) AS net,
+                 CAST(l_shipdate AS DATE) AS dt_event
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) <= DATE '$date')
+        SELECT l_suppkey, MAX('$date') AS dt_ref,
+          CAST(year(DATE '$date') AS INT) AS dt_year,
+          CAST(COUNT(*) AS BIGINT) AS qtd_runs,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS qtd_returns,
+          AVG(l_quantity) AS avg_qty,
+          AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS avg_qty_r,
+          median(l_quantity) AS median_qty,
+          CAST(SUM(CASE WHEN dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE) THEN 1 ELSE 0 END) AS BIGINT) AS qtd_runs_1y,
+          AVG(CASE WHEN dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE) THEN l_quantity END) AS avg_qty_1y,
+          median(CASE WHEN dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE) THEN l_quantity END) AS median_qty_1y,
+          CAST(SUM(CASE WHEN year(dt_event) >= year(DATE '$date') THEN 1 ELSE 0 END) AS BIGINT) AS qtd_runs_cur,
+          SUM(CASE WHEN year(dt_event) >= year(DATE '$date') THEN net END) AS total_net_cur,
+          AVG(CASE WHEN year(dt_event) >= year(DATE '$date') THEN l_quantity END) AS avg_qty_cur,
+          median(CASE WHEN year(dt_event) >= year(DATE '$date') THEN net END) AS median_net_cur
+        FROM li GROUP BY 1
+        HAVING CAST(SUM(CASE WHEN dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE) THEN 1 ELSE 0 END) AS BIGINT) > 0
+        ORDER BY 1"""
 
   val oracle: Map[String, String] = Map(
     "fs_point_in_time" -> oracleFor(refDate),
+    "fs_single_pass" -> singlePassOracle(refDate),
   )
 }
