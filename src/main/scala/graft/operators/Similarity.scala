@@ -48,13 +48,16 @@ object Similarity {
   private def normD(a: Column): Column = graft.functions.Vectors.norm(a)
 
   /** Sign-bucket of a vector under the fixed plane matrix:
-    * bit p = (dot(v, plane_p) > 0). Pure in-row math (codegen'd). */
+    * bit p = (dot(v, plane_p) > 0). Each dot is a native FloatVecDot
+    * against a literal plane vector — a flat 64-term element_at sum
+    * overflows codegen method limits and interprets (see plans
+    * .FloatVecDot scaladoc). Fold order matches the oracle's explicit
+    * left-associated term sum. */
   private def bucketOf(emb: Column): Column =
     (0 until planes).map { p =>
-      val dot = (0 until dims).map(d =>
-        element_at(emb, d + 1).cast("double") * lit(planeVal(p, d)))
-        .reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
+      val plane = typedlit((0 until dims).map(d => planeVal(p, d)))
+      when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << p))
+        .otherwise(0L)
     }.reduce(_ + _)
 
   /** S1: exact brute-force cosine top-k — queries = vec_id < 10, k = 5

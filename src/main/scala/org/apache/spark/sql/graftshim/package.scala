@@ -10,4 +10,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftshim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an ALREADY-RUNNING session (the
+    * extensions path, plans.GraftExtensions, only applies at session
+    * build; this covers sessions the library did not create). */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot",
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"float_vec_dot expects 2 arguments, got ${children.length}")
+        graft.plans.FloatVecDot(children.head, children(1))
+      },
+      "built-in")
 }

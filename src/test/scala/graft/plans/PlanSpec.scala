@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB posture is checked, not
+  * assumed: filters reach the parquet scan, projections prune the read
+  * schema, small sides broadcast, and the native vector expression
+  * participates in whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("p5: point-in-time filter pushed to the parquet scan") {
+    val p = plan("p5_pit_filter")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(l_shipdate") || p.contains("LessThanOrEqual(l_shipdate"),
+      s"ship-date bound not pushed:\n$p")
+  }
+
+  test("p1: read schema pruned to referenced columns only") {
+    val p = plan("p1_project")
+    val read = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("j1/j5: dimension-sized build sides broadcast (no sort-merge)") {
+    assert(plan("j1_left_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("j5_semi_join").contains("BroadcastHashJoin"))
+    assert(!plan("j5_semi_join").contains("SortMergeJoin"))
+  }
+
+  test("a6: exact percentile uses ObjectHashAggregate with partial agg") {
+    val p = plan("a6_median")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_percentile"), s"no partial aggregation:\n$p")
+  }
+
+  test("o4: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("o4_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("float_vec_dot: native expression in the similarity plans + correct value") {
+    val df = graft.SparkEntry.queries("d6_embedding_cosine")(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("float_vec_dot"))
+    // value check against a hand-computed dot
+    import spark.implicits._
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.Vectors.dot(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(d === 32.0)
+  }
+
+  test("float_vec_dot callable from SQL after registration") {
+    org.apache.spark.sql.graftshim.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r === 11.0)
+    // mixed float/double arrays also resolve
+    val r2 = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))) AS d")
+      .head().getDouble(0)
+    assert(r2 === 1.0)
+  }
+}

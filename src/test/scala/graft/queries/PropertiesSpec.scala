@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based semantic pins (SURVEY.md §5.2.4): Spark behaviors the
+  * engine depends on, checked against independent Scala reference
+  * implementations on generated data. */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic property driver: 8 samples per property from fixed
+    * seeds (scalatestplus isn't resolvable offline; plain scalacheck
+    * generators + explicit seeds give the same coverage, reproducibly). */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to 8).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(4242L + i)))
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 8).foreach { i =>
+      body(g1.pureApply(Gen.Parameters.default, Seed(333L + i)),
+        g2.pureApply(Gen.Parameters.default, Seed(777L + i)))
+    }
+
+  private val smallInts = Gen.nonEmptyListOf(Gen.choose(-50, 150))
+
+  /** Exact interpolating median, as the reference's PERCENTILE(x, 0.5). */
+  private def refMedian(xs: Seq[Int]): Double = {
+    val s = xs.sorted.map(_.toDouble)
+    val pos = 0.5 * (s.length - 1)
+    val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+    lo + (pos - pos.toInt) * (hi - lo)
+  }
+
+  test("percentile(x, 0.5) equals the interpolating exact median (A6)") {
+    forAll(smallInts) { (xs: List[Int]) =>
+      val got = xs.toDF("x")
+        .agg(percentile(col("x"), lit(0.5))).head().getDouble(0)
+      assert(math.abs(got - refMedian(xs)) < 1e-9)
+    }
+  }
+
+  test("left_semi join equals IN-filter (J5)") {
+    forAll(smallInts, smallInts) { (l: List[Int], r: List[Int]) =>
+      val left = l.toDF("k")
+      val right = r.toDF("k")
+      val semi = left.join(right, Seq("k"), "left_semi")
+        .as[Int].collect().sorted.toSeq
+      val inSet = l.filter(r.toSet).sorted
+      assert(semi === inSet)
+    }
+  }
+
+  test("anti join equals NOT-IN on non-null keys (J6)") {
+    forAll(smallInts, smallInts) { (l: List[Int], r: List[Int]) =>
+      val anti = l.toDF("k").join(r.toDF("k"), Seq("k"), "left_anti")
+        .as[Int].collect().sorted.toSeq
+      assert(anti === l.filterNot(r.toSet).sorted)
+    }
+  }
+
+  test("keep-last window dedup equals sort-then-keep-last (U3)") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 30), Gen.choose(-100, 100)))
+    forAll(gen) { (rows: List[(Int, Int, Int)]) =>
+      val df = rows.toDF("k", "ord", "v")
+      val w = Window.partitionBy("k").orderBy(desc("ord"), desc("v"))
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k", "ord", "v")
+        .as[(Int, Int, Int)].collect().toSet
+      val expect = rows.groupBy(_._1).map { case (_, g) =>
+        g.maxBy(t => (t._2, t._3))
+      }.toSet
+      assert(got === expect)
+    }
+  }
+
+  test("conditional aggregate equals filter-then-aggregate (A5/A7)") {
+    forAll(smallInts) { (xs: List[Int]) =>
+      val df = xs.toDF("x")
+      val cond = col("x") % 2 === 0
+      val a = df.agg(
+        sum(when(cond, col("x"))).as("s"),
+        avg(when(cond, col("x"))).as("a")).head()
+      val evens = xs.filter(x => ((x % 2) + 2) % 2 == 0)
+      if (evens.isEmpty) { assert(a.isNullAt(0) && a.isNullAt(1)) }
+      else {
+        assert(a.getLong(0) === evens.map(_.toLong).sum)
+        assert(math.abs(a.getDouble(1) - evens.sum.toDouble / evens.size) < 1e-9)
+      }
+    }
+  }
+
+  test("string->double SUM coercion matches numeric sum (A11)") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 999))) { (xs: List[Int]) =>
+      val asStrings = xs.map(x => s"$x.0")
+      val got = asStrings.toDF("p")
+        .agg(sum(col("p"))).head().getDouble(0)
+      assert(got === xs.sum.toDouble)
+    }
+  }
+}
