@@ -47,4 +47,28 @@ object Portable {
   val perms: Seq[(Long, Long)] = (1 to 16).map { i =>
     (2L * i * i * 1000003L + 12289L, 7L * i * 104729L + 104147L)
   }
+
+  // ---- native batched forms (plans.HashExpressions) — same math as the
+  // ---- SQL fragments above, evaluated in tight per-row loops.
+
+  import org.apache.spark.sql.graftshim
+
+  /** tokens → array of h60 hashes (mod P when modP, else raw 60-bit). */
+  def h60Array(tokens: Column, modP: Boolean): Column =
+    graftshim.column(graft.plans.H60Array(
+      graftshim.expression(tokens), if (modP) P else 0L))
+
+  /** token-hash array → sliding 3-gram shingle hashes (empty if < 3). */
+  def shingleHashes(th: Column, a: Long, b: Long, c: Long): Column =
+    graftshim.column(graft.plans.ShingleHashes(
+      graftshim.expression(th), a, b, c, P))
+
+  /** shingle-hash array → k-permutation MinHash signature. */
+  def minhashSig(hs: Column, k: Int): Column =
+    graftshim.column(graft.plans.MinHashSig(
+      graftshim.expression(hs), perms.take(k), P))
+
+  /** raw token-hash array → 32-bit SimHash. */
+  def simhash32(th: Column): Column =
+    graftshim.column(graft.plans.SimHash32(graftshim.expression(th)))
 }

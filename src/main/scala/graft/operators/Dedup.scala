@@ -61,21 +61,20 @@ object Dedup {
     * the DuckDB oracle. */
   private def withShingleCols(df: DataFrame): DataFrame =
     df.withColumn("tk", split(trim(lower(col("text"))), wsPat))
-      .withColumn("th", transform(col("tk"), x => Portable.h60(x) % P))
+      .withColumn("th", Portable.h60Array(col("tk"), modP = true))
       .withColumn("hs",
         when(size(col("th")) >= 3,
-          transform(sequence(lit(1), size(col("th")) - 2), i =>
-            ((element_at(col("th"), i) * sA) % P +
-              (element_at(col("th"), i + 1) * sB) % P +
-              (element_at(col("th"), i + 2) * sC) % P) % P))
+          Portable.shingleHashes(col("th"), sA, sB, sC))
           .otherwise(array(Portable.h60(norm(col("text"))) % P)))
 
-  /** MinHash columns mh0..mh11 over the staged `hs` attribute — pure
-    * modular arithmetic on longs. */
+  /** Stage the native batched MinHash signature (plans.MinHashSig: one
+    * pass over hs for all 12 perms) as `sig`, then cheap extractions —
+    * without the staging the sig tree would inline 12 times. */
+  private def withSig(df: DataFrame): DataFrame =
+    df.withColumn("sig", Portable.minhashSig(col("hs"), 12))
+
   private def minhashCols: Seq[Column] =
-    Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"mh$i")
-    }
+    (0 until 12).map(i => element_at(col("sig"), i + 1).as(s"mh$i"))
 
   /** D1: exact dedup — group by md5 of normalized content; keeper = min
     * doc_id per group, n_copies counts exact duplicates (sf0.1 testdata
@@ -90,7 +89,7 @@ object Dedup {
   /** D2: MinHash signatures — 12 permutations over 3-word shingles, all
     * in-row array math (no shuffle before the presentation sort). */
   val d2MinhashSig: Q = (s, dir) =>
-    withShingleCols(t(s, dir, "documents"))
+    withSig(withShingleCols(t(s, dir, "documents")))
       .select(col("doc_id") +: minhashCols: _*)
       .orderBy("doc_id")
 
@@ -100,7 +99,7 @@ object Dedup {
     * shingle-hash sets. Exact dups collide on every band; near-dups with
     * prob 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
   val d3MinhashLsh: Q = (s, dir) => {
-    val sig = withShingleCols(t(s, dir, "documents"))
+    val sig = withSig(withShingleCols(t(s, dir, "documents")))
       .select(col("doc_id") +: (minhashCols :+
         array_distinct(col("hs")).as("shset")): _*)
     val banded = sig.select(col("doc_id"), col("shset"),
@@ -127,15 +126,10 @@ object Dedup {
     * the two 16-bit halves (banding keys for a hamming<=1 join by
     * pigeonhole). */
   val d4Simhash: Q = (s, dir) => {
-    val sim = (0 until 32).map { j =>
-      when(aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
-        > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
     t(s, dir, "documents")
       .withColumn("tk", split(trim(lower(col("text"))), wsPat))
-      .withColumn("th", transform(col("tk"), x => Portable.h60(x)))
-      .select(col("doc_id"), sim.as("simhash"))
+      .withColumn("th", Portable.h60Array(col("tk"), modP = false))
+      .select(col("doc_id"), Portable.simhash32(col("th")).as("simhash"))
       .withColumn("band_lo", col("simhash") % 65536)
       .withColumn("band_hi", shiftright(col("simhash"), 16) % 65536)
       .orderBy("doc_id")
