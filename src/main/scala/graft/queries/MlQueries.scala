@@ -44,14 +44,25 @@ object MlQueries {
   private val features =
     Seq("n_orders", "total_spent", "avg_price", "avg_urgent_price", "n_urgent")
 
+  /** Model registry: fit once per (session, dir) — the three ML queries
+    * share one deterministic fit (seed 42), like a production model store.
+    * Keyed on the session too so a fresh driver session refits. */
+  private val fitted =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.ml.PipelineModel]()
+
+  private[graft] def model(s: SparkSession, dir: String) =
+    fitted.computeIfAbsent((s, dir), { case (ss, d) =>
+      val sp = AbtSplits.split(abt(ss, d), "o_custkey", "yr", 1998)
+      ChampionModel.fit(sp.train, features,
+        impute99 = Seq("avg_urgent_price"), impute0 = Nil)
+    })
+
   /** M1-M7: split → fit → score the OOT year; per-row probabilities. */
   val m1RfScore: Q = (s, dir) => {
     val data = abt(s, dir)
-    val ootYear = 1998
-    val sp = AbtSplits.split(data, "o_custkey", "yr", ootYear)
-    val model = ChampionModel.fit(sp.train, features,
-      impute99 = Seq("avg_urgent_price"), impute0 = Nil)
-    ChampionModel.score(model, sp.oot)
+    val sp = AbtSplits.split(data, "o_custkey", "yr", 1998)
+    ChampionModel.score(model(s, dir), sp.oot)
       .select(col("yr"), col("o_custkey"), col("fl_champ"),
         col("prediction"), round(col("p_champ"), 4).as("p_champ"))
       .orderBy("o_custkey")
@@ -59,11 +70,7 @@ object MlQueries {
 
   /** M8: feature importances of the fitted forest (>0, desc). */
   val m2FeatureImportance: Q = (s, dir) => {
-    val data = abt(s, dir)
-    val sp = AbtSplits.split(data, "o_custkey", "yr", 1998)
-    val model = ChampionModel.fit(sp.train, features,
-      impute99 = Seq("avg_urgent_price"), impute0 = Nil)
-    val imp = ChampionModel.featureImportances(model, features)
+    val imp = ChampionModel.featureImportances(model(s, dir), features)
     import s.implicits._
     imp.toDF("feature", "importance")
       .select(col("feature"), round(col("importance"), 4).as("importance"))
@@ -74,10 +81,7 @@ object MlQueries {
     * those entities, unioned shapes exercised on real scored output. */
   val m3TopTrajectories: Q = (s, dir) => {
     val data = abt(s, dir)
-    val sp = AbtSplits.split(data, "o_custkey", "yr", 1998)
-    val model = ChampionModel.fit(sp.train, features,
-      impute99 = Seq("avg_urgent_price"), impute0 = Nil)
-    val scored = ChampionModel.score(model, data)
+    val scored = ChampionModel.score(model(s, dir), data)
     val top = Scoring.topAtLastPeriod(scored, "o_custkey", "yr", k = 5)
       .collect().map(_.get(0).toString).toSeq
     Scoring.trajectories(

@@ -68,6 +68,17 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** P6: string-condition filter API — the reference passes SQL text to
+    * .filter() (scripts/03_feature_store.py:31); Catalyst parses it into
+    * the same predicate tree as the typed form. */
+  private val p6StringFilter: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter("to_date(o_orderdate) >= '1999-01-01' AND " +
+        "to_date(o_orderdate) <= '1999-06-30' AND o_totalprice < 50000")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+      .orderBy("o_orderstatus")
+
   /** P7+P8+P12: IS NOT NULL, inequality, IN-list membership filters
     * (reference sql/abt_champions.sql:8-9, scripts/05_ml_model.py:268). */
   private val p7Filters: Q = (s, dir) =>
@@ -315,6 +326,7 @@ object Relational {
     "p2_coalesce_cast" -> p2CoalesceCast,
     "p4_dates" -> p4Dates,
     "p5_pit_filter" -> p5PitFilter,
+    "p6_string_filter" -> p6StringFilter,
     "p7_filters" -> p7Filters,
     "j1_left_join_agg" -> j1LeftJoinAgg,
     "j2_expr_join" -> j2ExprJoin,
@@ -363,6 +375,14 @@ object Relational {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
          SUM(l_quantity) AS sum_qty
          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-06-30'
+         GROUP BY 1 ORDER BY 1""",
+    "p6_string_filter" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(o_totalprice) AS total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+           AND CAST(o_orderdate AS DATE) <= DATE '1999-06-30'
+           AND o_totalprice < 50000
          GROUP BY 1 ORDER BY 1""",
     "p7_filters" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

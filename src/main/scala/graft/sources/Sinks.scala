@@ -86,6 +86,20 @@ object Sinks {
     fs.delete(new Path(staged), true)
   }
 
+  /** S8: VACUUM analog — plain-Parquet overwrites already replace files,
+    * so the only orphans are staging dirs from interrupted
+    * replaceSlice/compact runs; delete them. Returns the count removed. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val parent = new Path(path).getParent
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = new Path(path).getName
+    if (!fs.exists(parent)) return 0
+    val orphans = fs.listStatus(parent)
+      .filter(st => st.getPath.getName.startsWith(s"$name-staging-"))
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
+  }
+
   private def stagePath(path: String): String =
     s"$path-staging-${UUID.randomUUID().toString.take(8)}"
 

@@ -58,6 +58,34 @@ class StreamsSpec extends SparkSpec {
       Streams.Session(1, h, h + 60L * 1000000000L, 2, 3.0)))
   }
 
+  test("sessionize over real events parquet agrees with the batch e3 query") {
+    // stream the actual testdata events table (ns-as-long ts) through the
+    // stateful sessionizer; closed sessions = batch total sessions minus
+    // the still-open last session of each user.
+    val dir = "/root/testdata/sf0.001"
+    // file sources stream DIRECTORIES; stage the single-file table into one
+    val streamDir = tmpDir("realsess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+      .selectExpr("user_id", "ts", "value").as[Streams.Ev]
+    val gapNs = 30L * 60 * 1000000000L
+    val q = Streams.sessionize(stream, gapNs)
+      .writeStream.format("memory").queryName("realsess")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("realsess").count()
+    val batch = graft.SparkEntry.queries("e3_sessions")(spark, dir)
+    val totals = batch.agg(sum("n_sessions"), count(lit(1))).head()
+    val expectedClosed = totals.getLong(0) - totals.getLong(1)
+    assert(closed === expectedClosed,
+      s"closed=$closed, batch sessions=${totals.getLong(0)}, users=${totals.getLong(1)}")
+  }
+
   test("ingestAvailableNow: stream-ingested store matches batch ingest; idempotent") {
     val base = tmpDir("stream")
     val inDir = s"$base/in"
