@@ -114,7 +114,7 @@ object TextAnalysis {
         col("doc_id"),
         md5(col("nrm")).as("fp_md5"),
         Portable.h60(col("nrm")).as("fp60"),
-        array_min(transform(col("sh"), s => Portable.h60(s)))
+        array_min(Portable.h60Array(col("sh"), modP = false))
           .as("fp_min_shingle"))
       .orderBy("doc_id")
 
