@@ -233,6 +233,32 @@ object Relational {
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** A14 (extension): ROLLUP hierarchy totals with grouping flags —
+    * beyond the reference's plain GROUP BY; subtotal/total rows carry
+    * NULL keys and grouping()=1. */
+  private val a14Rollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup("yr", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"))
+      .orderBy(col("g_yr"), col("g_st"), col("yr"), col("o_orderstatus"))
+
+  /** A15 (extension): distinct-count aggregates — dedup-rate stats per
+    * source over the documents table (SURVEY §7.4 dedup stats; the exact
+    * form — approx_count_distinct is the scale path but isn't
+    * cross-engine reproducible, so the oracle-checked entry is exact). */
+  private val a15DistinctCount: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+      .orderBy("source")
+
   /** A13: scalar max/min reduction (reference scripts/01_raw.py:179). */
   private val a13ScalarReduce: Q = (s, dir) =>
     t(s, dir, "orders").agg(
@@ -298,6 +324,22 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  /** U4-agg (extension): keep-last as a single max_by aggregation — one
+    * combiner-friendly shuffle instead of the window sort (u3). max_by
+    * tie-breaks are NONDETERMINISTIC, so the ordering key encodes the
+    * full (linenumber, partkey, suppkey) tie-break numerically (line
+    * numbers repeat per order in this testdata). The scale-preferred
+    * form; u3 remains the order-sensitive general case. */
+  private val u4KeepLastAgg: Q = (s, dir) => {
+    val ord = col("l_linenumber") * lit(1000000000000L) +
+      col("l_partkey") * lit(100000L) + col("l_suppkey")
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max("l_linenumber").as("last_line"),
+        max_by(col("l_partkey"), ord).as("l_partkey"))
+      .orderBy("l_orderkey")
+  }
+
   /** U5: pivot long→wide with fixed pivot values
     * (reference scripts/05_ml_model.py:444-448). */
   private val u5Pivot: Q = (s, dir) =>
@@ -341,6 +383,9 @@ object Relational {
     "a10_max_literal" -> a10MaxLiteral,
     "a12_distinct" -> a12Distinct,
     "a13_scalar_reduce" -> a13ScalarReduce,
+    "a14_rollup" -> a14Rollup,
+    "a15_distinct_count" -> a15DistinctCount,
+    "u4_keep_last_agg" -> u4KeepLastAgg,
     "w1_top_per_group" -> w1TopPerGroup,
     "o2_multi_sort" -> o2MultiSort,
     "o4_topk" -> o4TopK,
@@ -464,6 +509,24 @@ object Relational {
     "a13_scalar_reduce" ->
       """SELECT MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price,
          CAST(COUNT(*) AS BIGINT) AS cnt FROM orders""",
+    "a14_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS cnt, SUM(o_totalprice) AS total,
+         CAST(GROUPING(yr) AS INT) AS g_yr,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+         FROM orders GROUP BY ROLLUP(yr, o_orderstatus)
+         ORDER BY g_yr, g_st, yr, o_orderstatus""",
+    "a15_distinct_count" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "u4_keep_last_agg" ->
+      """SELECT l_orderkey, MAX(l_linenumber) AS last_line,
+         MAX_BY(l_partkey, l_linenumber * 1000000000000
+           + l_partkey * 100000 + l_suppkey) AS l_partkey
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "w1_top_per_group" ->
       """SELECT yr, o_custkey, total_spent, CAST(rn AS INT) AS rn FROM (
            SELECT yr, o_custkey, total_spent,
