@@ -82,16 +82,22 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** S2: LSH-bucketed ANN — 6 random-hyperplane sign bits → bucket id;
-    * candidates share the query's bucket; exact cosine rerank, top-3 per
-    * query. Recall < 1 vs s1 by construction (measured in the spec); at
-    * scale this replaces the O(q·n) join with a bucket-keyed join. */
+  /** S2: LSH-bucketed ANN with MULTI-PROBE — 6 random-hyperplane sign
+    * bits → bucket id; each query probes its own bucket plus the 6
+    * hamming-1 neighbors (sign flips near a hyperplane are where true
+    * neighbors land — multi-probe recovers most of the recall single-
+    * probe loses; measured vs s1 in the spec). Candidates come only from
+    * probed buckets: the O(q·n) join becomes bucket-keyed, and the probe
+    * factor (7 of 2^6 buckets) is the recall/cost dial. */
   val s2LshAnn: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
       normD(col("embedding")).as("nrm"), bucketOf(col("embedding")).as("bkt"))
+    val probeMasks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bkt"))
+        col("nrm").as("qn"),
+        explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
+          .as("bkt"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("bkt"))
     import org.apache.spark.sql.expressions.Window
@@ -100,6 +106,47 @@ object Similarity {
       .select(col("qid"), col("cid"),
         (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** S4: IVF-style ANN — inverted-file search with the `label` column's
+    * mean vectors as the coarse quantizer: (1) centroid per label
+    * (posexplode → per-dim avg → re-assembled array — one shuffle, tiny
+    * output), (2) every vector assigned to its nearest centroid by dot
+    * product (argmax via ranking window; centroids broadcast), (3) query
+    * vectors (vec_id < 10) search ONLY their own cell, exact cosine
+    * top-3. At 100 TB the cell restriction is the point: candidate scans
+    * shrink by ~|cells|×, recall measured against s1 in the spec. */
+  val s4IvfAnn: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label").agg(
+        array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("cell"),
+        transform(col("pc"), x => x.getField("c")).as("centroid"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("cdot"), col("cell"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cdot", graft.functions.Vectors.dot(col("embedding"), col("centroid")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        normD(col("embedding")).as("nrm"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("cell"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("cid"), col("cosine"), col("rk"))
       .orderBy("qid", "rk")
@@ -138,6 +185,7 @@ object Similarity {
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_ann" -> s2LshAnn,
     "s3_bucket_stats" -> s3BucketStats,
+    "s4_ivf_ann" -> s4IvfAnn,
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,8 +208,10 @@ object Similarity {
       s"""WITH $normCte,
           eb AS (SELECT vec_id, embedding, nrm,
                    ${bucketSql("embedding")} AS bkt FROM e),
-          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, bkt
-                FROM eb WHERE vec_id < 10),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+                  xor(bkt, m.m) AS bkt
+                FROM eb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m
+                WHERE vec_id < 10),
           c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bkt FROM eb),
           scored AS (
             SELECT qid, cid, $dotSql / (qn * cn) AS cosine
@@ -177,5 +227,38 @@ object Similarity {
       s"""SELECT ${bucketSql("embedding")} AS bkt,
           CAST(count(*) AS BIGINT) AS n_vectors
           FROM embeddings GROUP BY 1 ORDER BY 1""",
+    "s4_ivf_ann" ->
+      s"""WITH cent AS (
+            SELECT label AS cell,
+              list(c ORDER BY pos) AS centroid
+            FROM (
+              SELECT label, r.i AS pos,
+                AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+              FROM embeddings, range(1, 65) r(i)
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          $normCte,
+          assigned AS (
+            SELECT vec_id, embedding, nrm, cell FROM (
+              SELECT e.vec_id, e.embedding, e.nrm, cent.cell,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i])) DESC,
+                  cent.cell) AS crk
+              FROM e, cent) WHERE crk = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, cell
+                FROM assigned WHERE vec_id < 10),
+          c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, cell
+                FROM assigned),
+          scored AS (
+            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+            FROM q JOIN c USING (cell) WHERE qid <> cid),
+          ranked AS (
+            SELECT qid, cid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS INT) AS rk
+            FROM scored)
+          SELECT qid, cid, cosine, rk FROM ranked
+          WHERE rk <= 3 ORDER BY qid, rk""",
   )
 }

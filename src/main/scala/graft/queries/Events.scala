@@ -73,11 +73,37 @@ object Events {
       .agg(count(lit(1)))
       .orderBy("day")
 
+  /** E5: the e2 hourly aggregation executed as a STRUCTURED STREAM —
+    * events staged to a stream directory, read with readStream, windowed
+    * through streaming.Streams.hourlyCounts (watermarked event-time
+    * window), Trigger.AvailableNow into a memory sink, result returned
+    * as a DataFrame. Shares e2's oracle: the stream must converge to the
+    * batch answer (complete mode; bounded input). */
+  val e5StreamHourly: Q = (s, dir) => {
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-events").toString
+    src.write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e5_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = s.readStream.schema(src.schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = graft.streaming.Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
     "e3_sessions" -> e3Sessions,
     "e4_daily_pivot" -> e4DailyPivot,
+    "e5_stream_hourly" -> e5StreamHourly,
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +134,10 @@ object Events {
          SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
            CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM s GROUP BY 1 ORDER BY 1""",
+    "e5_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "e4_daily_pivot" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN quality: recall of the LSH and IVF variants against the exact
+  * brute-force top-k (s1) — the measurement SURVEY §7.5.5 calls for.
+  * Floors are loose (random synthetic vectors have weak cluster
+  * structure); the point is the harness: recall is measured, not
+  * assumed. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topMap(name: String, k: Int): Map[Long, Set[Long]] =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .filter(s"rk <= $k")
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cid")).toSet }
+
+  private def recallAt3(ann: Map[Long, Set[Long]],
+                        exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.keys.toSeq.map { q =>
+      val a = ann.getOrElse(q, Set.empty)
+      (a intersect exact(q)).size.toDouble / exact(q).size
+    }
+    per.sum / per.size
+  }
+
+  test("LSH (s2) and IVF (s4) recall@3 vs exact (s1) is measured and sane") {
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val lsh = topMap("s2_lsh_ann", 3)
+    val ivf = topMap("s4_ivf_ann", 3)
+    val rLsh = recallAt3(lsh, exact3)
+    val rIvf = recallAt3(ivf, exact3)
+    info(f"recall@3: lsh=$rLsh%.2f ivf=$rIvf%.2f")
+    assert(rLsh > 0.0 && rLsh <= 1.0)
+    assert(rIvf > 0.0 && rIvf <= 1.0)
+    // every query answered by both ANN paths
+    assert(lsh.keySet === exact3.keySet)
+    assert(ivf.keySet === exact3.keySet)
+  }
+}
