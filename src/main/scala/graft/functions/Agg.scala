@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregate helpers with scale/parity switches (SURVEY.md §7.4: "exact
+  * percentile swappable for percentile_approx behind a flag; exact
+  * remains default for oracle parity"). */
+object Agg {
+
+  /** Runtime flag: set `spark.graft.approxPercentile=true` to swap exact
+    * medians for the t-digest approximation (single-pass mergeable sketch
+    * — the 100 TB path; exact percentile buffers per-group values in an
+    * ObjectHashAggregate). Default false: exact, bit-reproducible vs the
+    * DuckDB oracle. */
+  val ApproxFlag = "spark.graft.approxPercentile"
+
+  /** Accuracy parameter for the approx path (1/accuracy relative error). */
+  val ApproxAccuracy = 10000
+
+  def median(s: SparkSession, c: Column): Column =
+    if (s.conf.get(ApproxFlag, "false").toBoolean)
+      percentile_approx(c, lit(0.5), lit(ApproxAccuracy))
+    else percentile(c, lit(0.5))
+}

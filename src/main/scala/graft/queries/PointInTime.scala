@@ -207,9 +207,34 @@ object PointInTime {
       .orderBy("l_suppkey")
   }
 
+  /** Backfill dates for the i1 incremental-store query (spanning a year
+    * boundary so two dt_year partitions are exercised). */
+  val backfillDates: Seq[String] = Seq("1998-09-30", "1998-12-31", "1999-06-30")
+
+  /** i1: the INCREMENTAL STORE inside the correctness gate — a 3-date
+    * backfill through etl.Ingestor + Sinks.replaceSlices (the Delta
+    * replaceWhere emulation, SURVEY §7.3's hardest parity item) into a
+    * temp store; the first date is then RE-RUN (idempotency under
+    * late-data reprocessing) and the final store must equal the union of
+    * the per-date oracles. */
+  def backfillStore(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-i1-store").toString + "/fs"
+    val ing = new graft.etl.Ingestor(s, store)
+    def build(d: String): DataFrame = supplierFeaturesSinglePass(s, dir, d)
+    ing.execRange(build, backfillDates)
+    ing.execDate(build, backfillDates.head) // idempotent re-run
+    s.read.parquet(store)
+      .select("l_suppkey", "dt_ref", "dt_year", "qtd_runs", "qtd_returns",
+        "avg_qty", "median_qty", "qtd_runs_1y", "avg_qty_1y",
+        "qtd_runs_cur", "total_net_cur", "median_net_cur")
+      .orderBy("dt_ref", "l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
     "fs_single_pass" -> ((s, dir) => supplierFeaturesSinglePass(s, dir, refDate)),
+    "i1_backfill" -> backfillStore,
   )
 
   private def singlePassOracle(date: String): String =
@@ -237,8 +262,19 @@ object PointInTime {
         HAVING CAST(SUM(CASE WHEN dt_event >= CAST(DATE '$date' - INTERVAL 1 YEAR AS DATE) THEN 1 ELSE 0 END) AS BIGINT) > 0
         ORDER BY 1"""
 
+  private def backfillOracle: String = {
+    val branches = backfillDates.map { d =>
+      s"""SELECT l_suppkey, dt_ref, dt_year, qtd_runs, qtd_returns,
+          avg_qty, median_qty, qtd_runs_1y, avg_qty_1y,
+          qtd_runs_cur, total_net_cur, median_net_cur
+          FROM (${singlePassOracle(d)})"""
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY dt_ref, l_suppkey")
+  }
+
   val oracle: Map[String, String] = Map(
     "fs_point_in_time" -> oracleFor(refDate),
     "fs_single_pass" -> singlePassOracle(refDate),
+    "i1_backfill" -> backfillOracle,
   )
 }

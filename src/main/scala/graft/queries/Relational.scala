@@ -197,17 +197,19 @@ object Relational {
 
   /** A6: exact median — PERCENTILE(x, 0.5), incl. over an expression and a
     * conditional CASE input (reference sql/feature_store_drivers.sql:46-54).
-    * Exact (sort-based ObjectHashAggregate), NOT percentile_approx: exactness
-    * is required for oracle hash-parity. At 100 TB this swaps to
-    * percentile_approx behind Extensions.approxPercentileFlag. */
-  private val a6Median: Q = (s, dir) =>
+    * Exact (sort-based ObjectHashAggregate) by default — required for
+    * oracle hash-parity; `spark.graft.approxPercentile=true` swaps in the
+    * mergeable t-digest sketch for the 100 TB path (functions.Agg). */
+  private val a6Median: Q = (s, dir) => {
+    import graft.functions.Agg
     t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-      percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-      percentile(col("l_extendedprice") * (lit(1) - col("l_discount")), lit(0.5))
+      Agg.median(s, col("l_quantity")).as("median_qty"),
+      Agg.median(s, col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("median_net"),
-      percentile(when(col("l_linestatus") === "F", col("l_quantity")), lit(0.5))
+      Agg.median(s, when(col("l_linestatus") === "F", col("l_quantity")))
         .as("median_qty_f"))
       .orderBy("l_returnflag")
+  }
 
   /** A7+A8: NULL-skipping conditional AVG and AVG over an expression
     * (reference sql/feature_store_drivers.sql:38-45,43-45). */
