@@ -86,6 +86,20 @@ object Sinks {
     fs.delete(new Path(staged), true)
   }
 
+  /** Bucketed managed table — the co-located-join layout (SURVEY §7.4
+    * scale rules): two tables bucketed by the same key into the same
+    * bucket count join WITHOUT a shuffle on either side (Exchange-free
+    * SortMergeJoin). At 100 TB this converts every recurring fact-fact
+    * join on the bucket key from 2 shuffles to 0; the write cost is paid
+    * once. Managed-table API because bucket metadata lives in the
+    * catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** S8: VACUUM analog — plain-Parquet overwrites already replace files,
     * so the only orphans are staging dirs from interrupted
     * replaceSlice/compact runs; delete them. Returns the count removed. */
