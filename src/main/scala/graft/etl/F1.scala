@@ -40,7 +40,7 @@ object F1 {
 
   /** One aggregate battery (feature_store_drivers.sql:30-61 and its two
     * window variants): ~15 aggregates per driver. */
-  private def battery(src: DataFrame, date: String, sfx: String,
+  private def battery(src: DataFrame, sfx: String,
                       withTotals: Boolean): DataFrame = {
     val isRace = col("identifier") === "race"
     val isSprint = col("identifier") === "sprint"
@@ -79,15 +79,15 @@ object F1 {
     def restricted(df: DataFrame): DataFrame =
       df.join(active, Seq("DriverId"), "left_semi")
 
-    val life = battery(restricted(res), date, "", withTotals = false)
+    val life = battery(restricted(res), "", withTotals = false)
       .withColumn("dtRef", lit(date))
       .withColumn("dtYear", year(to_date(lit(date))))
     val lastYear = battery(
       restricted(res.filter(col("dtEvent") >= oneYearAgo)),
-      date, "LastYear", withTotals = false)
+      "LastYear", withTotals = false)
     val current = battery(
       restricted(res.filter(year(col("dtEvent")) >= year(to_date(lit(date))))),
-      date, "CurrentTemp", withTotals = true)
+      "CurrentTemp", withTotals = true)
 
     // tb_event (fs.sql:19-22,171): two rounds on one date → 2 rows → the
     // reference's row multiplication, preserved.

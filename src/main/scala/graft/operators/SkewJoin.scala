@@ -22,9 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types preserving correctness under build-side replication:
+    * unmatched BUILD rows must never be emitted (each would appear once
+    * per salt replica). Right/full-outer are therefore rejected. */
+  private val supported = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+      supported.contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType': replicated build rows " +
+        "would duplicate right/full-outer null-extensions")
     val saltedProbe = probe.withColumn("__salt",
       pmod(hash(probe.columns.map(col).toSeq: _*), lit(salt)))
     val replicatedBuild = build.withColumn("__salt",

@@ -16,14 +16,28 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * expression tree directly); registration is additive.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("float_vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2,
-          s"float_vec_dot expects 2 arguments, got ${children.length}")
-        FloatVecDot(children.head, children(1))
-      }))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, className, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
+}
+
+/** Single source of truth for graft's SQL function builders — consumed by
+  * both registration paths (GraftExtensions at session build, graftshim
+  * .registerFunctions on a live session). */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+  : Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"$name expects 2 arguments, got ${children.length}")
+    mk(children.head, children(1))
   }
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot", classOf[FloatVecDot].getName,
+      binary("float_vec_dot", FloatVecDot.apply)),
+  )
 }

@@ -44,17 +44,21 @@ case class H60Array(child: Expression, p: Long)
       s"h60_array requires array<string>, got ${t.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: null elements pass through (null token → null hash),
+  // matching the transform(...)-lambda semantics this node replaced.
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "h60_array"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val h = HashExpressions.h60(arr.getUTF8String(i).getBytes)
-      out(i) = if (p > 0) h % p else h
+      if (!arr.isNullAt(i)) {
+        val h = HashExpressions.h60(arr.getUTF8String(i).getBytes)
+        out(i) = if (p > 0) h % p else h
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -83,14 +87,18 @@ case class ShingleHashes(child: Expression, a: Long, b: Long, c: Long, p: Long)
     val th = input.asInstanceOf[ArrayData]
     val n = th.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](n - 2)
+    val out = Array.newBuilder[Long]
     var j = 0
     while (j < n - 2) {
-      out(j) = ((th.getLong(j) * a) % p + (th.getLong(j + 1) * b) % p +
-        (th.getLong(j + 2) * c) % p) % p
+      // windows containing a null token hash are skipped (null-propagating
+      // callers never produce one; defensive for external callers)
+      if (!th.isNullAt(j) && !th.isNullAt(j + 1) && !th.isNullAt(j + 2)) {
+        out += ((th.getLong(j) * a) % p + (th.getLong(j + 1) * b) % p +
+          (th.getLong(j + 2) * c) % p) % p
+      }
       j += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.result())
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -123,15 +131,18 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
     val out = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val v = (h * as(i) + bs(i)) % p
-        if (v < out(i)) out(i) = v
-        i += 1
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (h * as(i) + bs(i)) % p
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
       }
       j += 1
     }
+    if (out(0) == Long.MaxValue) return null // all elements were null
     new GenericArrayData(out)
   }
 
@@ -159,11 +170,13 @@ case class SimHash32(child: Expression)
     val sums = new Array[Int](32)
     var j = 0
     while (j < n) {
-      val h = th.getLong(j)
-      var bit = 0
-      while (bit < 32) {
-        if (((h >> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1
-        bit += 1
+      if (!th.isNullAt(j)) { // null token hashes contribute nothing
+        val h = th.getLong(j)
+        var bit = 0
+        while (bit < 32) {
+          if (((h >> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1
+          bit += 1
+        }
       }
       j += 1
     }

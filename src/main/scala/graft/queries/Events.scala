@@ -22,8 +22,11 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** ns-long → TimestampType (µs), matching DuckDB CAST(ts AS TIMESTAMP). */
-  private def tsCol: Column = timestamp_micros((col("ts") / 1000L).cast("long"))
+  /** ns-long → TimestampType (µs), matching DuckDB CAST(ts AS TIMESTAMP).
+    * `div` is INTEGER division — `col/1000` is Spark true-division through
+    * double, which loses ns precision above 2^53 (any epoch-ns value) and
+    * can round an event across an hour boundary away from the oracle. */
+  private[graft] def tsCol: Column = timestamp_micros(expr("ts div 1000"))
 
   /** E1: JSON property extraction — get_json_object over the `props` JSON
     * string column + aggregate by extracted value bucket. */
@@ -81,12 +84,15 @@ object Events {
     * batch answer (complete mode; bounded input). */
   val e5StreamHourly: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-events").toString
-    src.write.mode("overwrite").parquet(streamDir)
-    val name = "graft_e5_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // deterministic staging path per source dir: repeated calls reuse one
+    // copy instead of leaking a temp dir per invocation
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-events-${math.abs(dir.hashCode)}"
+    if (!new java.io.File(streamDir).exists())
+      src.write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e5_sink"
     val stream = s.readStream.schema(src.schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", tsCol)
     val q = graft.streaming.Streams.hourlyCounts(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode("complete")

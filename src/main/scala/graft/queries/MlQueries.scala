@@ -46,7 +46,11 @@ object MlQueries {
 
   /** Model registry: fit once per (session, dir) — the three ML queries
     * share one deterministic fit (seed 42), like a production model store.
-    * Keyed on the session too so a fresh driver session refits. */
+    * Keyed on the session too so a fresh driver session refits.
+    * Limitations (acceptable for the bench/verify lifecycle, by design):
+    * entries live for the process lifetime (call `fitted.clear()` to
+    * evict), and data mutated under `dir` mid-session would be served by
+    * the stale model — the testdata dirs are immutable. */
   private val fitted =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       org.apache.spark.ml.PipelineModel]()

@@ -218,8 +218,12 @@ object PointInTime {
     * late-data reprocessing) and the final store must equal the union of
     * the per-date oracles. */
   def backfillStore(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-i1-store").toString + "/fs"
+    // deterministic per-source path, wiped per call: repeated invocations
+    // rebuild in place instead of leaking one temp store per call
+    val store = sys.props("java.io.tmpdir") +
+      s"/graft-i1-store-${math.abs(dir.hashCode)}/fs"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
     def build(d: String): DataFrame = supplierFeaturesSinglePass(s, dir, d)
     ing.execRange(build, backfillDates)

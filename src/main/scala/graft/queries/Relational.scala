@@ -328,13 +328,15 @@ object Relational {
 
   /** U4-agg (extension): keep-last as a single max_by aggregation — one
     * combiner-friendly shuffle instead of the window sort (u3). max_by
-    * tie-breaks are NONDETERMINISTIC, so the ordering key encodes the
-    * full (linenumber, partkey, suppkey) tie-break numerically (line
-    * numbers repeat per order in this testdata). The scale-preferred
-    * form; u3 remains the order-sensitive general case. */
+    * tie-breaks are NONDETERMINISTIC, so the ordering key bit-packs the
+    * full (linenumber, partkey, suppkey) tie-break (line numbers repeat
+    * per order in this testdata): ln<<45 | pk<<20 | sk, valid for
+    * pk < 2^25 (~33M, TPC-H sf≈150) and sk < 2^20 (~1M, sf≈100); beyond
+    * that widen the shifts or fall back to the u3 window form. The
+    * scale-preferred form; u3 remains the order-sensitive general case. */
   private val u4KeepLastAgg: Q = (s, dir) => {
-    val ord = col("l_linenumber") * lit(1000000000000L) +
-      col("l_partkey") * lit(100000L) + col("l_suppkey")
+    val ord = shiftleft(col("l_linenumber").cast("long"), 45) +
+      shiftleft(col("l_partkey").cast("long"), 20) + col("l_suppkey")
     t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(max("l_linenumber").as("last_line"),
@@ -526,8 +528,8 @@ object Relational {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "u4_keep_last_agg" ->
       """SELECT l_orderkey, MAX(l_linenumber) AS last_line,
-         MAX_BY(l_partkey, l_linenumber * 1000000000000
-           + l_partkey * 100000 + l_suppkey) AS l_partkey
+         MAX_BY(l_partkey, (CAST(l_linenumber AS BIGINT) << 45)
+           + (CAST(l_partkey AS BIGINT) << 20) + l_suppkey) AS l_partkey
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "w1_top_per_group" ->
       """SELECT yr, o_custkey, total_spent, CAST(rn AS INT) AS rn FROM (

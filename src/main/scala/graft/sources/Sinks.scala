@@ -102,14 +102,22 @@ object Sinks {
 
   /** S8: VACUUM analog — plain-Parquet overwrites already replace files,
     * so the only orphans are staging dirs from interrupted
-    * replaceSlice/compact runs; delete them. Returns the count removed. */
-  def vacuum(spark: SparkSession, path: String): Int = {
-    val parent = new Path(path).getParent
+    * replaceSlice/compact runs; delete those older than `minAgeMs`
+    * (default 1h — NEVER 0 in production: a younger staging dir may
+    * belong to an in-flight writer, and deleting it mid-run loses the
+    * partition being swapped). Returns the count removed. */
+  def vacuum(spark: SparkSession, path: String,
+             minAgeMs: Long = 3600 * 1000L): Int = {
+    val p = new Path(path)
+    val parent = p.getParent
+    if (parent == null) return 0
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name = new Path(path).getName
     if (!fs.exists(parent)) return 0
-    val orphans = fs.listStatus(parent)
-      .filter(st => st.getPath.getName.startsWith(s"$name-staging-"))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = fs.listStatus(parent).filter { st =>
+      st.getPath.getName.startsWith(s"${p.getName}-staging-") &&
+        st.getModificationTime < cutoff
+    }
     orphans.foreach(st => fs.delete(st.getPath, true))
     orphans.length
   }

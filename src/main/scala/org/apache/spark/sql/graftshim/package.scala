@@ -13,14 +13,11 @@ package object graftshim {
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session (the
     * extensions path, plans.GraftExtensions, only applies at session
-    * build; this covers sessions the library did not create). */
+    * build; this covers sessions the library did not create). Builders
+    * come from the single source of truth in plans.GraftFunctions. */
   def registerFunctions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_dot",
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"float_vec_dot expects 2 arguments, got ${children.length}")
-        graft.plans.FloatVecDot(children.head, children(1))
-      },
-      "built-in")
+    graft.plans.GraftFunctions.builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

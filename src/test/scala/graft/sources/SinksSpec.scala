@@ -79,6 +79,20 @@ class SinksSpec extends SparkSpec {
       ("2024-03-01", 2024, "c", 3.0)))
   }
 
+  test("store reads partition-prune on dt_year (PruneFileSourcePartitions)") {
+    val path = tmpDir("sinks") + "/store"
+    Sinks.replaceSlice(spark, store(("2023-06-01", 2023, "x", 1.0)),
+      path, "dt_ref", "2023-06-01", "dt_year")
+    Sinks.replaceSlice(spark, store(("2024-06-01", 2024, "y", 2.0)),
+      path, "dt_ref", "2024-06-01", "dt_year")
+    val q = spark.read.parquet(path).filter(org.apache.spark.sql.functions.col("dt_year") === 2024)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters")(1).split("\n")(0).contains("dt_year"),
+      s"partition filter not pruned:\n$plan")
+    assert(q.count() === 1)
+  }
+
   test("overwrite + compact preserve content; compact controls file count") {
     val path = tmpDir("sinks") + "/t"
     val df = (1 to 100).toDF("n").repartition(8)
