@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,6 +23,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
+    (AsOfJoin.queries, AsOfJoin.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

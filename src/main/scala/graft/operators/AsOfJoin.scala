@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+
+/** Backward as-of join — for each left row, the most recent right row
+  * with `right.ts <= left.ts` in the same key group. Spark has no native
+  * ASOF operator; the idiomatic scale form is the UNION + WINDOW
+  * ("piggyback") composition, NOT a range self-join:
+  *
+  *   1. tag both sides and union them (right payload nulled on left rows
+  *      and vice versa) — no join, no row explosion;
+  *   2. one window over (key) ordered by (ts, side, tiebreak):
+  *      last(right-payload, ignoreNulls) carries the latest right values
+  *      forward; right rows sort BEFORE left rows at equal ts so
+  *      right.ts == left.ts matches (ASOF >= semantics);
+  *   3. keep the left rows.
+  *
+  * Cost: ONE shuffle of |L|+|R| rows on the key — at 100 TB this beats
+  * any inequality-join formulation (which Catalyst can only plan as a
+  * broadcast/cartesian nested loop) and never materializes candidate
+  * pairs. The DuckDB oracle runs its native ASOF JOIN against this
+  * composition (queries entry j7_asof).
+  */
+object AsOfJoin {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** @param leftCols  left payload columns to keep
+    * @param rightCols right payload columns to attach (renamed `asof_<c>`)
+    * @param tieBreak  deterministic right-side ordering within equal
+    *                  (ts, side) — pass a unique right column */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   ts: String, leftCols: Seq[String], rightCols: Seq[String],
+                   tieBreak: String): DataFrame = {
+    val nullL = leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val nullR = rightCols.map(c =>
+      lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+    val keyTs = (keys :+ ts).map(col)
+    val lU = left.select(keyTs ++ Seq(lit(1).as("__side"),
+      lit(null).cast(right.schema(tieBreak).dataType).as("__tie")) ++
+      leftCols.map(col) ++ nullR: _*)
+    val rU = right.select(keyTs ++ Seq(lit(0).as("__side"),
+      col(tieBreak).as("__tie")) ++ nullL ++
+      rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((keys :+ ts).map(col) ++ leftCols.map(col) ++
+        rightCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** J7: purchases ⟕-as-of clicks per user on event time — each purchase
+    * attached to the user's latest click at-or-before it. Oracle: DuckDB's
+    * NATIVE ASOF LEFT JOIN (a true cross-engine differential: composed
+    * union+window vs a purpose-built operator). */
+  val j7Asof: Q = (s, dir) => {
+    // µs precision on both sides: DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to its µs TIMESTAMP, so the comparable domain is µs
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    asofBackward(purchases, clicks, Seq("user_id"), "ts",
+      leftCols = Seq("event_id", "value"),
+      rightCols = Seq("click_id", "click_ts"),
+      tieBreak = "click_id")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        col("value"), col("asof_click_id").as("click_id"),
+        col("asof_click_ts").as("click_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map("j7_asof" -> j7Asof)
+
+  val oracle: Map[String, String] = Map(
+    "j7_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+         c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+  )
+}
