@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,6 +24,7 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (AsOfJoin.queries, AsOfJoin.oracle),
+    (RangeJoin.queries, RangeJoin.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
