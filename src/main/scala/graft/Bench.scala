@@ -13,9 +13,10 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     // Warm the JVM once so numbers are steady-state: q1 (codegen agg),
-    // t1 (regex), d2 (interpreted higher-order + md5 paths — first such
-    // query in a fresh JVM pays ~20s of C2 compilation otherwise).
-    try { run("q1_agg"); run("t1_tokens"); run("d2_minhash_sig") }
+    // t1 (regex), d2 (interpreted higher-order + md5 paths), a6 (exact
+    // percentile / ObjectHashAggregate) — the first query on each path in
+    // a fresh JVM otherwise pays seconds of C2 compilation.
+    try { run("q1_agg"); run("t1_tokens"); run("d2_minhash_sig"); run("a6_median") }
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
