@@ -10,14 +10,22 @@ import org.apache.spark.sql.functions._
   * inner join (U4+J6). Splitting at key granularity prevents leakage of
   * an entity-year across train/test.
   *
-  * Spark's rand(seed) stream differs from NumPy's RandomState — parity
-  * is distributional (SURVEY.md §5.2.5), pinned per-run by the seed.
+  * The uniform is a CONTENT hash of (entity, year, seed) — h60/2^60 —
+  * not Spark's rand(seed): rand's stream is keyed on partition index, so
+  * its output changes with shuffle-partition count and AQE coalescing,
+  * making the "seeded" split environment-dependent. A content hash gives
+  * the same split on any cluster layout (and is re-computable by the
+  * DuckDB oracle). Distribution parity with NumPy's RandomState remains
+  * distributional (SURVEY.md §5.2.5).
   * At scale the key frame is tiny relative to the fact table; the joins
   * broadcast.
   */
 object AbtSplits {
 
   case class Splits(train: DataFrame, test: DataFrame, oot: DataFrame)
+
+  /** 2^60 — h60 values are uniform in [0, 2^60). */
+  private val H60Span = (1L << 60).toDouble
 
   def split(abt: DataFrame, entityCol: String, yearCol: String,
             ootYear: Int, testRatio: Double = 0.2,
@@ -26,7 +34,10 @@ object AbtSplits {
     val pool = abt.filter(col(yearCol) < ootYear)
     val keys = pool.select(entityCol, yearCol).dropDuplicates(
       Seq(entityCol, yearCol))
-      .withColumn("r", rand(seed))
+      .withColumn("r",
+        graft.functions.Portable.h60(concat_ws("|",
+          col(entityCol).cast("string"), col(yearCol).cast("string"),
+          lit(seed))) / H60Span)
     val trainKeys = keys.filter(col("r") >= testRatio).drop("r")
     val testKeys = keys.filter(col("r") < testRatio).drop("r")
     Splits(

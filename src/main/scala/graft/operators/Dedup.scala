@@ -31,10 +31,12 @@ import graft.functions.Portable.{h60pSql, P}
   *    (band, bandHash) — candidate volume is controlled by band geometry
   *    (B×R), never O(n²).
   *  - SimHash: pure map to a 32-bit signature + 16-bit halves for banding.
-  *  - n-gram Jaccard: inverted-index join on shingle hash bounds work by
-  *    co-occurring shingles.
-  *  - embedding cosine: O(n²) exact verify path; operators.Similarity.s2
-  *    is the LSH-bucketed scale path.
+  *  - n-gram Jaccard: prefix-filtered inverted-index join (AllPairs
+  *    family) — index bounded to per-doc prefixes, exact verify on the
+  *    surviving candidates only.
+  *  - embedding cosine: banded hyperplane-LSH candidates + exact rerank;
+  *    the O(n²) all-pairs form survives only as the spec-side recall
+  *    oracle (d6AllPairsExact).
   */
 object Dedup {
 
@@ -135,32 +137,106 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** D5: n-gram Jaccard near-dup — inverted-index self-join on shingle
-    * hash (only pairs sharing >=1 shingle are scored), exact Jaccard from
-    * per-doc distinct-shingle counts; top-20 most-similar pairs with a
-    * deterministic tie-break. */
+  /** d5 similarity threshold — pairs below τ are pruned (and the prefix
+    * length below is derived from it). */
+  private[operators] val d5Tau = 0.5
+
+  /** D5: n-gram Jaccard near-dup with PREFIX FILTERING (the AllPairs /
+    * PPJoin family): each doc's distinct shingle hashes are put in a
+    * global order (ascending hash); for threshold τ, any pair with
+    * jaccard >= τ must share an element within the first n-⌈τ·n⌉+1
+    * shingles of EACH side — so only those prefixes are indexed and
+    * self-joined, plus a size-ratio guard (jaccard <= min/max size), and
+    * the full sets are intersected only for surviving candidates.
+    *
+    * The prefilter is EXACT (candidate set ⊇ every qualifying pair), so
+    * the oracle stays the naive inverted-index SQL — two independent
+    * implementations of the same semantics. This bounds the round-1 pair
+    * explosion on low-vocabulary corpora: the index shrinks to ~(1-τ) of
+    * the shingle volume and hot-shingle pair fan-out drops quadratically. */
   val d5NgramJaccard: Q = (s, dir) => {
-    val docSh = withShingleCols(t(s, dir, "documents"))
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("shh"))
-    val counts = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = docSh.select(col("doc_id").as("a"), col("shh"))
-      .join(docSh.select(col("doc_id").as("b"), col("shh")), Seq("shh"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    val docs = withShingleCols(t(s, dir, "documents"))
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("pref_len",
+        (col("n") - ceil(col("n") * lit(d5Tau)) + 1).cast("int"))
+    val inv = docs.select(col("doc_id"), col("n"),
+      explode(slice(col("sh"), lit(1), col("pref_len"))).as("shh"))
+    val cand = inv.select(col("doc_id").as("a"), col("n").as("na"), col("shh"))
+      .join(inv.select(col("doc_id").as("b"), col("n").as("nb"), col("shh")),
+        Seq("shh"))
+      .filter(col("a") < col("b") &&
+        col("nb") >= col("na") * lit(d5Tau) &&
+        col("na") >= col("nb") * lit(d5Tau))
+      .select("a", "b").distinct()
+    val sa = docs.select(col("doc_id").as("a"), col("sh").as("sa"))
+    val sb = docs.select(col("doc_id").as("b"), col("sh").as("sb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= d5Tau)
       .orderBy(desc("jaccard"), col("a"), col("b"))
       .limit(20)
   }
 
-  /** D6: embedding-cosine near-dup — exact pairwise cosine >= 0.45 over
-    * the 64-dim vectors. Flat codegen'd dot products (functions.Vectors):
-    * the interpreted zip_with/aggregate form costs ~60s on 2M pairs. */
+  // d6 banding geometry: 8 bands × 4 hyperplanes. A pair agreeing on all
+  // 4 sign bits of ANY band becomes a candidate: P = 1-(1-p^4)^8 with
+  // p = 1-θ/π — ≈0.99 at cosine 0.9, ≈0.79 at the 0.45 threshold floor.
+  // Plane indices start at 10 to stay disjoint from Similarity.s2's 0-5.
+  private val d6Bands = 8
+  private val d6PlanesPerBand = 4
+  private val d6PlaneOff = 10
+  private val d6Dims = 64
+
+  /** 4-bit sign signature of one band (native FloatVecDot per plane —
+    * a literal plane vector, same codegen path as Similarity.bucketOf). */
+  private def d6BandSig(emb: Column, band: Int): Column =
+    (0 until d6PlanesPerBand).map { j =>
+      val plane = typedlit((0 until d6Dims).map(d =>
+        Similarity.planeVal(d6PlaneOff + band * d6PlanesPerBand + j, d)))
+      when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** D6: embedding-cosine near-dup, candidates from BANDED hyperplane LSH
+    * (d3's band-join shape on sign signatures instead of minhashes), then
+    * exact cosine rerank >= 0.45 on candidate pairs only. Never O(n²):
+    * the join is keyed on (band, signature) — the round-1 all-pairs form
+    * survives as [[d6AllPairsExact]], the spec-side recall oracle.
+    * The DuckDB oracle mirrors the banding (candidate generation is
+    * probabilistic-by-design, so the gate verifies the banded semantics). */
   val d6EmbeddingCosine: Q = (s, dir) => {
+    import graft.functions.Vectors
+    val e = t(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"))
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until d6Bands).map(b =>
+        struct(lit(b).as("band"),
+          d6BandSig(col("embedding"), b).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("sig"), col("vec_id").as("b")),
+        Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(l, Seq("a")).join(r, Seq("b"))
+      .select(col("a"), col("b"),
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(desc("cosine"), col("a"), col("b"))
+  }
+
+  /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query
+    * registry: it is the spec-side recall oracle for [[d6EmbeddingCosine]]
+    * (DedupSpec measures which exact pairs the banding recovers). */
+  private[graft] val d6AllPairsExact: Q = (s, dir) => {
     import graft.functions.Vectors
     val e = t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
@@ -198,6 +274,19 @@ object Dedup {
                       + (th[i+2] * $sC) % $P) % $P)
             ELSE [${h60pSql("norm")}] END AS hs
           FROM thc)"""
+
+  /** DuckDB twin of [[d6BandSig]]: 4 sign bits over the same literal plane
+    * arrays; the plane dot folds left like FloatVecDot/list_sum, so the
+    * sign (and hence the candidate set) is bit-identical across engines. */
+  private def d6SigSql(band: Int): String =
+    (0 until d6PlanesPerBand).map { j =>
+      val p = d6PlaneOff + band * d6PlanesPerBand + j
+      val arr = (0 until d6Dims).map(d => Similarity.planeVal(p, d))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${d6Dims + 1}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   private def mhSelSql: String =
     Portable.perms.take(12).zipWithIndex.map { case ((a, b), i) =>
@@ -264,6 +353,8 @@ object Dedup {
             simhash % 65536 AS band_lo,
             (simhash >> 16) % 65536 AS band_hi
           FROM s ORDER BY doc_id""",
+    // Naive inverted-index form — INDEPENDENT of the Spark side's prefix
+    // filter (which is exact, so both produce the same thresholded set).
     "d5_ngram_jaccard" ->
       s"""WITH $shingleCte,
           ds AS (
@@ -279,21 +370,35 @@ object Dedup {
           FROM pairs p
           JOIN counts ca ON p.a = ca.doc_id
           JOIN counts cb ON p.b = cb.doc_id
+          WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= $d5Tau
           ORDER BY jaccard DESC, p.a, p.b LIMIT 20""",
     "d6_embedding_cosine" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-           FROM embeddings)
-         SELECT a.vec_id AS a, b.vec_id AS b,
-           list_sum(list_transform(range(1, 65),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (a.nrm * b.nrm) AS cosine
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_sum(list_transform(range(1, 65),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (a.nrm * b.nrm) >= 0.45
+           FROM embeddings),
+         banded AS (
+           SELECT vec_id, u.band,
+             CASE u.band
+               ${(0 until d6Bands - 1).map(b =>
+                   s"WHEN $b THEN (${d6SigSql(b)})").mkString("\n               ")}
+               ELSE (${d6SigSql(d6Bands - 1)}) END AS sig
+           FROM e, (SELECT unnest(range($d6Bands)) AS band) u),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM banded l JOIN banded r
+             ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
+         scored AS (
+           SELECT c.a, c.b,
+             list_sum(list_transform(range(1, ${d6Dims + 1}),
+               i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+               / (ea.nrm * eb.nrm) AS cosine
+           FROM cand c
+           JOIN e ea ON c.a = ea.vec_id
+           JOIN e eb ON c.b = eb.vec_id)
+         SELECT a, b, cosine FROM scored
+         WHERE cosine >= 0.45
          ORDER BY cosine DESC, a, b""",
   )
 }

@@ -109,7 +109,7 @@ object Multimodal {
     "x1_media_features" ->
       """SELECT doc_id,
          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         CAST(length(text) AS INT) AS n_bytes,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
          md5(text) AS sig,
          CAST(('0x' || substr(md5(text), 1, 4)) AS INT) AS width,
          CAST(('0x' || substr(md5(text), 5, 4)) AS INT) AS height,

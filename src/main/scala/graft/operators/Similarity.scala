@@ -31,8 +31,10 @@ object Similarity {
   private val planes = 6 // 2^6 buckets; raise with n to keep buckets small
 
   /** Pseudo-random-but-portable plane component in [-1, 1]:
-    * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000. */
-  private def planeVal(p: Int, d: Int): Double = {
+    * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000.
+    * Shared with Dedup's banded near-dup candidate generation (distinct
+    * plane indices — s2 uses 0-5, Dedup bands start at 10). */
+  private[operators] def planeVal(p: Int, d: Int): Double = {
     // Mirrors Portable.h60 on literals; computed once at plan build.
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"pl${p}_$d".getBytes("UTF-8"))

@@ -48,15 +48,19 @@ object Events {
 
   /** E3: gap-based sessionization — a new session starts after a >30 min
     * silence per user (lag window + running sum), then per-user session
-    * stats. The batch dual of mapGroupsWithState sessionization. */
+    * stats. The batch dual of mapGroupsWithState sessionization.
+    * Gaps are computed on µs-TRUNCATED timestamps (ts div 1000), the same
+    * domain DuckDB compares after its TIMESTAMP(NANOS)→µs truncation — a
+    * raw-ns gap in (30min, 30min+999ns] would otherwise flip a session
+    * boundary between the engines. */
   val e3Sessions: Q = (s, dir) => {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
     t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("value"))
-      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          (col("ts") - col("prev_ts")) > lit(30L * 60 * 1000000000L), 1L)
+          (col("ts_us") - col("prev_ts")) > lit(30L * 60 * 1000000L), 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -104,12 +108,46 @@ object Events {
       .orderBy("hour", "event_type")
   }
 
+  /** E6: STREAMING sessionization inside the oracle gate — events staged
+    * to a single-file stream dir (one AvailableNow micro-batch, so the
+    * stateful operator sees globally ts-ordered input per user exactly
+    * like the batch dual), run through Streams.sessionize
+    * (flatMapGroupsWithState), CLOSED sessions collected from a memory
+    * sink. The oracle is e3's gap logic grouped per session, minus each
+    * user's final (still-open) session — precisely what Append-mode
+    * emission produces. Timestamps flow in the µs domain end-to-end
+    * (same truncation rationale as e3). */
+  val e6StreamSessions: Q = (s, dir) => {
+    import s.implicits._
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-sess-${math.abs(dir.hashCode)}"
+    if (!new java.io.File(streamDir).exists())
+      src.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e6_sink"
+    val stream = s.readStream.schema(src.schema).parquet(streamDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+      .as[graft.streaming.Streams.Ev]
+    val sessions =
+      graft.streaming.Streams.sessionize(stream, gap = 30L * 60 * 1000000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), col("start_ns").as("start_us"),
+        col("end_ns").as("end_us"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
     "e3_sessions" -> e3Sessions,
     "e4_daily_pivot" -> e4DailyPivot,
     "e5_stream_hourly" -> e5StreamHourly,
+    "e6_stream_sessions" -> e6StreamSessions,
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,6 +182,35 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // e3's session assignment, grouped per (user, session); a user's LAST
+    // session is still open in the stream's state and never emitted under
+    // Append, so the oracle excludes each user's max sess_id.
+    "e6_stream_sessions" ->
+      """WITH w AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+           FROM events),
+         f AS (
+           SELECT user_id, ts_us, value,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                 IS NULL
+               OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                 > 30*60*1000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM w),
+         s AS (
+           SELECT user_id, ts_us, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM f),
+         g AS (
+           SELECT user_id, sess_id,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+           FROM s GROUP BY 1, 2),
+         m AS (SELECT user_id, MAX(sess_id) AS open_sess FROM g GROUP BY 1)
+         SELECT g.user_id, g.start_us, g.end_us, g.n_events, g.sum_value
+         FROM g JOIN m ON g.user_id = m.user_id AND g.sess_id < m.open_sess
+         ORDER BY g.user_id, g.start_us""",
     "e4_daily_pivot" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

@@ -23,7 +23,7 @@ object MlQueries {
   /** ABT with deliberately-nullable feature columns (customers without
     * urgent orders have NULL urgent aggregates → the imputer battery has
     * real work, mirroring the reference's sprint columns). */
-  private[graft] def abt(s: SparkSession, dir: String): DataFrame = {
+  private def abtPlan(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("yr"), col("o_custkey"))
       .agg(
@@ -40,6 +40,22 @@ object MlQueries {
       .withColumn("fl_champ", when(col("rn") <= 20, 1).otherwise(0))
       .drop("rn")
   }
+
+  /** ABT cache: built+persisted once per (session, dir) — m1/m3/m4 and the
+    * model fit all read it, and at driver-bench scale the recomputation
+    * (a shuffle + window over orders) dominated m1's cold cost. Same
+    * lifecycle contract as `fitted` below: entries live for the process
+    * (testdata dirs are immutable). */
+  private val cachedAbt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def abt(s: SparkSession, dir: String): DataFrame =
+    cachedAbt.computeIfAbsent((s, dir), { case (ss, d) =>
+      val df = abtPlan(ss, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize now so every consumer hits warm blocks
+      df
+    })
 
   private val features =
     Seq("n_orders", "total_spent", "avg_price", "avg_urgent_price", "n_urgent")
@@ -58,8 +74,16 @@ object MlQueries {
   private[graft] def model(s: SparkSession, dir: String) =
     fitted.computeIfAbsent((s, dir), { case (ss, d) =>
       val sp = AbtSplits.split(abt(ss, d), "o_custkey", "yr", 1998)
-      ChampionModel.fit(sp.train, features,
+      // Content-hash partitioning (not round-robin) + persist before the
+      // multi-pass RF fit: deterministic bagging streams across
+      // environments, and the imputer/assembler/forest passes all hit
+      // warm blocks instead of re-running the split join per tree pass.
+      val train = sp.train.repartition(8, col("o_custkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      train.count()
+      try ChampionModel.fit(train, features,
         impute99 = Seq("avg_urgent_price"), impute0 = Nil)
+      finally train.unpersist(false)
     })
 
   /** M1-M7: split → fit → score the OOT year; per-row probabilities. */
@@ -95,12 +119,62 @@ object MlQueries {
       .orderBy("yr", "o_custkey")
   }
 
+  /** M4/M5 (deterministic half): fixed-coefficient logistic scorer over the
+    * same ABT features + imputation semantics as the RF path. Tree
+    * ensembles can't be SQL-oracled, but the ABT → impute(99) → score →
+    * present chain CAN — this entry puts it inside the DuckDB hash gate,
+    * so m* is no longer oracle-free. Coefficients are fixed constants
+    * (not learned); the sigmoid is evaluated in the same left-fold term
+    * order in both engines. */
+  val m4LogisticScore: Q = (s, dir) => {
+    val z = lit(-3.0) +
+      col("n_orders") * lit(0.05) +
+      col("total_spent") * lit(2.0e-7) +
+      col("avg_price") * lit(1.0e-6) +
+      coalesce(col("avg_urgent_price"), lit(99.0)) * lit(1.0e-6) +
+      col("n_urgent") * lit(0.1)
+    abt(s, dir).filter(col("yr") === 1998)
+      .select(col("yr"), col("o_custkey"), col("fl_champ"),
+        (lit(1.0) / (lit(1.0) + exp(-z))).as("p_logistic"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
     "m3_top_trajectories" -> m3TopTrajectories,
+    "m4_logistic_score" -> m4LogisticScore,
   )
 
-  /** Not SQL-expressible (tree ensemble) — rows-only driver check. */
-  val oracle: Map[String, String] = Map.empty
+  /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
+    * (aggregates, NULL-preserving urgent avg, champion window flag). */
+  private val abtSql =
+    """abt AS (
+         SELECT *, CASE WHEN row_number() OVER (
+             PARTITION BY yr ORDER BY total_spent DESC, o_custkey) <= 20
+           THEN 1 ELSE 0 END AS fl_champ
+         FROM (
+           SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             sum(o_totalprice) AS total_spent,
+             avg(o_totalprice) AS avg_price,
+             avg(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN o_totalprice END) AS avg_urgent_price,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS n_urgent
+           FROM orders GROUP BY 1, 2))"""
+
+  /** m1-m3 are tree-ensemble outputs (not SQL-expressible — rows-only
+    * driver check); m4 is the oracle-gated deterministic scorer. */
+  val oracle: Map[String, String] = Map(
+    "m4_logistic_score" ->
+      s"""WITH $abtSql
+          SELECT yr, o_custkey, fl_champ,
+            1.0 / (1.0 + exp(-(-3.0
+              + n_orders * 0.05
+              + total_spent * 2.0e-7
+              + avg_price * 1.0e-6
+              + coalesce(avg_urgent_price, 99.0) * 1.0e-6
+              + n_urgent * 0.1))) AS p_logistic
+          FROM abt WHERE yr = 1998 ORDER BY o_custkey""")
 }

@@ -53,7 +53,11 @@ object Pipeline {
       .select(col("yr"), col("o_custkey"), col("n_orders"),
         col("total_spent"), col("avg_price"), col("n_urgent"),
         when(col("ch_cust").isNotNull, 1).otherwise(0).as("fl_champ"))
-      .filter(lit(1) === lit(1) && col("avg_price").isNotNull &&
+      // P9: the reference's literal `WHERE 1=1` conjunct. Via expr(), not
+      // lit(1) === lit(1): Column.=== warns "trivially true equals
+      // predicate" on identical literal trees; the parsed form builds the
+      // same EqualTo(1,1), which Catalyst constant-folds away either way.
+      .filter(expr("1 = 1") && col("avg_price").isNotNull &&
         col("yr") < 1999)
       .orderBy(desc("yr"), col("o_custkey"))
 

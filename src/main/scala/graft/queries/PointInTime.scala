@@ -235,10 +235,35 @@ object PointInTime {
       .orderBy("dt_ref", "l_suppkey")
   }
 
+  /** i2: the SAME 3-date backfill as i1 through the BATCHED path —
+    * Ingestor.execBatched unions the date slices into ONE
+    * Sinks.replaceSlices write job (vs i1's 3 sequential jobs + re-run),
+    * then the batch is re-run once to exercise idempotent replacement on
+    * an existing store. Identical union-of-slices oracle to i1 — the
+    * output contract is unchanged; only the job structure is (the 100 TB
+    * batching lever: scan amortization across slices, one partition swap
+    * per batch). */
+  def backfillStoreBatched(s: SparkSession, dir: String): DataFrame = {
+    val store = sys.props("java.io.tmpdir") +
+      s"/graft-i2-store-${math.abs(dir.hashCode)}/fs"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    val ing = new graft.etl.Ingestor(s, store)
+    def build(d: String): DataFrame = supplierFeaturesSinglePass(s, dir, d)
+    ing.execBatched(build, backfillDates) // one write job, 3 slices
+    ing.execBatched(build, backfillDates) // idempotent batched re-run
+    s.read.parquet(store)
+      .select("l_suppkey", "dt_ref", "dt_year", "qtd_runs", "qtd_returns",
+        "avg_qty", "median_qty", "qtd_runs_1y", "avg_qty_1y",
+        "qtd_runs_cur", "total_net_cur", "median_net_cur")
+      .orderBy("dt_ref", "l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
     "fs_single_pass" -> ((s, dir) => supplierFeaturesSinglePass(s, dir, refDate)),
     "i1_backfill" -> backfillStore,
+    "i2_backfill_batched" -> backfillStoreBatched,
   )
 
   private def singlePassOracle(date: String): String =
@@ -280,5 +305,6 @@ object PointInTime {
     "fs_point_in_time" -> oracleFor(refDate),
     "fs_single_pass" -> singlePassOracle(refDate),
     "i1_backfill" -> backfillOracle,
+    "i2_backfill_batched" -> backfillOracle,
   )
 }

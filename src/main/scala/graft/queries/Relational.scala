@@ -247,6 +247,49 @@ object Relational {
         grouping(col("o_orderstatus")).cast("int").as("g_st"))
       .orderBy(col("g_yr"), col("g_st"), col("yr"), col("o_orderstatus"))
 
+  /** A16 (extension): CUBE — all 4 grouping combinations of (year,
+    * status) with grouping flags; completes the multi-dimensional agg
+    * family next to a14's ROLLUP. One shuffle: Spark expands grouping
+    * sets map-side, so the cost is the row-multiplication factor (4×),
+    * not extra stages. */
+  private val a16Cube: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube("yr", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"))
+      .orderBy(col("g_yr"), col("g_st"), col("yr"), col("o_orderstatus"))
+
+  /** A17 (extension): approx_count_distinct (HyperLogLog++) — the 100 TB
+    * distinct-count path (a15's exact COUNT(DISTINCT) shuffles every
+    * distinct value; HLL sketches merge in fixed space). Sketch estimates
+    * are engine-specific, so there is NO DuckDB oracle (rows-only driver
+    * check) — the tolerance vs the exact twin a15 is spec-gated
+    * (PropertiesSpec). */
+  private val a17ApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(md5(col("text"))).as("n_distinct_approx"),
+        approx_count_distinct(col("lang")).as("n_langs_approx"))
+      .orderBy("source")
+
+  /** A18 (extension): explicit GROUPING SETS — the subset lattice a14/a16
+    * can't express ((yr,status), (yr), (status): no grand total), via the
+    * Spark 4 groupingSets API. */
+  private val a18GroupingSets: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("yr"), col("o_orderstatus")), Seq(col("yr")),
+          Seq(col("o_orderstatus"))),
+        col("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"))
+      .orderBy(col("g_yr"), col("g_st"), col("yr"), col("o_orderstatus"))
+
   /** A15 (extension): distinct-count aggregates — dedup-rate stats per
     * source over the documents table (SURVEY §7.4 dedup stats; the exact
     * form — approx_count_distinct is the scale path but isn't
@@ -389,6 +432,9 @@ object Relational {
     "a13_scalar_reduce" -> a13ScalarReduce,
     "a14_rollup" -> a14Rollup,
     "a15_distinct_count" -> a15DistinctCount,
+    "a16_cube" -> a16Cube,
+    "a17_approx_distinct" -> a17ApproxDistinct,
+    "a18_grouping_sets" -> a18GroupingSets,
     "u4_keep_last_agg" -> u4KeepLastAgg,
     "w1_top_per_group" -> w1TopPerGroup,
     "o2_multi_sort" -> o2MultiSort,
@@ -519,6 +565,23 @@ object Relational {
          CAST(GROUPING(yr) AS INT) AS g_yr,
          CAST(GROUPING(o_orderstatus) AS INT) AS g_st
          FROM orders GROUP BY ROLLUP(yr, o_orderstatus)
+         ORDER BY g_yr, g_st, yr, o_orderstatus""",
+    "a16_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS cnt, SUM(o_totalprice) AS total,
+         CAST(GROUPING(yr) AS INT) AS g_yr,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+         FROM orders GROUP BY CUBE(yr, o_orderstatus)
+         ORDER BY g_yr, g_st, yr, o_orderstatus""",
+    // a17_approx_distinct: deliberately NO oracle — HLL++ sketch values
+    // are engine-specific; tolerance vs exact a15 is spec-gated.
+    "a18_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS cnt, SUM(o_totalprice) AS total,
+         CAST(GROUPING(yr) AS INT) AS g_yr,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+         FROM orders
+         GROUP BY GROUPING SETS ((yr, o_orderstatus), (yr), (o_orderstatus))
          ORDER BY g_yr, g_st, yr, o_orderstatus""",
     "a15_distinct_count" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -41,7 +41,13 @@ object Sinks {
     * Algorithm (idempotent; atomic per partition-directory swap):
     *  1. first write → plain partitioned write;
     *  2. else: affected partitions = distinct partCol values in the new
-    *     slice (metadata-scale collect — one value per year here);
+    *     slice UNION partitions already holding rows of the slice values
+    *     (metadata-scale collect — one value per year here). The second
+    *     leg makes re-runs correct even when a corrected slice maps rows
+    *     to a DIFFERENT partCol value than the prior run: the stale rows
+    *     in the old partition are found and dropped, not orphaned. It
+    *     costs a column-pruned scan of sliceCol only (partCol is a
+    *     partition column — free), with parquet min/max skipping;
     *  3. read ONLY those partitions (partition-pruned scan), drop rows of
     *     the incoming slice value, union the new slice;
     *  4. write the merged partitions to a staging dir, then swap each
@@ -68,9 +74,13 @@ object Sinks {
       newSlices.write.partitionBy(partCol).parquet(path)
       return
     }
-    val affected = newSlices.select(partCol).distinct().collect()
+    val incoming = newSlices.select(partCol).distinct().collect()
       .map(_.get(0).toString)
-    require(affected.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
+    require(incoming.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
+    val stale = spark.read.parquet(path)
+      .filter(col(sliceCol).isin(sliceValues: _*))
+      .select(partCol).distinct().collect().map(_.get(0).toString)
+    val affected = (incoming ++ stale).distinct
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isin(affected.toSeq: _*))
       .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)

@@ -40,8 +40,10 @@ object Streams {
 
   /** Gap-based sessionization via flatMapGroupsWithState — the streaming
     * dual of queries.Events.e3Sessions (lag + running sum). A session
-    * closes when a later event arrives more than `gapNs` after the last
-    * one; the open session stays in state across micro-batches (flushed
+    * closes when a later event arrives more than `gap` after the last
+    * one (`gap` is in whatever unit `Ev.ts` carries — ns from the raw
+    * parquet, µs when pre-truncated for oracle parity like e6); the open
+    * session stays in state across micro-batches (flushed
     * by timeout in a continuous deployment; final-open sessions are
     * intentionally unemitted under AvailableNow, mirroring the batch
     * query's "max(sess_id)" which counts them separately).
@@ -49,7 +51,7 @@ object Streams {
     * State size = one SessState per active user — bounded by active-user
     * cardinality, the canonical mapGroupsWithState sizing rule.
     */
-  def sessionize(events: Dataset[Ev], gapNs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Ev], gap: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -61,7 +63,7 @@ object Streams {
           val closed = Seq.newBuilder[Session]
           evs.foreach { e =>
             open match {
-              case Some(st) if e.ts - st.last > gapNs =>
+              case Some(st) if e.ts - st.last > gap =>
                 closed += Session(user, st.start, st.last, st.n, st.sum)
                 open = Some(SessState(e.ts, e.ts, 1L, e.value))
               case Some(st) =>
