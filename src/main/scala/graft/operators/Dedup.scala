@@ -61,7 +61,7 @@ object Dedup {
     * shingle string: one md5 per TOKEN instead of one md5 + string build
     * per SHINGLE — measured ~5x on the signature stage, and identical in
     * the DuckDB oracle. */
-  private def withShingleCols(df: DataFrame): DataFrame =
+  private[graft] def withShingleCols(df: DataFrame): DataFrame =
     df.withColumn("tk", split(trim(lower(col("text"))), wsPat))
       .withColumn("th", Portable.h60Array(col("tk"), modP = true))
       .withColumn("hs",

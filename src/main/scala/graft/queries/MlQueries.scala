@@ -74,11 +74,15 @@ object MlQueries {
   private[graft] def model(s: SparkSession, dir: String) =
     fitted.computeIfAbsent((s, dir), { case (ss, d) =>
       val sp = AbtSplits.split(abt(ss, d), "o_custkey", "yr", 1998)
-      // Content-hash partitioning (not round-robin) + persist before the
-      // multi-pass RF fit: deterministic bagging streams across
-      // environments, and the imputer/assembler/forest passes all hit
-      // warm blocks instead of re-running the split join per tree pass.
+      // Content-hash partitioning (not round-robin) + in-partition sort +
+      // persist before the multi-pass RF fit: MLlib's bagging/split-
+      // finding RNG streams are keyed on (partition index, row order), so
+      // BOTH must be content-deterministic for the fit (and the golden
+      // metrics MlSpec pins) to reproduce across cluster layouts; the
+      // persist also lets the imputer/assembler/forest passes hit warm
+      // blocks instead of re-running the split join per tree pass.
       val train = sp.train.repartition(8, col("o_custkey"))
+        .sortWithinPartitions("o_custkey", "yr")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       train.count()
       try ChampionModel.fit(train, features,

@@ -71,6 +71,30 @@ class MlSpec extends SparkSpec {
     assert(imp.map(_._2).sum <= 1.0 + 1e-9)
   }
 
+  test("golden metrics: RECORDED ACC/AUC/importances at seed 42 reproduce " +
+    "exactly (SURVEY §5.2.5)") {
+    // Values recorded 2026-08-12 from three independent fresh-JVM runs at
+    // SPARK_GRAFT_CPUS ∈ {4, 8, 32} — bit-identical because the train
+    // frame is content-hash partitioned AND sorted within partitions
+    // before the fit (MLlib's bagging RNG is keyed on partition index +
+    // row order). A drift here means the deterministic-fit contract broke.
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.queries.MlQueries.model(spark, dir)
+    val data = graft.queries.MlQueries.abt(spark, dir)
+    val sp = AbtSplits.split(data, "o_custkey", "yr", 1998)
+    val oot = ChampionModel.evaluate(ChampionModel.score(m, sp.oot))
+    val te = ChampionModel.evaluate(ChampionModel.score(m, sp.test))
+    assert(math.abs(oot.accuracy - 0.983050847458) < 1e-9, s"oot acc $oot")
+    assert(math.abs(oot.auc - 0.998214285714) < 1e-9, s"oot auc $oot")
+    assert(math.abs(te.accuracy - 0.931506849315) < 1e-9, s"test acc $te")
+    assert(math.abs(te.auc - 0.986682808717) < 1e-9, s"test auc $te")
+    val imp = ChampionModel.featureImportances(m, features).toMap
+    assert(math.abs(imp("total_spent") - 0.791590) < 1e-5, s"imp $imp")
+    assert(math.abs(imp("n_orders") - 0.166212) < 1e-5, s"imp $imp")
+    assert(math.abs(imp("avg_price") - 0.038557) < 1e-5, s"imp $imp")
+    assert(math.abs(imp("avg_urgent_price") - 0.003641) < 1e-5, s"imp $imp")
+  }
+
   test("raceTable: keep-last semantics + pivot + zero fill") {
     val df = Seq(
       (2024, "a", 0.1, 1), (2024, "a", 0.9, 2), // keep ord=2 → 0.9

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables.t
+
+/** Candidate-generation contracts for the bounded dedup operators added in
+  * round 2 (the DuckDB oracle already pins end-to-end values; these pin
+  * the RELATION between the bounded form and its exact counterpart).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d5 prefix filter is EXACT: equals the naive inverted-index join") {
+    // Naive form: full (non-prefix) inverted index, same threshold/verify.
+    val docs = Dedup.withShingleCols(t(spark, dir, "documents"))
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("sh"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shh"))
+    val cand = inv.select(col("doc_id").as("a"), col("shh"))
+      .join(inv.select(col("doc_id").as("b"), col("shh")), Seq("shh"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val naive = cand
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .filter(col("jaccard") >= Dedup.d5Tau)
+      .orderBy(desc("jaccard"), col("a"), col("b")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    val pref = Dedup.queries("d5_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    assert(pref.toSeq === naive.toSeq)
+  }
+
+  test("d6 banded candidates ⊆ exact all-pairs; recall floor holds") {
+    val exact = Dedup.d6AllPairsExact(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.queries("d6_embedding_cosine")(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact),
+      s"banded produced non-exact pairs: ${banded -- exact}")
+    // This fixture's pairs are all WEAK (cosine 0.45-0.48, the worst case
+    // for sign-LSH: P[candidate] ≈ 1-(1-p⁴)⁸ ≈ 0.79 there, → ~0.99 at
+    // cosine 0.9). Deterministic planes + fixed data ⇒ fixed recall;
+    // assert a conservative floor so plane/banding regressions surface.
+    val recall = if (exact.isEmpty) 1.0
+      else banded.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${banded.size}/${exact.size})")
+  }
+}

@@ -105,4 +105,26 @@ class PropertiesSpec extends SparkSpec {
       assert(got === xs.sum.toDouble)
     }
   }
+
+  test("a17 approx_count_distinct within HLL tolerance of exact a15 twin") {
+    // a17 has NO DuckDB oracle by design (HLL++ sketches are engine-
+    // specific); its gate is this tolerance check against the exact twin.
+    // Default rsd = 0.05 → assert 3σ = 15% relative error per group.
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.Relational.queries(
+      "a17_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.core.Tables.t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, (nDocs, nd)) =>
+      val (nDocsA, ndA) = approx(src)
+      assert(nDocsA === nDocs) // plain count is exact in both
+      val rel = math.abs(ndA - nd).toDouble / math.max(nd, 1L)
+      assert(rel <= 0.15, s"source=$src approx=$ndA exact=$nd rel=$rel")
+    }
+  }
 }
