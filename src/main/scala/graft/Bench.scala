@@ -9,18 +9,20 @@ package graft
   *    via queryExecution.toRdd.count() — a plain df.count() would let
   *    Catalyst prune every projected column (map-only queries like the
   *    minhash signatures would measure as a parquet row-count, i.e. ~0).
-  *  - TWO passes: pass 1 runs the complete battery once, untimed, so every
-  *    distinct execution path (codegen'd agg, regex, higher-order arrays,
-  *    exact-percentile ObjectHashAggregate, MLlib RF fit, streaming
-  *    micro-batch, parquet write jobs) pays its one-time JIT/C2/codegen/
-  *    first-write cost outside the timed region; pass 2 is the reported
-  *    steady-state measurement. A fresh-JVM n=1 single pass conflates
-  *    ~2-3 min of JVM compilation with plan cost and makes real plan
-  *    regressions indistinguishable from noise (round-1 lesson: 246 s
-  *    cold vs 80 s steady on identical plans).
-  *  - A query that throws is recorded with time -1.0 and listed in
-  *    "errors" — it never silently counts as a fast success, and the
-  *    total sums successful queries only.
+  *  - THREE passes: pass 1 runs the complete battery once, untimed, so
+  *    every distinct execution path (codegen'd agg, regex, higher-order
+  *    arrays, exact-percentile ObjectHashAggregate, MLlib RF fit,
+  *    streaming micro-batch, parquet write jobs) pays its one-time
+  *    JIT/C2/codegen/first-write cost outside the timed region; passes
+  *    2-3 are timed and the reported number is the per-query MIN —
+  *    steady-state, robust to transient host contention (observed 3×
+  *    inflation of a single pass on shared cores). A fresh-JVM n=1
+  *    single pass conflates ~2-3 min of JVM compilation with plan cost
+  *    and makes real plan regressions indistinguishable from noise
+  *    (round-1 lesson: 246 s cold vs 80 s steady on identical plans).
+  *  - A query that throws in any timed pass is recorded with time -1.0
+  *    and listed in "errors" — it never silently counts as a fast
+  *    success, and the total sums successful queries only.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,15 +32,19 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Pass 1: full-battery warmup (untimed). Errors here are not fatal —
-    // pass 2 records them properly.
+    // the timed passes record them properly.
     val t0w = System.nanoTime()
     names.foreach { n => try run(n) catch { case _: Throwable => () } }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
-    // Pass 2: the reported steady-state numbers.
-    val results = names.map { name =>
+    // Passes 2-3: timed; report the per-query min.
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val errors = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

