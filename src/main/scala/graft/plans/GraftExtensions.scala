@@ -39,5 +39,7 @@ object GraftFunctions {
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_vec_dot", classOf[FloatVecDot].getName,
       binary("float_vec_dot", FloatVecDot.apply)),
+    ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      binary("sorted_intersect_count", SortedIntersectCount.apply)),
   )
 }

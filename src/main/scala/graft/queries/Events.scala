@@ -141,6 +141,21 @@ object Events {
       .orderBy("user_id", "start_us")
   }
 
+  /** E7: Spark's NATIVE session_window — the declarative form of e3's
+    * hand-built gaps-and-islands (one groupBy, merge-able session state;
+    * also the building block of streaming session aggs). Semantics: a
+    * session's end = last event + gap, and an event at exactly the end
+    * boundary starts a NEW session (windows are [start, end)) — the
+    * oracle mirrors with a >= gap test, vs e3's strict >. */
+  val e7SessionWindow: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("user_id"), tsCol.as("ts"), col("value"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
@@ -148,6 +163,7 @@ object Events {
     "e4_daily_pivot" -> e4DailyPivot,
     "e5_stream_hourly" -> e5StreamHourly,
     "e6_stream_sessions" -> e6StreamSessions,
+    "e7_session_window" -> e7SessionWindow,
   )
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +198,26 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e7_session_window" ->
+      """WITH w AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         f AS (
+           SELECT user_id, t, value,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR epoch_us(t) - epoch_us(lag(t) OVER (PARTITION BY user_id
+                 ORDER BY t)) >= 30*60*1000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM w),
+         s AS (
+           SELECT user_id, t, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM f)
+         SELECT user_id, MIN(t) AS session_start,
+           MAX(t) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
+         FROM s GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start""",
     // e3's session assignment, grouped per (user, session); a user's LAST
     // session is still open in the stream's state and never emitted under
     // Append, so the oracle excludes each user's max sess_id.

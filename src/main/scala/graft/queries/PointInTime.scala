@@ -173,7 +173,15 @@ object PointInTime {
     * differ from the join form only where a key has no rows in a window
     * (COUNT 0 vs NULL — both forms have their own oracle). */
   def supplierFeaturesSinglePass(s: SparkSession, dir: String,
-                                 date: String): DataFrame = {
+                                 date: String): DataFrame =
+    singlePassCore(s, dir, date).orderBy("l_suppkey")
+
+  /** [[supplierFeaturesSinglePass]] without the presentation sort — the
+    * backfill write path uses this (a global range-shuffle before a
+    * partitioned write is pure waste; the gate's read-back applies its
+    * own deterministic sort). */
+  private def singlePassCore(s: SparkSession, dir: String,
+                             date: String): DataFrame = {
     val refD = to_date(lit(date))
     val yearAgo = (refD - expr("INTERVAL 1 YEAR")).cast("date")
     val li = t(s, dir, "lineitem").select(
@@ -204,7 +212,6 @@ object PointInTime {
       percentile(when(inCur, col("net")), lit(0.5)).as("median_net_cur"))
       // active-in-trailing-year restriction without the semi-join
       .filter(col("qtd_runs_1y") > 0)
-      .orderBy("l_suppkey")
   }
 
   /** Backfill dates for the i1 incremental-store query (spanning a year
@@ -225,7 +232,7 @@ object PointInTime {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
-    def build(d: String): DataFrame = supplierFeaturesSinglePass(s, dir, d)
+    def build(d: String): DataFrame = singlePassCore(s, dir, d)
     ing.execRange(build, backfillDates)
     ing.execDate(build, backfillDates.head) // idempotent re-run
     s.read.parquet(store)
@@ -249,7 +256,7 @@ object PointInTime {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
-    def build(d: String): DataFrame = supplierFeaturesSinglePass(s, dir, d)
+    def build(d: String): DataFrame = singlePassCore(s, dir, d)
     ing.execBatched(build, backfillDates) // one write job, 3 slices
     ing.execBatched(build, backfillDates) // idempotent batched re-run
     s.read.parquet(store)

@@ -290,6 +290,72 @@ object Relational {
         grouping(col("o_orderstatus")).cast("int").as("g_st"))
       .orderBy(col("g_yr"), col("g_st"), col("yr"), col("o_orderstatus"))
 
+  /** W3 (extension): lag/lead navigation — per-customer order sequence
+    * with previous/next price and delta. One shuffle (window partition
+    * key), deterministic tiebreak (o_orderkey) inside each partition. */
+  private val w2LagLead: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("delta_prev", col("o_totalprice") - col("prev_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** W4 (extension): running total (rows-frame cumulative sum) + ntile
+    * quartile WITHIN each priority partition — ntile is deliberately not
+    * global (a partition-less window single-threads the whole table; the
+    * scale form buckets inside a real partition key). */
+  private val w3Running: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quart = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("run_total", sum("o_totalprice").over(run))
+      .withColumn("prio_quartile", ntile(4).over(quart).cast("int"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** U7 (extension): EXCEPT (distinct) — customers who never placed an
+    * urgent order, as a set difference of key sets. */
+  private val u6Except: Q = (s, dir) => {
+    val all = t(s, dir, "orders").select("o_custkey")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    all.except(urgent).orderBy("o_custkey")
+  }
+
+  /** U8 (extension): INTERSECT (distinct) — customers active in BOTH
+    * 1997 and 1998 (year-over-year retention set). */
+  private val u7Intersect: Q = (s, dir) => {
+    def yr(y: Int) = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === y).select("o_custkey")
+    yr(1997).intersect(yr(1998)).orderBy("o_custkey")
+  }
+
+  /** J9 (extension): the salted skew join INSIDE the oracle gate — same
+    * answer as the plain equi-join (the oracle), different physical plan
+    * (deterministic probe salt + build replicated salt×, hot keys spread
+    * over salt tasks). Aggregated output so the gate checks join
+    * correctness, not row order. */
+  private val j9SkewSalted: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), salt = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A15 (extension): distinct-count aggregates — dedup-rate stats per
     * source over the documents table (SURVEY §7.4 dedup stats; the exact
     * form — approx_count_distinct is the scale path but isn't
@@ -435,6 +501,11 @@ object Relational {
     "a16_cube" -> a16Cube,
     "a17_approx_distinct" -> a17ApproxDistinct,
     "a18_grouping_sets" -> a18GroupingSets,
+    "w2_lag_lead" -> w2LagLead,
+    "w3_running" -> w3Running,
+    "u6_except" -> u6Except,
+    "u7_intersect" -> u7Intersect,
+    "j9_skew_salted" -> j9SkewSalted,
     "u4_keep_last_agg" -> u4KeepLastAgg,
     "w1_top_per_group" -> w1TopPerGroup,
     "o2_multi_sort" -> o2MultiSort,
@@ -583,6 +654,41 @@ object Relational {
          FROM orders
          GROUP BY GROUPING SETS ((yr, o_orderstatus), (yr), (o_orderstatus))
          ORDER BY g_yr, g_st, yr, o_orderstatus""",
+    "w2_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         LAG(o_totalprice) OVER w AS prev_price,
+         LEAD(o_totalprice) OVER w AS next_price,
+         o_totalprice - LAG(o_totalprice) OVER w AS delta_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "w3_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         o_totalprice,
+         SUM(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total,
+         CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS prio_quartile
+         FROM orders
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "u6_except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+    "u7_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    // Plain equi-join SQL: the salted plan must produce the identical
+    // aggregate — salting is a physical rewrite, not a semantic one.
+    "j9_skew_salted" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(l.l_quantity) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "a15_distinct_count" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,

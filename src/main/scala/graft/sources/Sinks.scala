@@ -68,10 +68,17 @@ object Sinks {
   def replaceSlices(spark: SparkSession, newSlices: DataFrame, path: String,
                     sliceCol: String, sliceValues: Seq[String],
                     partCol: String): Unit = {
+    // Cluster rows by partCol before writing: slice frames typically
+    // arrive on shuffle-partition layout (32 writer tasks × P dirs =
+    // hundreds of tiny files per backfill step). One narrow shuffle of
+    // slice-sized data → ~1 file per partition dir and far fewer write
+    // tasks. Backfill slices are small by contract (one date's features);
+    // for jumbo slices repartition(N, partCol, …) would be the lever.
+    def clustered(df: DataFrame) = df.repartition(col(partCol))
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) {
-      newSlices.write.partitionBy(partCol).parquet(path)
+      clustered(newSlices).write.partitionBy(partCol).parquet(path)
       return
     }
     val incoming = newSlices.select(partCol).distinct().collect()
@@ -86,7 +93,7 @@ object Sinks {
       .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
     val merged = existing.unionByName(newSlices)
     val staged = stagePath(path)
-    merged.write.partitionBy(partCol).parquet(staged)
+    clustered(merged).write.partitionBy(partCol).parquet(staged)
     affected.foreach { v =>
       val dst = new Path(root, s"$partCol=$v")
       val src = new Path(staged, s"$partCol=$v")
