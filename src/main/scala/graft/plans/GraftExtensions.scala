@@ -16,11 +16,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * expression tree directly); registration is additive.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, className, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
     }
+    // size(array_intersect(sorted distinct, sorted distinct)) →
+    // zero-allocation merge count (see Rules.scala).
+    ext.injectOptimizerRule(_ => IntersectCountRewrite)
+  }
 }
 
 /** Single source of truth for graft's SQL function builders — consumed by

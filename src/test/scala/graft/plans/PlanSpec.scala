@@ -61,6 +61,52 @@ class PlanSpec extends SparkSpec {
     assert(d === 32.0)
   }
 
+  test("d5/d6 bounded plans: no nested-loop or cartesian join anywhere") {
+    Seq("d5_ngram_jaccard", "d6_embedding_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q plans an unbounded join:\n$p")
+    }
+  }
+
+  test("j9: salted plan spreads the key — salt column present pre-join") {
+    val p = graft.SparkEntry.queries("j9_skew_salted")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("__salt"), s"salt column optimized away:\n$p")
+  }
+
+  test("IntersectCountRewrite: size(array_intersect(sorted distinct)) → " +
+    "native merge count, same answer") {
+    import spark.implicits._
+    // parquet-backed inputs — local Seqs would be constant-folded into a
+    // LocalRelation before any optimizer rule could see the pattern
+    def arrays = graft.core.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        sequence(lit(1L), (col("n_chars") % 7 + 2).cast("long")).as("x"),
+        sequence((col("n_chars") % 5).cast("long"),
+          ((col("n_chars") % 5) + 6).cast("long")).as("y"))
+    def query = arrays.select(col("doc_id"),
+      size(array_intersect(
+        array_sort(array_distinct(col("x"))),
+        array_sort(array_distinct(col("y"))))).as("n"))
+      .orderBy("doc_id")
+    val expected = query.as[(Long, Int)].collect().toSeq // built-in path
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IntersectCountRewrite
+    try {
+      val df = query
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("sorted_intersect_count"),
+        s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      assert(df.as[(Long, Int)].collect().toSeq === expected)
+      // guard: inputs not provably sorted+distinct must NOT be rewritten
+      val un = arrays.select(size(array_intersect(col("x"), col("y"))).as("n"))
+      assert(!un.queryExecution.optimizedPlan.toString
+        .contains("sorted_intersect_count"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("float_vec_dot callable from SQL after registration") {
     org.apache.spark.sql.graftshim.registerFunctions(spark)
     val r = spark.sql(
