@@ -90,7 +90,7 @@ object Dedup {
   private val cachedShingled =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     cachedShingled.computeIfAbsent((s, dir), { case (ss, d) =>
       val base = withShingleCols(t(ss, d, "documents"))
         .select(col("doc_id"), col("hs"))
@@ -307,7 +307,7 @@ object Dedup {
   // ---------------------------------------------------------------- oracles
 
   /** Shared DuckDB CTE mirroring withShingleCols: doc_id, tk, th, hs. */
-  private val shingleCte =
+  private[operators] val shingleCte =
     s"""b AS (
           SELECT doc_id,
             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,

@@ -118,6 +118,42 @@ object TextAnalysis {
           .as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** T5: repetition ratio — the Gopher-style duplicate-3-gram quality
+    * rule: 1 − distinct/total shingles per doc. Free ride on Dedup's
+    * materialized shingle stage (one md5 pass per corpus, shared with
+    * d2/d3/d5). */
+  val t5Repetition: Q = (s, dir) =>
+    Dedup.shingled(s, dir)
+      .select(col("doc_id"), size(col("hs")).as("n_shingles"),
+        size(array_distinct(col("hs"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+
+  // RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark):
+  // character classes + bounded quantifiers only — no lookaround.
+  private[operators] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val urlPat = "https?://[^\\s]+"
+
+  /** T6: PII/noise redaction — email + URL detection counts and the
+    * redacted text's length/hash (the masking pass every training-data
+    * pipeline runs before tokenization). Map-only; patterns restricted
+    * to the regex subset both engines implement identically (semantics
+    * pinned on planted matches in TextAnalysisSpec — the synthetic corpus
+    * itself contains none, which the gate also verifies). */
+  val t6Redact: Q = (s, dir) => {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailPat, "<EMAIL>"),
+      urlPat, "<URL>")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(urlPat)).as("n_urls"),
+      length(redacted).as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -127,6 +163,8 @@ object TextAnalysis {
     "t2_quality" -> t2Quality,
     "t3_langid" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_repetition" -> t5Repetition,
+    "t6_redact" -> t6Redact,
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +211,24 @@ object TextAnalysis {
            WHEN s_en > 0 THEN 'en'
            ELSE 'und' END AS lang_pred
          FROM b ORDER BY doc_id""",
+    "t5_repetition" ->
+      s"""WITH ${Dedup.shingleCte}
+          SELECT doc_id, CAST(len(hs) AS INT) AS n_shingles,
+            CAST(len(list_distinct(hs)) AS INT) AS n_distinct,
+            1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs) AS rep_ratio
+          FROM hsc ORDER BY doc_id""",
+    "t6_redact" ->
+      s"""WITH r AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$emailPat')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '$urlPat')) AS INT) AS n_urls,
+              regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+                '$urlPat', '<URL>', 'g') AS red
+            FROM documents)
+          SELECT doc_id, n_emails, n_urls,
+            CAST(length(red) AS INT) AS redacted_len,
+            md5(red) AS redacted_md5
+          FROM r ORDER BY doc_id""",
     "t4_fingerprint" ->
       s"""WITH b AS (
             SELECT doc_id,

@@ -356,6 +356,20 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** U9 (extension): DETERMINISTIC content-hash sampling — a reproducible
+    * 10% sample keyed on h60(key "|" seed) % 100. df.sample's seeded
+    * Bernoulli stream is keyed on partition index, so the "same seed"
+    * yields a different sample when the layout changes (executors added,
+    * AQE coalescing); a content hash samples the same ROWS on any
+    * cluster — reproducible training subsets at 100 TB — and is
+    * re-computable by the oracle. */
+  private val u8ContentSample: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(graft.functions.Portable.h60(
+        concat_ws("|", col("o_orderkey"), lit(42))) % 100 < 10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   /** A15 (extension): distinct-count aggregates — dedup-rate stats per
     * source over the documents table (SURVEY §7.4 dedup stats; the exact
     * form — approx_count_distinct is the scale path but isn't
@@ -505,6 +519,7 @@ object Relational {
     "w3_running" -> w3Running,
     "u6_except" -> u6Except,
     "u7_intersect" -> u7Intersect,
+    "u8_content_sample" -> u8ContentSample,
     "j9_skew_salted" -> j9SkewSalted,
     "u4_keep_last_agg" -> u4KeepLastAgg,
     "w1_top_per_group" -> w1TopPerGroup,
@@ -682,6 +697,10 @@ object Relational {
          INTERSECT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
          ORDER BY o_custkey""",
+    "u8_content_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE ${graft.functions.Portable.h60Sql("(o_orderkey || '|' || 42)")} % 100 < 10
+         ORDER BY o_orderkey""",
     // Plain equi-join SQL: the salted plan must produce the identical
     // aggregate — salting is a physical rewrite, not a semantic one.
     "j9_skew_salted" ->

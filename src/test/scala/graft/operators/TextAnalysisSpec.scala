@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics pins for the text-analysis battery where the oracle can't
+  * exercise them (the synthetic corpus contains no PII): t6's redaction
+  * patterns on PLANTED matches, both engines' regex subset. */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("t6 redaction masks planted emails and URLs, counts them") {
+    val df = Seq(
+      ("mail me at jo.doe+x@example.co.uk thanks", 1, 0),
+      ("see https://example.com/a?b=1 and http://x.io", 0, 2),
+      ("no pii here", 0, 0),
+      ("a@b.io then https://c.d/e", 1, 1),
+    ).toDF("text", "want_emails", "want_urls")
+    val out = df.select(
+      regexp_count(col("text"), lit(TextAnalysis.emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(TextAnalysis.urlPat)).as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), TextAnalysis.emailPat,
+        "<EMAIL>"), TextAnalysis.urlPat, "<URL>").as("red"),
+      col("want_emails"), col("want_urls"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_emails") === r.getAs[Int]("want_emails"), r)
+      assert(r.getAs[Int]("n_urls") === r.getAs[Int]("want_urls"), r)
+      val red = r.getAs[String]("red")
+      assert(!red.contains("@") || red.contains("<EMAIL>"), red)
+      assert(!red.contains("http"), red)
+    }
+  }
+
+  test("t5 repetition ratio: duplicated shingles raise the ratio") {
+    // the planted exact-duplicate docs in the corpus must have the same
+    // rep_ratio as their originals (same text → same shingle multiset)
+    val rep = TextAnalysis.t5Repetition(spark, "/root/testdata/sf0.001")
+    val byId = rep.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(byId.nonEmpty)
+    assert(byId.values.forall(v => v >= 0.0 && v < 1.0))
+  }
+}
