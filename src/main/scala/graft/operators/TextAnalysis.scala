@@ -130,6 +130,20 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
 
+  /** T7: vocabulary stats — term frequency + document frequency per
+    * token, top-50 (the vocab/frequency table every tokenizer build
+    * starts from). One shuffle with map-side combine; countDistinct on
+    * doc_id is exact (HLL variant would be the >>billions-of-tokens
+    * form, a17 demonstrates the sketch tradeoff). */
+  val t7Vocab: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), wsPat)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), col("token"))
+      .limit(50)
+
   // RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark):
   // character classes + bounded quantifiers only — no lookaround.
   private[operators] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -165,6 +179,7 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_repetition" -> t5Repetition,
     "t6_redact" -> t6Redact,
+    "t7_vocab" -> t7Vocab,
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +244,15 @@ object TextAnalysis {
             CAST(length(red) AS INT) AS redacted_len,
             md5(red) AS redacted_md5
           FROM r ORDER BY doc_id""",
+    "t7_vocab" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents)
+         SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         FROM tok GROUP BY 1
+         ORDER BY tf DESC, token LIMIT 50""",
     "t4_fingerprint" ->
       s"""WITH b AS (
             SELECT doc_id,

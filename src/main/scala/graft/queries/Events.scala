@@ -156,6 +156,43 @@ object Events {
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** E8: STREAM-STREAM inner join inside the oracle gate — click→purchase
+    * attribution: each click joins the same user's purchases within the
+    * following hour. Both sides are watermarked streams over the staged
+    * events dir; the time-range condition lets Spark bound the join state
+    * (state eviction = watermark + range, THE scale mechanism for
+    * stream-stream joins). Under one AvailableNow batch the append-mode
+    * output converges to the batch join — which is exactly the oracle. */
+  val e8StreamJoin: Q = (s, dir) => {
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-sess-${math.abs(dir.hashCode)}"
+    if (!new java.io.File(streamDir).exists())
+      src.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e8_sink"
+    def stream = s.readStream.schema(src.schema).parquet(streamDir)
+      .withColumn("ts", tsCol)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purch_ts"),
+        col("value").as("purch_val"))
+      .withWatermark("purch_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purch_ts") >= col("click_ts") &&
+        col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purch_ts"),
+        col("purch_val"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "click_ts", "purch_ts")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
@@ -164,6 +201,7 @@ object Events {
     "e5_stream_hourly" -> e5StreamHourly,
     "e6_stream_sessions" -> e6StreamSessions,
     "e7_session_window" -> e7SessionWindow,
+    "e8_stream_join" -> e8StreamJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +236,16 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e8_stream_join" ->
+      """SELECT c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+         CAST(p.ts AS TIMESTAMP) AS purch_ts, p.value AS purch_val
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+           AND CAST(p.ts AS TIMESTAMP)
+             <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+         ORDER BY 1, 2, 3""",
     "e7_session_window" ->
       """WITH w AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),

@@ -266,11 +266,39 @@ object PointInTime {
       .orderBy("dt_ref", "l_suppkey")
   }
 
+  /** i3: the SAME backfill as a STRUCTURED STREAM — the three date
+    * slices staged to a stream source dir, consumed with
+    * Trigger.AvailableNow through Streams.ingestAvailableNow
+    * (foreachBatch → Sinks.replaceSlices), read back from the store.
+    * Identical oracle to i1/i2: the sink contract is shared by all three
+    * ingestion modes (per-date loop, batched job, stream), which is the
+    * point — a replayed micro-batch rewrites the same slices
+    * idempotently. */
+  def backfillStoreStreaming(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      s"/graft-i3-store-${math.abs(dir.hashCode)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (src, store, ckpt) = (s"$root/src", s"$root/fs", s"$root/ckpt")
+    backfillDates.map(d => singlePassCore(s, dir, d))
+      .reduce(_ unionByName _)
+      .coalesce(1).write.parquet(src) // one staged file → one micro-batch
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema).parquet(src)
+    graft.streaming.Streams.ingestAvailableNow(stream, store, ckpt,
+      sliceCol = "dt_ref", partCol = "dt_year")
+    s.read.parquet(store)
+      .select("l_suppkey", "dt_ref", "dt_year", "qtd_runs", "qtd_returns",
+        "avg_qty", "median_qty", "qtd_runs_1y", "avg_qty_1y",
+        "qtd_runs_cur", "total_net_cur", "median_net_cur")
+      .orderBy("dt_ref", "l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
     "fs_single_pass" -> ((s, dir) => supplierFeaturesSinglePass(s, dir, refDate)),
     "i1_backfill" -> backfillStore,
     "i2_backfill_batched" -> backfillStoreBatched,
+    "i3_backfill_stream" -> backfillStoreStreaming,
   )
 
   private def singlePassOracle(date: String): String =
@@ -313,5 +341,6 @@ object PointInTime {
     "fs_single_pass" -> singlePassOracle(refDate),
     "i1_backfill" -> backfillOracle,
     "i2_backfill_batched" -> backfillOracle,
+    "i3_backfill_stream" -> backfillOracle,
   )
 }
