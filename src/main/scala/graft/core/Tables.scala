@@ -16,6 +16,18 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Content fingerprint of a source table's files (names + sizes +
+    * mtimes): temp/staging dirs keyed on it auto-invalidate when the
+    * driver regenerates testdata in place — a staging copy keyed on the
+    * path alone would silently serve STALE data against a fresh oracle. */
+  def sourceFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    val sig = parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      .sorted.mkString("|")
+    math.abs((path + "|" + sig).hashCode).toString
+  }
+
   /** Register every star-schema table as a temp view named after the table.
     * Idempotent; used by SQL-text queries (ordinal group-by etc.). */
   def registerAll(spark: SparkSession, dir: String): Unit =

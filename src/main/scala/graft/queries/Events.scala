@@ -91,7 +91,7 @@ object Events {
     // deterministic staging path per source dir: repeated calls reuse one
     // copy instead of leaking a temp dir per invocation
     val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-events-${math.abs(dir.hashCode)}"
+      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
     if (!new java.io.File(streamDir).exists())
       src.write.mode("overwrite").parquet(streamDir)
     val name = "graft_e5_sink"
@@ -121,7 +121,7 @@ object Events {
     import s.implicits._
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-sess-${math.abs(dir.hashCode)}"
+      s"/graft-stream-sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
     if (!new java.io.File(streamDir).exists())
       src.coalesce(1).write.mode("overwrite").parquet(streamDir)
     val name = "graft_e6_sink"
@@ -166,7 +166,7 @@ object Events {
   val e8StreamJoin: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-sess-${math.abs(dir.hashCode)}"
+      s"/graft-stream-sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
     if (!new java.io.File(streamDir).exists())
       src.coalesce(1).write.mode("overwrite").parquet(streamDir)
     val name = "graft_e8_sink"

@@ -356,6 +356,46 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** J10 (extension): BUCKETED co-located join inside the gate — both
+    * sides written once per corpus as managed bucketed tables on the join
+    * key (Sinks.writeBucketed: bucket metadata in the catalog), then
+    * joined with a merge hint: with matching bucket counts neither side
+    * shuffles (Exchange-free SortMergeJoin, proven in BucketedSpec; the
+    * hint keeps the small-side broadcast from hiding the layout at test
+    * scale). At 100 TB this converts every recurring fact-fact join on
+    * the bucket key from 2 shuffles to 0. Oracle = plain join SQL: the
+    * physical layout must be answer-invariant. */
+  private val j10BucketedJoin: Q = (s, dir) => {
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")
+    val (liT, ordT) = (s"graft_b1_li_$fp", s"graft_b1_ord_$fp")
+    if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(ordT)) {
+      // In-memory catalog + on-disk warehouse: a PREVIOUS JVM may have
+      // left the managed locations behind while this session's catalog
+      // has no entry — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+      // Drop the orphaned locations before (re)creating.
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(liT, ordT).foreach { tbl =>
+        val loc = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity",
+          "l_extendedprice"),
+        liT, "l_orderkey", buckets = 8, sortCol = Some("l_orderkey"))
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ordT, "o_orderkey", buckets = 8, sortCol = Some("o_orderkey"))
+    }
+    s.table(liT).hint("merge")
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+        avg("l_extendedprice").as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** U9 (extension): DETERMINISTIC content-hash sampling — a reproducible
     * 10% sample keyed on h60(key "|" seed) % 100. df.sample's seeded
     * Bernoulli stream is keyed on partition index, so the "same seed"
@@ -521,6 +561,7 @@ object Relational {
     "u7_intersect" -> u7Intersect,
     "u8_content_sample" -> u8ContentSample,
     "j9_skew_salted" -> j9SkewSalted,
+    "j10_bucketed_join" -> j10BucketedJoin,
     "u4_keep_last_agg" -> u4KeepLastAgg,
     "w1_top_per_group" -> w1TopPerGroup,
     "o2_multi_sort" -> o2MultiSort,
@@ -697,6 +738,11 @@ object Relational {
          INTERSECT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
          ORDER BY o_custkey""",
+    "j10_bucketed_join" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(l.l_quantity) AS sum_qty, AVG(l.l_extendedprice) AS avg_price
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "u8_content_sample" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE ${graft.functions.Portable.h60Sql("(o_orderkey || '|' || 42)")} % 100 < 10

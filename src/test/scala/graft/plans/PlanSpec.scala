@@ -76,6 +76,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), s"salt column optimized away:\n$p")
   }
 
+  test("j10: bucketed join — both scans bucketed, no exchange below the join") {
+    val p = plan("j10_bucketed_join")
+    assert(p.contains("Bucketed: true"), p)
+    // segment from the join down to its second scan must hold no Exchange
+    val start = p.indexOf("SortMergeJoin")
+    assert(start >= 0, p)
+    val sndScan = p.indexOf("FileScan", p.indexOf("FileScan", start) + 1)
+    val seg = p.substring(start, sndScan)
+    assert(!seg.contains("Exchange"), s"shuffle below the bucketed join:\n$seg")
+  }
+
   test("IntersectCountRewrite: size(array_intersect(sorted distinct)) → " +
     "native merge count, same answer") {
     import spark.implicits._
