@@ -35,7 +35,25 @@ object AsOfJoin {
     *                  (ts, side) — pass a unique right column */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    ts: String, leftCols: Seq[String], rightCols: Seq[String],
-                   tieBreak: String): DataFrame = {
+                   tieBreak: String): DataFrame =
+    asofImpl(left, right, keys, ts, leftCols, rightCols, tieBreak,
+      forward = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the key group: the same union+window
+    * composition traversed in DESCENDING event time (the carried "last
+    * seen" right is then the smallest right.ts still at-or-after the
+    * left row). Same single-shuffle cost profile as the backward form. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  ts: String, leftCols: Seq[String], rightCols: Seq[String],
+                  tieBreak: String): DataFrame =
+    asofImpl(left, right, keys, ts, leftCols, rightCols, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       ts: String, leftCols: Seq[String],
+                       rightCols: Seq[String], tieBreak: String,
+                       forward: Boolean): DataFrame = {
     val nullL = leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
     val nullR = rightCols.map(c =>
       lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
@@ -46,8 +64,9 @@ object AsOfJoin {
     val rU = right.select(keyTs ++ Seq(lit(0).as("__side"),
       col(tieBreak).as("__tie")) ++ nullL ++
       rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tsOrder, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(lU.unionByName(rU)) { (df, c) =>
       df.withColumn(s"asof_$c",
@@ -80,7 +99,30 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
-  val queries: Map[String, Q] = Map("j7_asof" -> j7Asof)
+  /** J11: clicks ⟕-as-of-FORWARD purchases per user — each click
+    * attached to the user's next purchase at-or-after it (the conversion
+    * direction of j7's attribution). Oracle: DuckDB's native ASOF with
+    * the <= comparison. */
+  val j11AsofForward: Q = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_id"), col("ts").as("p_ts"))
+    asofForward(clicks, purchases, Seq("user_id"), "ts",
+      leftCols = Seq("event_id", "value"),
+      rightCols = Seq("p_id", "p_ts"),
+      tieBreak = "p_id")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+        col("value"), col("asof_p_id").as("purchase_id"),
+        col("asof_p_ts").as("purchase_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j7_asof" -> j7Asof,
+    "j11_asof_forward" -> j11AsofForward,
+  )
 
   val oracle: Map[String, String] = Map(
     "j7_asof" ->
@@ -90,5 +132,12 @@ object AsOfJoin {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "j11_asof_forward" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+         p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id""",
   )
 }

@@ -256,9 +256,17 @@ object PointInTime {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
-    def build(d: String): DataFrame = singlePassCore(s, dir, d)
-    ing.execBatched(build, backfillDates) // one write job, 3 slices
-    ing.execBatched(build, backfillDates) // idempotent batched re-run
+    // Materialize the slice union ONCE: the idempotent re-run must prove
+    // the SINK path replays cleanly, not re-pay three percentile
+    // batteries — at scale the batch source would be a staged table too.
+    val slices = backfillDates.map(d => singlePassCore(s, dir, d))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def build(d: String): DataFrame = slices.filter(col("dt_ref") === d)
+      ing.execBatched(build, backfillDates) // one write job, 3 slices
+      ing.execBatched(build, backfillDates) // idempotent batched re-run
+    } finally slices.unpersist(false)
     s.read.parquet(store)
       .select("l_suppkey", "dt_ref", "dt_year", "qtd_runs", "qtd_returns",
         "avg_qty", "median_qty", "qtd_runs_1y", "avg_qty_1y",
