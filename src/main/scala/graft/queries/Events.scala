@@ -193,6 +193,34 @@ object Events {
     s.table(name).orderBy("user_id", "click_ts", "purch_ts")
   }
 
+  /** E9: STREAMING deduplication — dropDuplicatesWithinWatermark on
+    * (user_id, hour): state holds one entry per key only until the
+    * watermark passes (THE bounded-state dedup for at-least-once
+    * sources; plain dropDuplicates would grow state forever). Output is
+    * restricted to the dedup keys themselves: which ROW of a duplicate
+    * group survives is explicitly undefined, so the contract — and the
+    * oracle — is the distinct key set. */
+  val e9StreamDedup: Q = (s, dir) => {
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
+    if (!new java.io.File(streamDir).exists())
+      src.write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e9_sink"
+    val deduped = s.readStream.schema(src.schema).parquet(streamDir)
+      .withColumn("ts", tsCol)
+      .withWatermark("ts", "2 hours")
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "hour")
+      .select(col("user_id"), col("hour"))
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "hour")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
@@ -202,6 +230,7 @@ object Events {
     "e6_stream_sessions" -> e6StreamSessions,
     "e7_session_window" -> e7SessionWindow,
     "e8_stream_join" -> e8StreamJoin,
+    "e9_stream_dedup" -> e9StreamDedup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +265,10 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e9_stream_dedup" ->
+      """SELECT DISTINCT user_id,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+         FROM events ORDER BY 1, 2""",
     "e8_stream_join" ->
       """SELECT c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
          CAST(p.ts AS TIMESTAMP) AS purch_ts, p.value AS purch_val
