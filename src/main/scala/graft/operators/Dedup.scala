@@ -284,6 +284,54 @@ object Dedup {
       .orderBy(desc("cosine"), col("a"), col("b"))
   }
 
+  /** D7: dedup CLUSTERS — the stage after pair generation that every
+    * production dedup pipeline needs: connected components over the
+    * d3 candidate pairs (exact dups collide on every MinHash band), each
+    * doc labeled with its cluster representative (the component's min
+    * doc_id) plus the member count.
+    *
+    * Algorithm: iterative MIN-LABEL PROPAGATION — per round, every node
+    * takes the min of its own and its neighbors' labels (one join + one
+    * groupBy per round, each label frame persisted). The driver loop is
+    * ORCHESTRATION (rounds ≤ graph diameter; dup-cluster diameters are
+    * tiny), not data movement — convergence is detected with an
+    * aggregate count, never a collect of the labels. This is the
+    * standard scale form (GraphFrames CC does the same); the DuckDB
+    * oracle computes the same components via a recursive-CTE transitive
+    * closure — two genuinely different algorithms, one answer. */
+  val d7DedupClusters: Q = (s, dir) => {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = d3MinhashLsh(s, dir).select("a", "b")
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(MEMORY_AND_DISK)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = labels.join(edges, col("node") === col("a"))
+        .select(col("b").as("node"), col("label"))
+        .union(labels.select(col("node"), col("label")))
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+        Seq("node")).filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+        col("n_members"))
+      .orderBy("cluster_rep", "doc_id")
+    edges.unpersist(false)
+    out
+  }
+
   /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query
     * registry: it is the spec-side recall oracle for [[d6EmbeddingCosine]]
     * (DedupSpec measures which exact pairs the banding recovers). */
@@ -351,19 +399,10 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d6_embedding_cosine" -> d6EmbeddingCosine,
+    "d7_dedup_clusters" -> d7DedupClusters,
   )
 
-  val oracle: Map[String, String] = Map(
-    "d1_exact_dedup" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
-         min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
-         FROM documents GROUP BY 1 ORDER BY keeper""",
-    "d2_minhash_sig" ->
-      s"""WITH $shingleCte
-          SELECT doc_id,
-            $mhSelSql
-          FROM hsc ORDER BY doc_id""",
-    "d3_minhash_lsh" ->
+  private lazy val d3OracleSql: String =
       s"""WITH $shingleCte,
           sig AS (
             SELECT doc_id, list_distinct(hs) AS shset,
@@ -388,7 +427,37 @@ object Dedup {
           FROM cand
           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
               / len(list_distinct(list_concat(sa, sb))) >= 0.8
-          ORDER BY a, b""",
+          ORDER BY a, b"""
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+         min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+    "d2_minhash_sig" ->
+      s"""WITH $shingleCte
+          SELECT doc_id,
+            $mhSelSql
+          FROM hsc ORDER BY doc_id""",
+    "d3_minhash_lsh" -> d3OracleSql,
+    // Transitive closure via recursive CTE — a genuinely different
+    // algorithm from the Spark side's min-label propagation; both must
+    // land on identical components.
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($d3OracleSql)),
+          edges AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b AS a, a AS b FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          walk(node, reach) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+          cc AS (SELECT node, MIN(reach) AS cluster_rep FROM walk GROUP BY 1),
+          sizes AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
+                    FROM cc GROUP BY 1)
+          SELECT cc.node AS doc_id, cc.cluster_rep, s.n_members
+          FROM cc JOIN sizes s USING (cluster_rep)
+          ORDER BY cluster_rep, doc_id""",
     "d4_simhash" ->
       s"""WITH b AS (
             SELECT doc_id,
