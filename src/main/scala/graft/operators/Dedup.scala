@@ -134,30 +134,64 @@ object Dedup {
       .select(col("doc_id") +: minhashCols: _*)
       .orderBy("doc_id")
 
-  /** D3: MinHash-LSH candidate pairs — band the 12-value signature into 4
-    * bands × 3 rows, hash each band, self-join on (band, bandHash) →
-    * candidate pairs, then verify with exact Jaccard over the distinct
-    * shingle-hash sets. Exact dups collide on every band; near-dups with
-    * prob 1-(1-j³)⁴. Empty at SFs with no near-dups — correct, not a bug. */
-  val d3MinhashLsh: Q = (s, dir) => {
-    val sig = withSig(shingled(s, dir))
-      .select(col("doc_id") +: (minhashCols :+
-        array_distinct(col("hs")).as("shset")): _*)
-    val banded = sig.select(col("doc_id"), col("shset"),
+  /** Broadcast `df` only when its materialized size estimate fits
+    * comfortably on an executor. The join-back dimensions below (one row
+    * per document: id + shingle array) sit on persisted frames, so the
+    * stats are ACTUAL cached bytes, not optimizer guesses — at bench
+    * scale this picks broadcast (the measured win), at 100 TB the same
+    * call degrades gracefully to a shuffle join on the id instead of an
+    * executor OOM. 256 MB ≈ the ceiling a 4 GB executor tolerates for a
+    * build side after row-format expansion. */
+  private val broadcastCeiling = 256L << 20
+
+  private[operators] def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= broadcastCeiling) broadcast(df)
+    else df
+
+  /** D3 candidate generation — band the 12-value signature into 4 bands ×
+    * 3 rows, hash each band, self-join on (band, bandHash). The band rows
+    * carry ONLY (band, bandHash, doc_id) — never the shingle sets: the
+    * band explode replicates every row ×4 onto both join sides, so any
+    * payload here multiplies shuffle bytes by ~8× the corpus volume
+    * (PlanSpec asserts no array-typed attribute crosses an Exchange).
+    * Shared by d3 (which joins the sets back for verify) and d7. */
+  private[graft] def d3Candidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = withSig(shingled(s, dir)).select(col("doc_id") +: minhashCols: _*)
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
             col(s"mh${3 * b + 2}"))).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("shset"), col("bb.band"), col("bb.bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
-      col("shset").as("sa"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
-      col("shset").as("sb"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** D3: MinHash-LSH near-dup pairs — id-only banded candidates
+    * ([[d3Candidates]]), then exact-Jaccard verify by joining each side's
+    * sorted distinct shingle array back BY ID (d5's join-back shape: the
+    * sets travel once per doc, not once per band row). The packed `sh`
+    * values are an injective recoding of the distinct shingle hashes, so
+    * Jaccard over `sh` equals Jaccard over `shset` — |∩| via the native
+    * merge count, |∪| = na + nb − inter, zero per-pair allocation.
+    * Exact dups collide on every band; near-dups with prob 1-(1-j³)⁴.
+    * Empty at SFs with no near-dups — correct, not a bug. */
+  val d3MinhashLsh: Q = (s, dir) => {
+    val sets = shingled(s, dir).select(col("doc_id"), col("sh"), col("n"))
+    d3Candidates(s, dir)
+      .join(maybeBroadcast(sets.select(col("doc_id").as("a"),
+        col("sh").as("sa"), col("n").as("na"))), Seq("a"))
+      .join(maybeBroadcast(sets.select(col("doc_id").as("b"),
+        col("sh").as("sb"), col("n").as("nb"))), Seq("b"))
+      .withColumn("inter",
+        graft.functions.Portable.sortedIntersectCount(col("sa"), col("sb")))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("a", "b")
   }
@@ -215,11 +249,11 @@ object Dedup {
     // distinct, so |∩| is a native merge loop (SortedIntersectCount) and
     // |∪| = na + nb − inter — array_intersect/array_union would build two
     // throwaway arrays per candidate pair and dominated this stage.
-    // docs is one row per document (id + shingle array) — broadcast it
-    // rather than shuffling the (much larger) candidate-pair stream; the
-    // optimizer's size estimate for the staged-expression projection is
-    // too pessimistic to pick this up on its own.
-    cand.join(broadcast(sa), Seq("a")).join(broadcast(sb), Seq("b"))
+    // docs is one row per document (id + shingle array): broadcast beats
+    // shuffling the (much larger) candidate-pair stream WHEN it fits, so
+    // the hint is size-conditional on the persisted frame's actual bytes
+    // (maybeBroadcast) — at 100 TB this becomes a shuffle join on the id.
+    cand.join(maybeBroadcast(sa), Seq("a")).join(maybeBroadcast(sb), Seq("b"))
       .withColumn("inter",
         graft.functions.Portable.sortedIntersectCount(col("sa"), col("sb")))
       .select(col("a"), col("b"),
@@ -323,6 +357,13 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // A non-converged exit would mean PARTIAL (wrong) labels; never return
+    // them. 50 rounds >> any dup-cluster diameter — hitting this means the
+    // pair stage produced a pathological chain and needs a look, not a
+    // silently-wrong answer the oracle only catches at gated SFs.
+    if (!converged)
+      throw new IllegalStateException(
+        s"d7 connected components did not converge within $rounds rounds")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     val out = labels.join(sizes, Seq("label"))
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"),

@@ -70,6 +70,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d3: candidate generation shuffles only (band, hash, id) — no " +
+    "array payload crosses an Exchange") {
+    // The band explode replicates every doc ×4 onto both self-join sides;
+    // if a shingle array rode along, shuffle bytes would scale with ~8×
+    // corpus shingle volume instead of 8× (band, hash, id) triples.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val cand = graft.operators.Dedup.d3Candidates(spark, dir)
+    // AdaptiveSparkPlanExec is a barrier to collect(); unwrap to the
+    // current physical plan underneath it
+    val root = cand.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // at local SF the band self-join broadcasts and the distinct's input
+    // is single-partition, so a shuffle may not exist at all — the
+    // invariant is about what WOULD cross one: the join sides and any
+    // exchange must carry only scalar (band, hash, id) columns
+    val joins = root.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no join in candidate gen:\n$root")
+    val moved = joins.flatMap(j => j.left.output ++ j.right.output) ++
+      root.collect { case e: Exchange => e }.flatMap(_.output)
+    val arrays = moved.filter(_.dataType.isInstanceOf[ArrayType])
+    assert(arrays.isEmpty,
+      s"array-typed attributes cross the band join/shuffle: " +
+        s"${arrays.mkString(", ")}")
+  }
+
   test("j9: salted plan spreads the key — salt column present pre-join") {
     val p = graft.SparkEntry.queries("j9_skew_salted")(spark, dir)
       .queryExecution.optimizedPlan.toString
