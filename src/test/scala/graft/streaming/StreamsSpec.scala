@@ -86,6 +86,35 @@ class StreamsSpec extends SparkSpec {
       s"closed=$closed, batch sessions=${totals.getLong(0)}, users=${totals.getLong(1)}")
   }
 
+  test("state store is RocksDB by default; state rows bounded by active keys") {
+    import scala.jdk.CollectionConverters._
+    assume(sys.env.get("SPARK_GRAFT_STATESTORE").isEmpty,
+      "provider overridden via env; skipping default-provider assertions")
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val gapNs = 30L * 60 * 1000000000L
+    val q = Streams.sessionize(mem.toDS(), gapNs)
+      .writeStream.format("memory").queryName("rocks")
+      .outputMode(OutputMode.Append()).start()
+    // 3 users × 60 events within the gap → state must hold exactly one
+    // open session per ACTIVE USER (3 rows), never one per event — the
+    // bounded-state sizing rule the 100 TB posture depends on
+    mem.addData((1 to 60).map(i =>
+      Streams.Ev(i % 3, i.toLong * 1000000000L, 1.0)): _*)
+    q.processAllAvailable()
+    val so = q.lastProgress.stateOperators
+    q.stop()
+    assert(so.nonEmpty, "no stateful operator reported progress")
+    assert(so(0).numRowsTotal === 3,
+      s"state rows ${so(0).numRowsTotal} != active users 3")
+    // the provider actually engaged: RocksDB-specific custom metrics
+    val keys = so(0).customMetrics.keySet().asScala
+    assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb metrics in: ${keys.mkString(", ")}")
+  }
+
   test("ingestAvailableNow: stream-ingested store matches batch ingest; idempotent") {
     val base = tmpDir("stream")
     val inDir = s"$base/in"
