@@ -19,13 +19,18 @@ object Tables {
   /** Content fingerprint of a source table's files (names + sizes +
     * mtimes): temp/staging dirs keyed on it auto-invalidate when the
     * driver regenerates testdata in place — a staging copy keyed on the
-    * path alone would silently serve STALE data against a fresh oracle. */
+    * path alone would silently serve STALE data against a fresh oracle.
+    * 64-bit md5 prefix, not String.hashCode: a 32-bit collision would
+    * silently reuse a stale staging dir, the exact failure the
+    * fingerprint exists to prevent. */
   def sourceFingerprint(path: String): String = {
     val f = new java.io.File(path)
     val parts = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
     val sig = parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
       .sorted.mkString("|")
-    math.abs((path + "|" + sig).hashCode).toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((path + "|" + sig).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
   }
 
   /** Register every star-schema table as a temp view named after the table.

@@ -228,7 +228,7 @@ object PointInTime {
     // deterministic per-source path, wiped per call: repeated invocations
     // rebuild in place instead of leaking one temp store per call
     val store = sys.props("java.io.tmpdir") +
-      s"/graft-i1-store-${math.abs(dir.hashCode)}/fs"
+      s"/graft-i1-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}/fs"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
@@ -252,7 +252,7 @@ object PointInTime {
     * per batch). */
   def backfillStoreBatched(s: SparkSession, dir: String): DataFrame = {
     val store = sys.props("java.io.tmpdir") +
-      s"/graft-i2-store-${math.abs(dir.hashCode)}/fs"
+      s"/graft-i2-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}/fs"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
@@ -284,7 +284,7 @@ object PointInTime {
     * idempotently. */
   def backfillStoreStreaming(s: SparkSession, dir: String): DataFrame = {
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-i3-store-${math.abs(dir.hashCode)}"
+      s"/graft-i3-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val (src, store, ckpt) = (s"$root/src", s"$root/fs", s"$root/ckpt")
     backfillDates.map(d => singlePassCore(s, dir, d))
