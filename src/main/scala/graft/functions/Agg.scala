@@ -18,8 +18,18 @@ object Agg {
   /** Accuracy parameter for the approx path (1/accuracy relative error). */
   val ApproxAccuracy = 10000
 
+  /** Exact interpolated percentile via the native
+    * plans.ExactPercentile TypedImperativeAggregate (primitive double
+    * buffer instead of the builtin's boxed value→count map; same
+    * semantics, gated by the same oracles). */
+  def exactPercentile(c: Column, p: Double): Column = {
+    import org.apache.spark.sql.graftshim
+    graftshim.column(graft.plans.ExactPercentile(
+      graftshim.expression(c.cast("double")), p).toAggregateExpression())
+  }
+
   def median(s: SparkSession, c: Column): Column =
     if (s.conf.get(ApproxFlag, "false").toBoolean)
       percentile_approx(c, lit(0.5), lit(ApproxAccuracy))
-    else percentile(c, lit(0.5))
+    else exactPercentile(c, 0.5)
 }

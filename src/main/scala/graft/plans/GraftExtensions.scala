@@ -45,5 +45,19 @@ object GraftFunctions {
       binary("float_vec_dot", FloatVecDot.apply)),
     ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
       binary("sorted_intersect_count", SortedIntersectCount.apply)),
+    ("exact_percentile", classOf[ExactPercentile].getName, { children =>
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{Decimal, DoubleType}
+      require(children.length == 2,
+        s"exact_percentile expects (value, percentage), got ${children.length}")
+      require(children(1).foldable,
+        "exact_percentile percentage must be a literal")
+      val p = children(1).eval() match {
+        case n: java.lang.Number => n.doubleValue()
+        case d: Decimal => d.toDouble
+        case other => sys.error(s"non-numeric percentage: $other")
+      }
+      ExactPercentile(Cast(children.head, DoubleType), p)
+    }),
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables.t
+import graft.functions.Agg
 
 /** The reference's core workload shape — the point-in-time feature store
   * (reference sql/feature_store_drivers.sql:1-171, driven per-date by
@@ -60,9 +61,9 @@ object PointInTime {
           avg(when(col("l_returnflag") === "R", col("l_quantity")))
             .as(s"avg_qty_r$sfx"),
           avg(col("net") - col("l_quantity")).as(s"avg_margin$sfx"),
-          percentile(col("l_quantity"), lit(0.5)).as(s"median_qty$sfx"),
-          percentile(col("net"), lit(0.5)).as(s"median_net$sfx"),
-          percentile(when(col("l_returnflag") === "R", col("net")), lit(0.5))
+          Agg.median(s, col("l_quantity")).as(s"median_qty$sfx"),
+          Agg.median(s, col("net")).as(s"median_net$sfx"),
+          Agg.median(s, when(col("l_returnflag") === "R", col("net")))
             .as(s"median_net_r$sfx"))
 
     // fs.sql:30-61 / 63-90 / 92-120: lifetime, trailing year, current season.
@@ -75,9 +76,9 @@ object PointInTime {
         avg(col("l_quantity")).as("avg_qty"),
         avg(when(col("l_returnflag") === "R", col("l_quantity"))).as("avg_qty_r"),
         avg(col("net") - col("l_quantity")).as("avg_margin"),
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("net"), lit(0.5)).as("median_net"),
-        percentile(when(col("l_returnflag") === "R", col("net")), lit(0.5))
+        Agg.median(s, col("l_quantity")).as("median_qty"),
+        Agg.median(s, col("net")).as("median_net"),
+        Agg.median(s, when(col("l_returnflag") === "R", col("net")))
           .as("median_net_r"))
     val lastYear = battery(
       li.filter(col("dt_event") >= (refD - expr("INTERVAL 1 YEAR")).cast("date")),
@@ -88,7 +89,7 @@ object PointInTime {
         count(lit(1)).as("qtd_runs_cur"),
         sum(col("net")).as("total_net_cur"),
         avg(col("l_quantity")).as("avg_qty_cur"),
-        percentile(col("net"), lit(0.5)).as("median_net_cur"))
+        Agg.median(s, col("net")).as("median_net_cur"))
 
     // tb_event analog (fs.sql:19-22,171): per-refdate attribute via a
     // date-expression left join.
@@ -200,16 +201,16 @@ object PointInTime {
       sum(when(isR, 1).otherwise(0)).as("qtd_returns"),
       avg(col("l_quantity")).as("avg_qty"),
       avg(when(isR, col("l_quantity"))).as("avg_qty_r"),
-      percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+      Agg.median(s, col("l_quantity")).as("median_qty"),
       // trailing-year battery, conditionalized
       sum(when(in1y, 1).otherwise(0)).as("qtd_runs_1y"),
       avg(when(in1y, col("l_quantity"))).as("avg_qty_1y"),
-      percentile(when(in1y, col("l_quantity")), lit(0.5)).as("median_qty_1y"),
+      Agg.median(s, when(in1y, col("l_quantity"))).as("median_qty_1y"),
       // current-season battery, conditionalized
       sum(when(inCur, 1).otherwise(0)).as("qtd_runs_cur"),
       sum(when(inCur, col("net"))).as("total_net_cur"),
       avg(when(inCur, col("l_quantity"))).as("avg_qty_cur"),
-      percentile(when(inCur, col("net")), lit(0.5)).as("median_net_cur"))
+      Agg.median(s, when(inCur, col("net"))).as("median_net_cur"))
       // active-in-trailing-year restriction without the semi-join
       .filter(col("qtd_runs_1y") > 0)
   }

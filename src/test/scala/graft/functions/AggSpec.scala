@@ -25,4 +25,51 @@ class AggSpec extends SparkSpec {
       }
     } finally spark.conf.set(Agg.ApproxFlag, "false")
   }
+
+  test("exact_percentile matches builtin percentile incl. nulls, " +
+    "empty groups, and cross-partition merges") {
+    import spark.implicits._
+    // deterministic pseudo-random doubles + a null stripe + one group
+    // whose conditional input is entirely null (empty buffer → NULL out)
+    val df = spark.range(0, 10007).select(
+      (col("id") % 13).as("g"),
+      when(col("id") % 11 =!= 0,
+        sin(col("id").cast("double")) * 1000).as("v"),
+      when(col("id") % 13 =!= 12, lit(null).cast("double")).as("w"))
+      .repartition(7, col("id")) // forces partial/final + serde merges
+    Seq(0.0, 0.25, 0.5, 0.9, 1.0).foreach { p =>
+      val got = df.groupBy("g")
+        .agg(Agg.exactPercentile(col("v"), p).as("x"),
+          Agg.exactPercentile(col("w"), p).as("y"))
+        .orderBy("g")
+        .as[(Long, Option[Double], Option[Double])].collect()
+      val want = df.groupBy("g")
+        .agg(percentile(col("v"), lit(p)).as("x"),
+          percentile(col("w"), lit(p)).as("y"))
+        .orderBy("g")
+        .as[(Long, Option[Double], Option[Double])].collect()
+      assert(got.length === 13)
+      got.zip(want).foreach { case ((g1, x1, y1), (g2, x2, y2)) =>
+        assert(g1 === g2)
+        assert(y1 === y2, s"null-stripe group $g1 at p=$p")
+        (x1, x2) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) <= math.abs(b) * 1e-12 + 1e-12,
+              s"group $g1 p=$p: native $a vs builtin $b")
+          case _ => assert(x1 === x2)
+        }
+      }
+    }
+  }
+
+  test("exact_percentile callable from SQL via session extensions") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      "SELECT exact_percentile(l_quantity, 0.5) AS m FROM lineitem")
+      .head().getDouble(0)
+    val b = spark.sql(
+      "SELECT percentile(l_quantity, 0.5) AS m FROM lineitem")
+      .head().getDouble(0)
+    assert(r === b)
+  }
 }

@@ -38,10 +38,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan("j5_semi_join").contains("SortMergeJoin"))
   }
 
-  test("a6: exact percentile uses ObjectHashAggregate with partial agg") {
+  test("a6: native exact_percentile aggregate, ObjectHashAggregate, partial agg") {
     val p = plan("a6_median")
     assert(p.contains("ObjectHashAggregate"))
-    assert(p.contains("partial_percentile"), s"no partial aggregation:\n$p")
+    assert(p.contains("exact_percentile"), s"builtin percentile still used:\n$p")
+    assert(p.contains("partial_exact_percentile"), s"no partial aggregation:\n$p")
   }
 
   test("o4: top-k compiles to TakeOrderedAndProject, not a global sort") {
