@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL pure-JVM media decoding — zero external codecs: uncompressed
+  * 24-bpp BMP, binary PPM (P6), and PCM WAV header+payload parsing. This
+  * is the decoder that plugs into Multimodal's injectable-Decoder
+  * mapPartitions path (the stub twin remains only for the synthetic
+  * payloads of the x1 documents fixture, which are not media files).
+  *
+  * Decoded fields are format-appropriate and zeroed elsewhere:
+  *  - images: width/height (pixels), channels=3, intensity = mean
+  *    pixel-byte / 255 (a real brightness, computed over pixel data
+  *    only — BMP row padding is excluded);
+  *  - audio: channels, sampleRate (Hz), durationMs from the data-chunk
+  *    length, intensity = mean |16-bit sample| / 32768 (a real loudness).
+  *
+  * Unknown/corrupt payloads throw IllegalArgumentException: a media
+  * pipeline must route undecodable rows to a quarantine sink explicitly,
+  * never silently zero them.
+  */
+object MediaDecode {
+
+  /** One decoded media payload. */
+  case class Decoded(format: String, width: Int, height: Int,
+                     channels: Int, sampleRate: Int, durationMs: Double,
+                     intensity: Double)
+
+  def decode(payload: Array[Byte]): Decoded = {
+    require(payload.length >= 4, s"payload too short: ${payload.length}B")
+    if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F') decodeWav(payload)
+    else throw new IllegalArgumentException(
+      s"unknown media format (magic ${payload.take(4).mkString(",")})")
+  }
+
+  /** Uncompressed 24-bpp BMP (BITMAPINFOHEADER). Rows are stored
+    * bottom-up and padded to 4-byte boundaries; the padding is excluded
+    * from the intensity mean. */
+  private def decodeBmp(b: Array[Byte]): Decoded = {
+    require(b.length >= 54, s"truncated BMP header: ${b.length}B")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = math.abs(bb.getInt(22)) // negative = top-down, same pixels
+    val bpp = bb.getShort(28) & 0xffff
+    val compression = bb.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24-bpp BMP supported (bpp=$bpp, comp=$compression)")
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) & ~3
+    require(dataOff + stride.toLong * height <= b.length, "truncated BMP")
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val off = dataOff + y * stride
+      var x = 0
+      while (x < rowBytes) { sum += b(off + x) & 0xff; x += 1 }
+      y += 1
+    }
+    val n = rowBytes.toLong * height
+    Decoded("bmp", width, height, 3, 0, 0.0,
+      if (n == 0) 0.0 else sum / (n * 255.0))
+  }
+
+  /** Binary PPM (P6): ASCII header (whitespace-separated width, height,
+    * maxval; '#' comments) followed by raw RGB bytes. */
+  private def decodePpm(b: Array[Byte]): Decoded = {
+    var i = 2 // past "P6"
+    def skipWs(): Unit = {
+      var inComment = false
+      while (i < b.length &&
+        (inComment || b(i) == ' ' || b(i) == '\n' || b(i) == '\r' ||
+          b(i) == '\t' || b(i) == '#')) {
+        if (b(i) == '#') inComment = true
+        else if (b(i) == '\n') inComment = false
+        i += 1
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', "bad PPM header")
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val width = readInt()
+    val height = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"only 8-bit PPM supported (maxval=$maxval)")
+    i += 1 // single whitespace after maxval, then raw bytes
+    val n = width.toLong * height * 3
+    require(i + n <= b.length, "truncated PPM")
+    var sum = 0L
+    var k = i
+    while (k < i + n) { sum += b(k) & 0xff; k += 1 }
+    Decoded("ppm", width, height, 3, 0, 0.0,
+      if (n == 0) 0.0 else sum / (n * 255.0))
+  }
+
+  /** PCM WAV (RIFF): walks the chunk list for 'fmt ' and 'data'.
+    * Duration from data length / byte rate; intensity = mean |sample| /
+    * 32768 over 16-bit little-endian samples. */
+  private def decodeWav(b: Array[Byte]): Decoded = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    require(b.length >= 12 && bb.getInt(8) == 0x45564157, "not a WAVE file")
+    var off = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = bb.getInt(off)
+      val len = bb.getInt(off + 4)
+      if (id == 0x20746d66) { // 'fmt '
+        val fmt = bb.getShort(off + 8) & 0xffff
+        require(fmt == 1, s"only PCM WAV supported (format=$fmt)")
+        channels = bb.getShort(off + 10) & 0xffff
+        sampleRate = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22) & 0xffff
+      } else if (id == 0x61746164) { // 'data'
+        dataOff = off + 8
+        dataLen = len
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && sampleRate > 0 && dataOff >= 0, "missing fmt/data")
+    require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
+    require(dataOff + dataLen.toLong <= b.length, "truncated WAV")
+    val frameBytes = channels * 2
+    val frames = dataLen / frameBytes
+    val durationMs = frames * 1000.0 / sampleRate
+    var sum = 0L
+    var k = dataOff
+    val end = dataOff + frames * frameBytes
+    while (k < end) { sum += math.abs(bb.getShort(k).toLong); k += 2 }
+    val nSamples = frames.toLong * channels
+    Decoded("wav", 0, 0, channels, sampleRate, durationMs,
+      if (nSamples == 0) 0.0 else sum / (nSamples * 32768.0))
+  }
+}

@@ -9,11 +9,13 @@ import graft.core.Tables.t
   * as opaque `binary` payload columns with typed metadata structs, and a
   * batched per-partition decode / feature-extract stage.
   *
-  * The DECODE ITSELF IS A STUB — image/audio codecs aren't in this
-  * container (and decode is a leaf concern); `stubDecode` derives
-  * deterministic fake (width, height, brightness) from the payload's md5
-  * so the whole path is testable and oracle-checkable. Everything around
-  * it is the real Spark plumbing a 100 TB media pipeline needs:
+  * Decoding is REAL where the payload is a real media file: x3 runs
+  * [[MediaDecode]] (pure-JVM BMP/PPM/WAV parsing, no external codecs)
+  * over committed fixtures with planted analytic ground truth. The x1
+  * documents fixture carries synthetic text payloads, so its decoder
+  * (`stubDecode`) stays a clearly-marked deterministic fake — the value
+  * there is the plumbing. That plumbing is the real Spark shape a 100 TB
+  * media pipeline needs:
   *  - payloads as BinaryType columns (never strings — no charset damage);
   *  - metadata as a typed StructType travelling with the payload;
   *  - extraction has TWO paths: a codegen'd expression twin (the gated
@@ -119,6 +121,45 @@ object Multimodal {
     extractFeaturesExpr(mediaTable(s, dir))
       .orderBy("doc_id")
 
+  /** One row of [[decodeFiles]] output. */
+  case class DecodedRow(file: String, format: String, width: Int,
+                        height: Int, channels: Int, sample_rate: Int,
+                        duration_ms: Double, intensity: Double)
+
+  /** Committed media fixtures with analytically known dimensions /
+    * duration / intensity (tools/gen_media_fixture.py — BMP, PPM, WAV). */
+  val mediaFixtureDir = "/root/repo/fixtures/media"
+
+  /** REAL decode through the injectable-Decoder mapPartitions shape:
+    * binaryFile scan → per-partition decoder init → typed feature rows.
+    * The default decoder is [[MediaDecode.decode]], an actual pure-JVM
+    * BMP/PPM/WAV parser — the plug point a codec library or GPU
+    * inference step replaces at production scale. */
+  def decodeFiles(s: SparkSession, path: String,
+                  decoder: Array[Byte] => MediaDecode.Decoded =
+                    MediaDecode.decode): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(path)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, bytes) =>
+          val d = decoder(bytes)
+          DecodedRow(f, d.format, d.width, d.height, d.channels,
+            d.sampleRate, d.durationMs, d.intensity)
+        }
+      }
+      .toDF()
+  }
+
+  /** X3: real media decode over the committed fixtures — width/height/
+    * channels/sample-rate/duration/mean-intensity from actual BMP/PPM/WAV
+    * bytes; the oracle is the planted analytic values (t6 precedent:
+    * fixture with known ground truth). */
+  val x3DecodedMedia: Q = (s, _) =>
+    decodeFiles(s, mediaFixtureDir).orderBy("file")
+
   /** X2: metadata-pushdown scan — filter/aggregate over the typed meta
     * struct WITHOUT touching payloads (at scale this is the pruning that
     * keeps media scans cheap: parquet reads only meta columns). */
@@ -132,6 +173,7 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "x1_media_features" -> x1MediaFeatures,
     "x2_meta_stats" -> x2MetaStats,
+    "x3_decoded_media" -> x3DecodedMedia,
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,6 +186,22 @@ object Multimodal {
          CAST(('0x' || substr(md5(text), 5, 4)) AS INT) AS height,
          CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65535.0 AS brightness
          FROM documents ORDER BY doc_id""",
+    // Planted analytic ground truth for the committed fixtures
+    // (tools/gen_media_fixture.py derivations in its docstring) — an
+    // independent check of the REAL decoder, not a mirror of it.
+    "x3_decoded_media" ->
+      """SELECT file, format, width, height, channels, sample_rate,
+           CAST(duration_ms AS DOUBLE) AS duration_ms,
+           CAST(intensity AS DOUBLE) AS intensity
+         FROM (VALUES
+           ('gray.bmp',   'bmp', 6, 4, 3, 0,     0.0,   128.0/255),
+           ('rgb.ppm',    'ppm', 3, 2, 3, 0,     0.0,   85.0/255),
+           ('stereo.wav', 'wav', 0, 0, 2, 44100, 100.0, 0.0),
+           ('tint.bmp',   'bmp', 4, 2, 3, 0,     0.0,   20.0/255),
+           ('tone.wav',   'wav', 0, 0, 1, 8000,  250.0, 0.5))
+         t(file, format, width, height, channels, sample_rate,
+           duration_ms, intensity)
+         ORDER BY file""",
     "x2_meta_stats" ->
       """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
          source AS src, CAST(COUNT(*) AS BIGINT) AS n,

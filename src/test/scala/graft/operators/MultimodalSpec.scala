@@ -47,6 +47,45 @@ class MultimodalSpec extends SparkSpec {
     assert(custom.head.getString(0) === "x")
   }
 
+  test("MediaDecode: real BMP/PPM/WAV parsing matches planted fixture values") {
+    import MediaDecode.Decoded
+    def bytes(name: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Multimodal.mediaFixtureDir, name))
+    // analytic ground truth from tools/gen_media_fixture.py
+    assert(MediaDecode.decode(bytes("gray.bmp")) ===
+      Decoded("bmp", 6, 4, 3, 0, 0.0, 128.0 / 255))
+    assert(MediaDecode.decode(bytes("tint.bmp")) ===
+      Decoded("bmp", 4, 2, 3, 0, 0.0, 20.0 / 255))
+    assert(MediaDecode.decode(bytes("rgb.ppm")) ===
+      Decoded("ppm", 3, 2, 3, 0, 0.0, 85.0 / 255))
+    assert(MediaDecode.decode(bytes("tone.wav")) ===
+      Decoded("wav", 0, 0, 1, 8000, 250.0, 0.5))
+    assert(MediaDecode.decode(bytes("stereo.wav")) ===
+      Decoded("wav", 0, 0, 2, 44100, 100.0, 0.0))
+    // undecodable payloads must throw, not silently zero
+    intercept[IllegalArgumentException] {
+      MediaDecode.decode("not media at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MediaDecode.decode(bytes("gray.bmp").take(20)) // truncated header
+    }
+  }
+
+  test("x3: decodeFiles runs the real decoder through the injectable " +
+    "mapPartitions path") {
+    val rows = Multimodal.x3DecodedMedia(spark, dir).collect()
+    assert(rows.length === 5)
+    val byFile = rows.map(r => r.getAs[String]("file") -> r).toMap
+    assert(byFile("gray.bmp").getAs[Int]("width") === 6)
+    assert(byFile("tone.wav").getAs[Double]("duration_ms") === 250.0)
+    // injectability holds for the real-decoder path too
+    val constant: Array[Byte] => MediaDecode.Decoded =
+      _ => MediaDecode.Decoded("k", 1, 1, 1, 1, 1.0, 0.25)
+    val custom = Multimodal.decodeFiles(spark, Multimodal.mediaFixtureDir,
+      decoder = constant).select("format").distinct().collect()
+    assert(custom.map(_.getString(0)).toSeq === Seq("k"))
+  }
+
   test("x2 meta stats reads only metadata (payload pruned from scan)") {
     val plan = Multimodal.x2MetaStats(spark, dir)
       .queryExecution.executedPlan.toString
