@@ -54,6 +54,16 @@ object AsOfJoin {
                        ts: String, leftCols: Seq[String],
                        rightCols: Seq[String], tieBreak: String,
                        forward: Boolean): DataFrame = {
+    // ONE deterministic right row per (keys, ts) BEFORE the union:
+    // max-tieBreak wins. ASOF among duplicate right timestamps is
+    // engine-unspecified (DuckDB picks arbitrarily), so the operator
+    // pins the rule — and the oracle pins the same rule with a QUALIFY
+    // dedup. max_by partial-aggregates map-side (combiner-friendly), so
+    // the extra pass costs far less than a shuffle of the dup rows.
+    val rightOne = right.groupBy((keys :+ ts).map(col): _*)
+      .agg(max_by(struct(rightCols.map(col): _*), col(tieBreak)).as("__r"))
+      .select((keys :+ ts).map(col) ++
+        rightCols.map(c => col(s"__r.$c").as(c)): _*)
     val nullL = leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
     val nullR = rightCols.map(c =>
       lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
@@ -61,9 +71,11 @@ object AsOfJoin {
     val lU = left.select(keyTs ++ Seq(lit(1).as("__side"),
       lit(null).cast(right.schema(tieBreak).dataType).as("__tie")) ++
       leftCols.map(col) ++ nullR: _*)
-    val rU = right.select(keyTs ++ Seq(lit(0).as("__side"),
+    val rU = rightOne.select(keyTs ++ Seq(lit(0).as("__side"),
       col(tieBreak).as("__tie")) ++ nullL ++
       rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    require(rightCols.contains(tieBreak),
+      s"tieBreak $tieBreak must be one of rightCols")
     val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc, col("__tie").asc)
@@ -129,14 +141,18 @@ object AsOfJoin {
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
          c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+           QUALIFY row_number()
+             OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
     "j11_asof_forward" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
          p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us
          FROM (SELECT * FROM events WHERE event_type = 'click') c
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+           QUALIFY row_number()
+             OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) p
            ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
   )

@@ -274,33 +274,45 @@ object Dedup {
   private val d6PlaneOff = 10
   private val d6Dims = 64
 
-  /** 4-bit sign signature of one band (native FloatVecDot per plane —
-    * a literal plane vector, same codegen path as Similarity.bucketOf). */
-  private def d6BandSig(emb: Column, band: Int): Column =
-    (0 until d6PlanesPerBand).map { j =>
+  /** Cosine floor of the d6 near-dup battery. */
+  private[operators] val d6Threshold = 0.45
+
+  /** Sign signature of one band under an arbitrary geometry (native
+    * FloatVecDot per plane — a literal plane vector, same codegen path
+    * as Similarity.bucketOf). */
+  private def d6BandSig(emb: Column, band: Int, planesPerBand: Int): Column =
+    (0 until planesPerBand).map { j =>
       val plane = typedlit((0 until d6Dims).map(d =>
-        Similarity.planeVal(d6PlaneOff + band * d6PlanesPerBand + j, d)))
+        Similarity.planeVal(d6PlaneOff + band * planesPerBand + j, d)))
       when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << j))
         .otherwise(0L)
     }.reduce(_ + _)
 
-  /** D6: embedding-cosine near-dup, candidates from BANDED hyperplane LSH
-    * (d3's band-join shape on sign signatures instead of minhashes), then
-    * exact cosine rerank >= 0.45 on candidate pairs only. Never O(n²):
-    * the join is keyed on (band, signature) — the round-1 all-pairs form
-    * survives as [[d6AllPairsExact]], the spec-side recall oracle.
-    * The DuckDB oracle mirrors the banding (candidate generation is
-    * probabilistic-by-design, so the gate verifies the banded semantics). */
-  val d6EmbeddingCosine: Q = (s, dir) => {
+  /** (vec_id, band, sig) band rows under a given geometry. */
+  private[operators] def d6Banded(e: DataFrame, bands: Int,
+                                  planesPerBand: Int): DataFrame =
+    e.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          d6BandSig(col("embedding"), b, planesPerBand).as("sig"))): _*))
+        .as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+
+  private def d6Embeddings(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
-    val e = t(s, dir, "embeddings").select(
+    t(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
       Vectors.norm(col("embedding")).as("nrm"))
-    val banded = e.select(col("vec_id"),
-      explode(array((0 until d6Bands).map(b =>
-        struct(lit(b).as("band"),
-          d6BandSig(col("embedding"), b).as("sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Banded-LSH near-dup pipeline under an arbitrary (bands, planes)
+    * geometry — candidate band-join + exact cosine rerank. */
+  private[graft] def d6WithGeometry(s: SparkSession, dir: String,
+                                    bands: Int, planesPerBand: Int): DataFrame = {
+    import graft.functions.Vectors
+    val e = d6Embeddings(s, dir)
+    val banded = d6Banded(e, bands, planesPerBand)
     val cand = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(banded.select(col("band"), col("sig"), col("vec_id").as("b")),
         Seq("band", "sig"))
@@ -314,9 +326,50 @@ object Dedup {
       .select(col("a"), col("b"),
         (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= d6Threshold)
       .orderBy(desc("cosine"), col("a"), col("b"))
   }
+
+  /** Band-geometry AUTO-TUNER — the production pre-flight for a new
+    * corpus (run next to the s3 bucket-skew diagnostic): among candidate
+    * geometries whose ANALYTIC recall at the threshold floor clears
+    * `minRecall` (P(candidate | cos=τ) = 1-(1-p^r)^B with p = 1-θ/π,
+    * the standard hyperplane-LSH collision model), pick the one with the
+    * lowest MEASURED candidate-pair volume Σ n·(n-1)/2 over actual
+    * (band, sig) bucket sizes — recall floor from analysis, cost from
+    * data. The gated d6 stays on the committed default geometry (its
+    * DuckDB oracle shares the plane constants); DedupSpec asserts the
+    * tuned geometry's measured recall vs d6AllPairsExact is no worse
+    * than the default's. */
+  private[graft] def d6TuneGeometry(
+      s: SparkSession, dir: String,
+      candidates: Seq[(Int, Int)] = Seq((4, 6), (6, 5), (8, 4), (12, 3)),
+      minRecall: Double = 0.75): (Int, Int) = {
+    val pAgree = 1.0 - math.acos(d6Threshold) / math.Pi
+    val viable = candidates.filter { case (bands, planes) =>
+      1.0 - math.pow(1.0 - math.pow(pAgree, planes), bands) >= minRecall
+    }
+    require(viable.nonEmpty, s"no candidate geometry reaches $minRecall")
+    val e = d6Embeddings(s, dir)
+    viable.minBy { case (bands, planes) =>
+      // Σ n·(n−1) — 2× the pair count, same argmin
+      d6Banded(e, bands, planes)
+        .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)))
+        .head().getLong(0)
+    }
+  }
+
+  /** D6: embedding-cosine near-dup, candidates from BANDED hyperplane LSH
+    * (d3's band-join shape on sign signatures instead of minhashes), then
+    * exact cosine rerank >= 0.45 on candidate pairs only. Never O(n²):
+    * the join is keyed on (band, signature) — the round-1 all-pairs form
+    * survives as [[d6AllPairsExact]], the spec-side recall oracle.
+    * The DuckDB oracle mirrors the banding (candidate generation is
+    * probabilistic-by-design, so the gate verifies the banded semantics);
+    * [[d6TuneGeometry]] is the data-driven geometry pre-flight. */
+  val d6EmbeddingCosine: Q = (s, dir) =>
+    d6WithGeometry(s, dir, d6Bands, d6PlanesPerBand)
 
   /** D7: dedup CLUSTERS — the stage after pair generation that every
     * production dedup pipeline needs: connected components over the

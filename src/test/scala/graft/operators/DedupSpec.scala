@@ -52,4 +52,24 @@ class DedupSpec extends SparkSpec {
       else banded.size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall (${banded.size}/${exact.size})")
   }
+
+  test("d6 geometry auto-tune: data-driven pick, recall >= default geometry") {
+    val (bands, planes) = Dedup.d6TuneGeometry(spark, dir)
+    // analytic recall floor must hold for the pick
+    val pAgree = 1.0 - math.acos(0.45) / math.Pi
+    val analytic = 1.0 - math.pow(1.0 - math.pow(pAgree, planes), bands)
+    assert(analytic >= 0.75, s"tuner picked ($bands,$planes): $analytic")
+    val exact = Dedup.d6AllPairsExact(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"non-exact pairs: ${got -- exact}")
+      if (exact.isEmpty) 1.0 else got.size.toDouble / exact.size
+    }
+    val tuned = recallOf(Dedup.d6WithGeometry(spark, dir, bands, planes))
+    val default = recallOf(Dedup.queries("d6_embedding_cosine")(spark, dir))
+    assert(tuned >= default,
+      s"tuned ($bands,$planes) recall $tuned < default recall $default")
+  }
 }
