@@ -307,26 +307,40 @@ object Dedup {
   }
 
   /** Banded-LSH near-dup pipeline under an arbitrary (bands, planes)
-    * geometry — candidate band-join + exact cosine rerank. */
+    * geometry — candidate band-join + exact cosine rerank.
+    *
+    * Candidate-stream staging is size-adaptive (measured at ~sf1, where
+    * the candidate stream hits ~10⁸ rows): when the embeddings frame
+    * fits an executor, the rerank joins are BROADCAST and the candidate
+    * stream never shuffles at all — duplicates from multi-band
+    * collisions are reranked redundantly (codegen'd dot, cheap) and
+    * deduped only after the τ filter, d5's late-distinct rule. When the
+    * corpus outgrows the broadcast ceiling, the candidate set is
+    * distincted FIRST so the shuffle joins move each pair once. */
   private[graft] def d6WithGeometry(s: SparkSession, dir: String,
                                     bands: Int, planesPerBand: Int): DataFrame = {
     import graft.functions.Vectors
     val e = d6Embeddings(s, dir)
+    val small =
+      e.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCeiling
     val banded = d6Banded(e, bands, planesPerBand)
-    val cand = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
+    val cand0 = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(banded.select(col("band"), col("sig"), col("vec_id").as("b")),
         Seq("band", "sig"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    val cand = if (small) cand0 else cand0.distinct()
+    def side(df: DataFrame) = if (small) broadcast(df) else df
     val l = e.select(col("vec_id").as("a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val r = e.select(col("vec_id").as("b"), col("embedding").as("eb"),
       col("nrm").as("nb"))
-    cand.join(l, Seq("a")).join(r, Seq("b"))
+    cand.join(side(l), Seq("a")).join(side(r), Seq("b"))
       .select(col("a"), col("b"),
         (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .as("cosine"))
       .filter(col("cosine") >= d6Threshold)
+      .distinct()
       .orderBy(desc("cosine"), col("a"), col("b"))
   }
 

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seed-pinned ~sf1 generator for the scale-headroom run (BASELINE.md
+  * §"sf1 scale evidence"): 10× the sf0.1 cardinalities for the four
+  * tables the d-battery / fs_single_pass / e8 read. NOT committed as
+  * data — regenerate with `runMain graft.tools.GenScale [outDir]`.
+  *
+  * All randomness is xxhash64(id, streamId) — a pure function of the row
+  * id, so the dataset is bit-reproducible regardless of partitioning
+  * (unlike rand(seed), which keys on partition layout). Planted
+  * structure mirrors the driver testdata's shape: ~1% exact-dup
+  * documents (doc_id % 100 == 1 copies the previous doc) and ~2%
+  * near-dup embeddings (vec_id % 50 == 1 perturbs the previous vector),
+  * so the dedup batteries do real candidate work at scale.
+  */
+object GenScale {
+
+  /** Uniform [0,1) from (id column, stream tag). */
+  private def u(id: org.apache.spark.sql.Column, stream: Int) =
+    pmod(xxhash64(id, lit(stream)), lit(1000000L)) / 1000000.0
+
+  def documents(s: SparkSession, n: Long): DataFrame = {
+    val base = s.range(n).select(col("id").as("doc_id"),
+      // exact-dup plant: every 101st doc duplicates its predecessor
+      when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+        .as("eff"))
+      .withColumn("len", (lit(30) + pmod(xxhash64(col("eff"), lit(1)),
+        lit(171L))).cast("int"))
+    // zipf-ish vocabulary: u^3 concentrates mass on low word ids
+    base.withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("len")), i =>
+          concat(lit("w"), floor(lit(30000) *
+            pow(pmod(xxhash64(col("eff"), i + 100), lit(1000000L)) /
+              1000000.0, 3.0)).cast("long")))))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        element_at(array(lit("web"), lit("book"), lit("code")),
+          (pmod(col("eff"), lit(3)) + 1).cast("int")).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def embeddings(s: SparkSession, n: Long): DataFrame = {
+    val base = s.range(n).select(col("id").as("vec_id"),
+      when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id"))
+        .as("eff"),
+      (col("id") % 50 === 1).as("near"))
+    val dims = (0 until 64).map { d =>
+      val v = u(col("eff"), d) - 0.5
+      val jitter = (u(col("vec_id"), 200 + d) - 0.5) * 0.02
+      when(col("near"), v + jitter).otherwise(v).cast("float")
+    }
+    base.select(col("vec_id"), array(dims: _*).as("embedding"),
+      pmod(col("vec_id"), lit(20)).cast("int").as("label"))
+  }
+
+  def events(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("event_id"),
+      // 30 days at second granularity, stored as LongType ns (the type
+      // the engine sees after the nanosAsLong read of the driver data)
+      (lit(1704067200L) + pmod(xxhash64(col("id"), lit(2)),
+        lit(30L * 86400))).*(lit(1000000000L)).as("ts"),
+      pmod(xxhash64(col("id"), lit(1)), lit(20000L)).as("user_id"),
+      when(u(col("id"), 3) < 0.6, "click")
+        .when(u(col("id"), 3) < 0.9, "view")
+        .otherwise("purchase").as("event_type"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10000L)) / 100.0).as("value"),
+      concat(lit("""{"device":"d"""), pmod(col("id"), lit(5)),
+        lit("""","v":"""), pmod(col("id"), lit(7)), lit("}")).as("props"))
+
+  def lineitem(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(0)), lit(200000L)).as("l_partkey"),
+      pmod(xxhash64(col("id"), lit(1)), lit(10000L)).as("l_suppkey"),
+      (pmod(col("id"), lit(7)) + 1).cast("int").as("l_linenumber"),
+      (lit(1) + pmod(xxhash64(col("id"), lit(2)), lit(50L)))
+        .cast("double").as("l_quantity"),
+      (lit(900.0) + pmod(xxhash64(col("id"), lit(3)), lit(100000L)) / 100.0)
+        .as("l_extendedprice"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(11L)) / 100.0).as("l_discount"),
+      (pmod(xxhash64(col("id"), lit(6)), lit(9L)) / 100.0).as("l_tax"),
+      when(u(col("id"), 7) < 0.25, "R").when(u(col("id"), 7) < 0.5, "A")
+        .otherwise("N").as("l_returnflag"),
+      when(u(col("id"), 8) < 0.5, "F").otherwise("O").as("l_linestatus"),
+      to_timestamp(date_add(to_date(lit("1995-01-01")),
+        pmod(xxhash64(col("id"), lit(5)), lit(1642L)).cast("int")))
+        .as("l_shipdate"))
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
+    val s = graft.core.Sessions.get()
+    Seq(
+      ("documents", documents(s, 50000)),
+      ("embeddings", embeddings(s, 20000)),
+      ("events", events(s, 1000000)),
+      ("lineitem", lineitem(s, 6000000)),
+    ).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] wrote $name")
+    }
+    s.stop()
+  }
+}

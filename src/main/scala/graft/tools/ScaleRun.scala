@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Scale-headroom harness: runs the dedup battery + fs_single_pass + e8
+  * against a GenScale-generated ~sf1 dir, reporting per-query wall time,
+  * shuffle read/write bytes, and peak streaming-state rows — the
+  * measured evidence behind BASELINE.md's "scale posture" claims.
+  * Usage: runMain graft.tools.ScaleRun [sfDir] [passes]
+  */
+object ScaleRun {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
+    val passes = if (args.length > 1) args(1).toInt else 2
+    val spark = graft.core.Sessions.get()
+
+    @volatile var shufRead = 0L
+    @volatile var shufWrite = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead += m.shuffleReadMetrics.totalBytesRead
+          shufWrite += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    })
+    @volatile var peakStateRows = 0L
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+        if (rows > peakStateRows) peakStateRows = rows
+      }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+
+    val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
+      "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
+      "d7_dedup_clusters", "fs_single_pass", "e8_stream_join")
+    (1 to passes).foreach { pass =>
+      names.foreach { name =>
+        val (r0, w0, s0) = (shufRead, shufWrite, peakStateRows)
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] pass=$pass q=$name%-20s ${sec}%7.2fs rows=$n%-8d " +
+          f"shufR=${(shufRead - r0) / 1e6}%9.1fMB " +
+          f"shufW=${(shufWrite - w0) / 1e6}%9.1fMB " +
+          f"stateRows=${math.max(peakStateRows - s0, 0)}")
+      }
+    }
+    spark.stop()
+  }
+}
