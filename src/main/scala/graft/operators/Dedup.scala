@@ -440,6 +440,45 @@ object Dedup {
     out
   }
 
+  /** Cluster-assignment "silver table": d7's output persisted once per
+    * (session, dir) — the lifecycle contract of the shingle stage above.
+    * In production the CC labels are written once per dedup run and read
+    * by every downstream keep/drop decision; here d7 (the gated CC
+    * computation) and d8 (the keep rule) share the persisted frame. */
+  private val cachedClusters =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusters(s: SparkSession, dir: String): DataFrame =
+    cachedClusters.computeIfAbsent((s, dir), { case (ss, d) =>
+      val df = d7DedupClusters(ss, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  /** D8: the KEEP RULE — the decision stage after cluster formation that
+    * an actual dedup pipeline ships: per cluster, keep the member with
+    * the best t2 quality score (ties → lowest doc_id), count the rest as
+    * dropped. Composes d7's connected components with TextAnalysis's
+    * quality model; one groupBy over cluster-count rows (tiny — cluster
+    * cardinality ≪ corpus), argmax via map-side-combinable max_by.
+    * Oracle: the d7 recursive-CTE closure joined to the t2 quality SQL
+    * with a window argmax — different algorithms end to end. */
+  val d8ClusterKeep: Q = (s, dir) => {
+    val quality = TextAnalysis.t2Quality(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    clusters(s, dir).join(quality, Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), col("k.doc_id").as("keeper"),
+        col("k.quality_score").as("keeper_quality"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_rep")
+  }
+
   /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query
     * registry: it is the spec-side recall oracle for [[d6EmbeddingCosine]]
     * (DedupSpec measures which exact pairs the banding recovers). */
@@ -507,7 +546,10 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d6_embedding_cosine" -> d6EmbeddingCosine,
-    "d7_dedup_clusters" -> d7DedupClusters,
+    // d7/d8 share the persisted cluster silver stage
+    "d7_dedup_clusters" -> ((s, d) =>
+      clusters(s, d).orderBy("cluster_rep", "doc_id")),
+    "d8_cluster_keep" -> d8ClusterKeep,
   )
 
   private lazy val d3OracleSql: String =
@@ -537,7 +579,7 @@ object Dedup {
               / len(list_distinct(list_concat(sa, sb))) >= 0.8
           ORDER BY a, b"""
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
@@ -566,6 +608,32 @@ object Dedup {
           SELECT cc.node AS doc_id, cc.cluster_rep, s.n_members
           FROM cc JOIN sizes s USING (cluster_rep)
           ORDER BY cluster_rep, doc_id""",
+    // Same recursive-CTE closure as d7, joined to the t2 quality SQL and
+    // argmax'd with a window — vs the Spark side's min-label propagation
+    // + map-side max_by.
+    "d8_cluster_keep" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($d3OracleSql)),
+          edges AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b AS a, a AS b FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          walk(node, reach) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+          cc AS (SELECT node, MIN(reach) AS cluster_rep FROM walk GROUP BY 1),
+          q AS (SELECT doc_id, quality_score
+                FROM (${TextAnalysis.oracle("t2_quality")})),
+          ranked AS (
+            SELECT cc.cluster_rep, cc.node AS doc_id, q.quality_score,
+              COUNT(*) OVER (PARTITION BY cc.cluster_rep) AS n_members,
+              row_number() OVER (PARTITION BY cc.cluster_rep
+                ORDER BY q.quality_score DESC, cc.node ASC) AS rn
+            FROM cc JOIN q ON q.doc_id = cc.node)
+          SELECT cluster_rep, doc_id AS keeper,
+            quality_score AS keeper_quality,
+            CAST(n_members AS BIGINT) AS n_members,
+            CAST(n_members - 1 AS BIGINT) AS n_dropped
+          FROM ranked WHERE rn = 1 ORDER BY cluster_rep""",
     "d4_simhash" ->
       s"""WITH b AS (
             SELECT doc_id,
