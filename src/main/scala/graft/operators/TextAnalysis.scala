@@ -168,6 +168,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Training-block capacity for [[t8SequencePack]] (tokens per packed
+    * sequence — the GPT-style fixed context length). */
+  private[operators] val packCapacity = 2048L
+
+  /** Bucket width of the two-level cumulative sum (docs per bucket). */
+  private[operators] val packBucket = 512L
+
+  /** T8: SEQUENCE PACKING — the concat-then-chunk layout every LLM
+    * training pipeline runs before batching: documents are concatenated
+    * in doc_id order and chunked into fixed `packCapacity`-token
+    * training blocks; per doc emit its global token offset, its
+    * first/last block, and whether it straddles a block boundary (the
+    * attention-masking case).
+    *
+    * The global running sum is computed SCALABLY as a two-level scan —
+    * a per-bucket window (doc_id ranges of `packBucket` docs) plus a
+    * bucket-offset join (the offsets frame has n/packBucket rows:
+    * metadata-scale, its window is cheap) — never the naive
+    * `Window.orderBy` with no partition, which drags the whole corpus
+    * through ONE task. TextAnalysisSpec proves the two-level scan equals
+    * the naive single-window form. */
+  val t8SequencePack: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents").select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      floor(col("doc_id") / packBucket).as("bkt"))
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tok.withColumn("local_start",
+      coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tok.groupBy("bkt").agg(sum("n_tokens").as("bt"))
+      .withColumn("bkt_off", coalesce(sum("bt").over(wBkt), lit(0L)))
+      .select("bkt", "bkt_off")
+    local.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("global_start", col("bkt_off") + col("local_start"))
+      .withColumn("first_block",
+        floor(col("global_start") / packCapacity))
+      .withColumn("last_block",
+        floor((col("global_start") + col("n_tokens") - 1) / packCapacity))
+      .select(col("doc_id"), col("n_tokens"), col("global_start"),
+        col("first_block"), col("last_block"),
+        (col("first_block") =!= col("last_block")).as("straddles"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -180,6 +227,7 @@ object TextAnalysis {
     "t5_repetition" -> t5Repetition,
     "t6_redact" -> t6Redact,
     "t7_vocab" -> t7Vocab,
+    "t8_sequence_pack" -> t8SequencePack,
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,6 +301,28 @@ object TextAnalysis {
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
          FROM tok GROUP BY 1
          ORDER BY tf DESC, token LIMIT 50""",
+    // Naive single-window global cumsum — INDEPENDENT of the Spark
+    // side's two-level scan (which must equal it exactly).
+    "t8_sequence_pack" ->
+      s"""WITH tok AS (
+            SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                AS n_tokens
+            FROM documents),
+          cum AS (
+            SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS global_start
+            FROM tok)
+          SELECT doc_id, n_tokens, global_start,
+            CAST(floor(global_start / $packCapacity) AS BIGINT) AS first_block,
+            CAST(floor((global_start + n_tokens - 1) / $packCapacity)
+              AS BIGINT) AS last_block,
+            floor(global_start / $packCapacity)
+              <> floor((global_start + n_tokens - 1) / $packCapacity)
+              AS straddles
+          FROM cum ORDER BY doc_id""",
     "t4_fingerprint" ->
       s"""WITH b AS (
             SELECT doc_id,

@@ -34,6 +34,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t8 sequence pack: two-level scan equals the naive global window; " +
+    "offsets contiguous") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.t8SequencePack(spark, dir).collect()
+    // naive form: ONE unpartitioned window over the whole corpus — the
+    // single-task anti-pattern the operator avoids, used here as ground
+    // truth only
+    val tok = graft.core.Tables.t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val naive = tok.withColumn("global_start",
+      coalesce(sum("n_tokens").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("doc_id").collect()
+    assert(got.length === naive.length)
+    got.zip(naive).foreach { case (g, n) =>
+      assert(g.getAs[Long]("doc_id") === n.getAs[Long]("doc_id"))
+      assert(g.getAs[Long]("global_start") === n.getAs[Long]("global_start"),
+        s"doc ${g.getAs[Long]("doc_id")}")
+    }
+    // packing invariants: contiguous offsets, blocks consistent
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("global_start") + a.getAs[Long]("n_tokens")
+          === b.getAs[Long]("global_start"))
+      case _ =>
+    }
+    got.foreach { r =>
+      val fb = r.getAs[Long]("first_block")
+      val lb = r.getAs[Long]("last_block")
+      assert(lb >= fb)
+      assert(r.getAs[Boolean]("straddles") === (fb != lb))
+    }
+    assert(got.exists(_.getAs[Boolean]("straddles")),
+      "no doc straddles a block boundary — fixture too small?")
+  }
+
   test("t5 repetition ratio: duplicated shingles raise the ratio") {
     // the planted exact-duplicate docs in the corpus must have the same
     // rep_ratio as their originals (same text → same shingle multiset)
