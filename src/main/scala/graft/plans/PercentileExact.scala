@@ -37,16 +37,22 @@ final class DoublesBuf(private var a: Array[Double], private var sz: Int) {
   }
 
   /** Interpolated percentile over the sorted values (sorts in place —
-    * call only at eval). Same rank rule as Spark's builtin Percentile
-    * and DuckDB's quantile_cont: pos = p·(n−1), linear interpolation
-    * between the straddling values. */
+    * call only at eval). Rank rule pos = p·(n−1) with SYMMETRIC linear
+    * interpolation lo·(1−f) + hi·f — the exact fp form DuckDB's
+    * quantile_cont/median uses (verified empirically over random pairs;
+    * the lerp form lo + (hi−lo)·f differs in the last ulp often enough
+    * to flip 6-sig-fig canonicalization at .x5 boundaries, which is a
+    * gate flake, not a math difference). */
   def percentile(p: Double): Double = {
     java.util.Arrays.sort(a, 0, sz)
     val pos = p * (sz - 1)
     val lo = math.floor(pos).toInt
     val hi = math.ceil(pos).toInt
     if (lo == hi) a(lo)
-    else a(lo) + (a(hi) - a(lo)) * (pos - lo)
+    else {
+      val f = pos - lo
+      a(lo) * (1.0 - f) + a(hi) * f
+    }
   }
 
   def serialize(): Array[Byte] = {

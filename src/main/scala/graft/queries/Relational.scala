@@ -324,6 +324,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** W4 (extension): RUNNING EXACT MEDIAN — the native ExactPercentile
+    * TypedImperativeAggregate evaluated inside a growing window frame
+    * (per customer, order history to date). Exercises the custom
+    * aggregate through WindowExec's imperative-buffer path rather than
+    * the GroupBy path the other medians use; oracle is DuckDB's
+    * windowed median (quantile_cont interpolation — same rank rule). */
+  private val w4RunningMedian: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("run_median",
+        graft.functions.Agg.exactPercentile(col("o_totalprice"), 0.5)
+          .over(run))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** U7 (extension): EXCEPT (distinct) — customers who never placed an
     * urgent order, as a set difference of key sets. */
   private val u6Except: Q = (s, dir) => {
@@ -557,6 +577,7 @@ object Relational {
     "a18_grouping_sets" -> a18GroupingSets,
     "w2_lag_lead" -> w2LagLead,
     "w3_running" -> w3Running,
+    "w4_running_median" -> w4RunningMedian,
     "u6_except" -> u6Except,
     "u7_intersect" -> u7Intersect,
     "u8_content_sample" -> u8ContentSample,
@@ -726,6 +747,13 @@ object Relational {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total,
          CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS prio_quartile
+         FROM orders
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "w4_running_median" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         median(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_median
          FROM orders
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "u6_except" ->
