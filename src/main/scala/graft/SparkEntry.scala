@@ -19,7 +19,7 @@ object SparkEntry {
     (Events.queries, Events.oracle),
     (Pipeline.queries, Pipeline.oracle),
     (MlQueries.queries, MlQueries.oracle),
-    (TextAnalysis.queries, TextAnalysis.oracle),
+    (TextAnalysis.queries, TextAnalysis.oracleAll),
     (Dedup.queries, Dedup.oracle),
     (Similarity.queries, Similarity.oracle),
     (Multimodal.queries, Multimodal.oracle),

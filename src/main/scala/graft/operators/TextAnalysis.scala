@@ -215,6 +215,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality floor of the curation pipeline (c1). */
+  private[operators] val c1QualityFloor = 0.5
+
+  /** C1: the END-TO-END CURATION pipeline — what the whole battery is
+    * for: exact-dedup keepers only (d1's min-doc_id rule) ∩ language
+    * filter (t3, keep 'en') ∩ quality floor (t2 score ≥ 0.5), annotated
+    * with the BPE-ish token count (t1) that feeds the packing layout
+    * (t8). Pure composition of already-gated operators — the oracle
+    * composes their SQL twins the same way, so the gate checks operator
+    * INTEROP, not just each stage alone. All joins are on doc_id
+    * (co-partitioned after the first shuffle); d1's keeper set arrives
+    * as a left-semi join. */
+  val c1Curation: Q = (s, dir) => {
+    val keepers = Dedup.d1Exact(s, dir).select(col("keeper").as("doc_id"))
+    val quality = t2Quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val lang = t3LangId(s, dir).select(col("doc_id"), col("lang_pred"))
+    val tokens = t1Tokens(s, dir).select(col("doc_id"), col("n_regex_tokens"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(tokens, Seq("doc_id"))
+      .filter(col("lang_pred") === "en" &&
+        col("quality_score") >= c1QualityFloor)
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("quality_score"), col("n_regex_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -228,7 +257,31 @@ object TextAnalysis {
     "t6_redact" -> t6Redact,
     "t7_vocab" -> t7Vocab,
     "t8_sequence_pack" -> t8SequencePack,
+    "c1_curation" -> c1Curation,
   )
+
+  /** C1 oracle: the t1/t2/t3 oracle queries composed exactly as the
+    * Spark side composes the operator frames (lazy: reads the oracle
+    * map after initialization). */
+  private lazy val c1Sql: String =
+    s"""WITH keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+        q AS (SELECT doc_id, quality_score FROM (${oracle("t2_quality")})),
+        l AS (SELECT doc_id, lang_pred FROM (${oracle("t3_langid")})),
+        tok AS (SELECT doc_id, n_regex_tokens FROM (${oracle("t1_tokens")}))
+        SELECT d.doc_id, d.source, l.lang_pred, q.quality_score,
+          tok.n_regex_tokens
+        FROM documents d
+        JOIN keepers k ON d.doc_id = k.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN l ON l.doc_id = d.doc_id
+        JOIN tok ON tok.doc_id = d.doc_id
+        WHERE l.lang_pred = 'en' AND q.quality_score >= $c1QualityFloor
+        ORDER BY d.doc_id"""
+
+  lazy val oracleAll: Map[String, String] =
+    oracle + ("c1_curation" -> c1Sql)
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" ->
