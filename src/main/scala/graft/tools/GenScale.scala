@@ -29,12 +29,20 @@ object GenScale {
         .as("eff"))
       .withColumn("len", (lit(30) + pmod(xxhash64(col("eff"), lit(1)),
         lit(171L))).cast("int"))
-    // zipf-ish vocabulary: u^3 concentrates mass on low word ids
+    // ~35% English stopword mass (keeps lang-ID/quality/curation live on
+    // this corpus) + zipf-ish content vocabulary (u^3 concentrates mass
+    // on low word ids — hot-shingle stress for the prefix filter)
+    val stopWords = array(Seq("the", "a", "is", "and", "of", "to", "in",
+      "it", "for", "on", "as", "was").map(lit): _*)
     base.withColumn("text", concat_ws(" ",
         transform(sequence(lit(1), col("len")), i =>
-          concat(lit("w"), floor(lit(30000) *
-            pow(pmod(xxhash64(col("eff"), i + 100), lit(1000000L)) /
-              1000000.0, 3.0)).cast("long")))))
+          when(pmod(xxhash64(col("eff"), i + 5000), lit(100L)) < 35,
+            element_at(stopWords,
+              (pmod(xxhash64(col("eff"), i + 7000), lit(12L)) + 1)
+                .cast("int")))
+            .otherwise(concat(lit("w"), floor(lit(30000) *
+              pow(pmod(xxhash64(col("eff"), i + 100), lit(1000000L)) /
+                1000000.0, 3.0)).cast("long"))))))
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
         element_at(array(lit("web"), lit("book"), lit("code")),
           (pmod(col("eff"), lit(3)) + 1).cast("int")).as("source"),
@@ -89,6 +97,20 @@ object GenScale {
         pmod(xxhash64(col("id"), lit(5)), lit(1642L)).cast("int")))
         .as("l_shipdate"))
 
+  def orders(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(1)), lit(150000L)).as("o_custkey"),
+      to_timestamp(date_add(to_date(lit("1995-01-01")),
+        pmod(xxhash64(col("id"), lit(2)), lit(1642L)).cast("int")))
+        .as("o_orderdate"),
+      (lit(1000.0) + pmod(xxhash64(col("id"), lit(3)), lit(45000000L)) / 100.0)
+        .as("o_totalprice"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (pmod(xxhash64(col("id"), lit(4)), lit(5)) + 1).cast("int"))
+        .as("o_orderpriority"))
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
     val s = graft.core.Sessions.get()
@@ -97,6 +119,7 @@ object GenScale {
       ("embeddings", embeddings(s, 20000)),
       ("events", events(s, 1000000)),
       ("lineitem", lineitem(s, 6000000)),
+      ("orders", orders(s, 1500000)),
     ).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[genscale] wrote $name")

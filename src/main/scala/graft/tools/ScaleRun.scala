@@ -42,7 +42,9 @@ object ScaleRun {
 
     val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
       "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
-      "d7_dedup_clusters", "fs_single_pass", "e8_stream_join")
+      "d7_dedup_clusters", "d8_cluster_keep", "t8_sequence_pack",
+      "w4_running_median", "c1_curation", "fs_single_pass",
+      "e8_stream_join")
     (1 to passes).foreach { pass =>
       names.foreach { name =>
         val (r0, w0, s0) = (shufRead, shufWrite, peakStateRows)
