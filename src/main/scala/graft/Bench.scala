@@ -14,12 +14,16 @@ package graft
   *    arrays, exact-percentile ObjectHashAggregate, MLlib RF fit,
   *    streaming micro-batch, parquet write jobs) pays its one-time
   *    JIT/C2/codegen/first-write cost outside the timed region; passes
-  *    2-3 are timed and the reported number is the per-query MIN —
+  *    2-4 are timed and the reported number is the per-query MIN —
   *    steady-state, robust to transient host contention (observed 3×
   *    inflation of a single pass on shared cores). A fresh-JVM n=1
   *    single pass conflates ~2-3 min of JVM compilation with plan cost
   *    and makes real plan regressions indistinguishable from noise
-  *    (round-1 lesson: 246 s cold vs 80 s steady on identical plans).
+  *    (round-1 lesson: 246 s cold vs 80 s steady on identical plans;
+  *    round-4 lesson: with min-of-2, ONE contended pass still leaks
+  *    into a handful of per-query numbers — BENCH_r04 reported 3-6×
+  *    inflation on queries whose code had not changed since r03, so the
+  *    min is now over THREE timed passes).
   *  - A query that throws in any timed pass is recorded with time -1.0
   *    and listed in "errors" — it never silently counts as a fast
   *    success, and the total sums successful queries only.
@@ -36,15 +40,16 @@ object Bench {
     val t0w = System.nanoTime()
     names.foreach { n => try run(n) catch { case _: Throwable => () } }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
-    // Passes 2-3: timed; report the per-query min.
+    // Passes 2-4: timed; report the per-query min.
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val passes = Seq.fill(3)(timedPass())
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val ts = passes.map(_(i)._2)
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val errors = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -53,6 +53,13 @@ object Sessions {
       // instead of per-store unbounded LRU — the executor-memory guard
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
         "true")
+      // commit the per-batch changelog instead of a full SST snapshot
+      // (snapshots amortize in background maintenance) — cuts the
+      // per-micro-batch commit cost that dominates e8's 32×4 store
+      // commits; at 100 TB state it is the difference between commit
+      // time scaling with STATE SIZE vs with BATCH DELTA
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -54,6 +54,11 @@ object AsOfJoin {
                        ts: String, leftCols: Seq[String],
                        rightCols: Seq[String], tieBreak: String,
                        forward: Boolean): DataFrame = {
+    // Validate before building rightOne/lU/rU: a tieBreak outside
+    // rightCols would otherwise surface as an opaque unresolved-column
+    // AnalysisException from rU instead of this message.
+    require(rightCols.contains(tieBreak),
+      s"tieBreak $tieBreak must be one of rightCols")
     // ONE deterministic right row per (keys, ts) BEFORE the union:
     // max-tieBreak wins. ASOF among duplicate right timestamps is
     // engine-unspecified (DuckDB picks arbitrarily), so the operator
@@ -74,8 +79,6 @@ object AsOfJoin {
     val rU = rightOne.select(keyTs ++ Seq(lit(0).as("__side"),
       col(tieBreak).as("__tie")) ++ nullL ++
       rightCols.map(c => col(c).as(s"asof_$c")): _*)
-    require(rightCols.contains(tieBreak),
-      s"tieBreak $tieBreak must be one of rightCols")
     val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc, col("__tie").asc)

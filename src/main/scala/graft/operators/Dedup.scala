@@ -90,8 +90,17 @@ object Dedup {
   private val cachedShingled =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Registry key: session + CONTENT fingerprint of the dir (names/sizes/
+    * mtimes), not the path alone — if the driver regenerates testdata in
+    * place, path-keyed entries would serve stale silver frames against a
+    * fresh oracle (the exact staleness Tables.sourceFingerprint guards
+    * the staging dirs from). */
+  private def regKey(s: SparkSession, dir: String): (SparkSession, String) =
+    (s, dir + "@" + graft.core.Tables.sourceFingerprint(dir))
+
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
-    cachedShingled.computeIfAbsent((s, dir), { case (ss, d) =>
+    cachedShingled.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
+      val d = dir
       val base = withShingleCols(t(ss, d, "documents"))
         .select(col("doc_id"), col("hs"))
       val ex = base.select(col("doc_id"),
@@ -449,8 +458,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def clusters(s: SparkSession, dir: String): DataFrame =
-    cachedClusters.computeIfAbsent((s, dir), { case (ss, d) =>
-      val df = d7DedupClusters(ss, d)
+    cachedClusters.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
+      val df = d7DedupClusters(ss, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df

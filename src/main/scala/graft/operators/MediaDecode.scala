@@ -49,6 +49,10 @@ object MediaDecode {
     val compression = bb.getInt(30)
     require(bpp == 24 && compression == 0,
       s"only uncompressed 24-bpp BMP supported (bpp=$bpp, comp=$compression)")
+    // Untrusted header fields: a negative/huge width would overflow
+    // width*3 (and the stride math) before the truncation check below.
+    require(width > 0 && height > 0 && width <= (Int.MaxValue - 3) / 3 &&
+      dataOff >= 54, s"bad BMP dimensions (${width}x$height, dataOff=$dataOff)")
     val rowBytes = width * 3
     val stride = (rowBytes + 3) & ~3
     require(dataOff + stride.toLong * height <= b.length, "truncated BMP")
@@ -117,7 +121,12 @@ object MediaDecode {
     while (off + 8 <= b.length) {
       val id = bb.getInt(off)
       val len = bb.getInt(off + 4)
+      // Untrusted length: a negative len makes the walk non-increasing
+      // (an executor task spinning forever, not the contract's throw).
+      require(len >= 0 && off + 8 + len.toLong <= b.length,
+        s"bad WAV chunk length $len at offset $off")
       if (id == 0x20746d66) { // 'fmt '
+        require(len >= 16, s"truncated fmt chunk ($len B)")
         val fmt = bb.getShort(off + 8) & 0xffff
         require(fmt == 1, s"only PCM WAV supported (format=$fmt)")
         channels = bb.getShort(off + 10) & 0xffff

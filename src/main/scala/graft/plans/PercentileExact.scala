@@ -56,6 +56,12 @@ final class DoublesBuf(private var a: Array[Double], private var sz: Int) {
   }
 
   def serialize(): Array[Byte] = {
+    // 4 + 8*sz in Int arithmetic overflows negative at ~268M values and
+    // allocate() would throw an unexplained IllegalArgumentException
+    // mid-shuffle; fail with the remedy instead.
+    require(sz <= (Int.MaxValue - 4) / 8,
+      s"exact-percentile state too large ($sz values in one group); " +
+        "use the approx percentile path for groups this size")
     val bb = ByteBuffer.allocate(4 + 8 * sz).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(sz)
     var i = 0

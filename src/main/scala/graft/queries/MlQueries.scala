@@ -49,8 +49,15 @@ object MlQueries {
   private val cachedAbt =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Registry key: session + content fingerprint, not the raw path — an
+    * in-place regeneration of `dir` must refit/rebuild, never serve the
+    * stale frame (Dedup.regKey precedent). */
+  private def regKey(s: SparkSession, dir: String): (SparkSession, String) =
+    (s, dir + "@" + graft.core.Tables.sourceFingerprint(dir))
+
   private[graft] def abt(s: SparkSession, dir: String): DataFrame =
-    cachedAbt.computeIfAbsent((s, dir), { case (ss, d) =>
+    cachedAbt.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
+      val d = dir
       val df = abtPlan(ss, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now so every consumer hits warm blocks
@@ -72,8 +79,8 @@ object MlQueries {
       org.apache.spark.ml.PipelineModel]()
 
   private[graft] def model(s: SparkSession, dir: String) =
-    fitted.computeIfAbsent((s, dir), { case (ss, d) =>
-      val sp = AbtSplits.split(abt(ss, d), "o_custkey", "yr", 1998)
+    fitted.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
+      val sp = AbtSplits.split(abt(ss, dir), "o_custkey", "yr", 1998)
       // Content-hash partitioning (not round-robin) + in-partition sort +
       // persist before the multi-pass RF fit: MLlib's bagging/split-
       // finding RNG streams are keyed on (partition index, row order), so
