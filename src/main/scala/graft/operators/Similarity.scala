@@ -154,6 +154,38 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** S5: batch kNN JOIN — EVERY vector joined to its top-3 approximate
+    * neighbors (s2's ANN with the query filter removed): the self-join
+    * form that embedding-level dedup, cluster seeding, and
+    * retrieval-index bootstrap all run over the full corpus. Shape:
+    * multi-probe explode on the query side (7 of 2^P buckets), candidates
+    * from their own bucket only, exact cosine + rank within the probed
+    * union. At 100 TB the join never goes all-pairs — candidate volume is
+    * Σ_b (probe·n_b)·n_b, and P grows with n to keep per-bucket occupancy
+    * flat (the d6 sf1 lesson: occupancy drives candidate volume
+    * quadratically). The window ranks per qid over its probed candidates
+    * only — bounded fan-in, no global sort. */
+  val s5KnnJoin: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"), bucketOf(col("embedding")).as("bkt"))
+    val probeMasks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("nrm").as("qn"),
+      explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
+        .as("bkt"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bkt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** S3: bucket histogram — the LSH load-balance diagnostic (bucket id →
     * vector count). At 100 TB this is the skew check run before choosing P. */
   val s3BucketStats: Q = (s, dir) =>
@@ -188,6 +220,7 @@ object Similarity {
     "s2_lsh_ann" -> s2LshAnn,
     "s3_bucket_stats" -> s3BucketStats,
     "s4_ivf_ann" -> s4IvfAnn,
+    "s5_knn_join" -> s5KnnJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +262,27 @@ object Similarity {
       s"""SELECT ${bucketSql("embedding")} AS bkt,
           CAST(count(*) AS BIGINT) AS n_vectors
           FROM embeddings GROUP BY 1 ORDER BY 1""",
+    // Same bucketed join as the Spark side (DuckDB would take hours on
+    // the naive n^2 form at sf0.1) — the recall-vs-exact check lives in
+    // SimilaritySpec against s1's brute force on the query subset.
+    "s5_knn_join" ->
+      s"""WITH $normCte,
+          eb AS (SELECT vec_id, embedding, nrm,
+                   ${bucketSql("embedding")} AS bkt FROM e),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+                  xor(bkt, m.m) AS bkt
+                FROM eb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m),
+          c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bkt FROM eb),
+          scored AS (
+            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+            FROM q JOIN c USING (bkt) WHERE qid <> cid),
+          ranked AS (
+            SELECT qid, cid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS INT) AS rk
+            FROM scored)
+          SELECT qid, cid, cosine, rk FROM ranked
+          WHERE rk <= 3 ORDER BY qid, rk""",
     "s4_ivf_ann" ->
       s"""WITH cent AS (
             SELECT label AS cell,

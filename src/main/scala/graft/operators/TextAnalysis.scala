@@ -215,6 +215,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Number of merges trained by [[t9BpeTrain]]. */
+  private[operators] val bpeMerges = 5
+
+  /** T9: distributed BPE MERGE TRAINING — the tokenizer-training loop
+    * itself, not just a pre-tokenizer count (t1): words become
+    * space-separated character symbols; each iteration counts adjacent
+    * symbol pairs corpus-wide (one map-side-combinable groupBy), picks
+    * the most frequent pair (ties → lexicographically first), and
+    * applies the merge with a literal string replace. Output is the
+    * merge table (rank, pair, freq) a BPE tokenizer ships.
+    *
+    * Scale shape: per iteration ONE aggregation over the symbolized
+    * corpus plus a narrow map to apply the merge — exactly how
+    * distributed BPE trainers iterate at 100 TB. The per-iteration
+    * argmax `collect` is ONE row (metadata-scale, the d7
+    * convergence-scalar pattern); the corpus itself never reaches the
+    * driver. Intermediate corpora are persisted and the previous
+    * iteration's frame released, so lineage stays one-deep instead of
+    * re-running every prior merge per reference.
+    *
+    * Oracle: the same 5 iterations as chained CTEs with scalar-subquery
+    * argmaxes — fully independent plan, same math. Both sides use
+    * LITERAL (non-regex) replace with left-to-right non-overlapping
+    * semantics, the canonical BPE apply order. */
+  val t9BpeTrain: Q = (s, dir) => {
+    import org.apache.spark.storage.StorageLevel
+    var cur = t(s, dir, "documents")
+      .select(explode(toks(lower(col("text")))).as("w0"))
+      .select(rtrim(regexp_replace(col("w0"), "(.)", "$1 ")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= bpeMerges && !exhausted) {
+      val pairs = cur.select(split(col("w"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          i => concat(element_at(col("sy"), i), lit(" "),
+            element_at(col("sy"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+      val best = pairs.orderBy(desc("freq"), col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
+        merges += ((it, bp, bf))
+        val next = cur
+          .select(replace(col("w"), lit(bp), lit(bp.replace(" ", "")))
+            .as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent frame
+        cur.unpersist(false)
+        cur = next
+        it += 1
+      }
+    }
+    cur.unpersist(false)
+    import s.implicits._
+    merges.result().toDF("merge_rank", "pair", "freq")
+      .orderBy("merge_rank")
+  }
+
+  /** Per-source keep rates of the data-mixture sampler (u9): curated
+    * strata kept whole, web-ish strata downweighted — the mixture-
+    * weighting step of every training-data pipeline. Sources outside
+    * the map fall back to [[mixtureDefault]]. */
+  private[operators] val mixtureRates: Seq[(String, Double)] = Seq(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25,
+    "src4" -> 0.1)
+  private[operators] val mixtureDefault = 0.05
+
+  /** U9: STRATIFIED deterministic sampling — per-stratum keep rates
+    * applied via a content-hash uniform (h60(doc_id|salt)/2^60), the
+    * u8 reproducibility argument per stratum: the same rows are kept on
+    * any cluster layout, any executor count, and the oracle can
+    * recompute membership exactly (df.sample's partition-keyed RNG
+    * can't promise either). Map-only — the mixture never shuffles. */
+  val u9StratifiedSample: Q = (s, dir) => {
+    val u = (Portable.h60(concat_ws("|", col("doc_id"), lit("mix42")))
+      .cast("double") / lit(math.pow(2, 60))).as("u_mix")
+    val rate = mixtureRates.foldLeft(lit(mixtureDefault)) {
+      case (acc, (k, r)) => when(col("source") === k, lit(r)).otherwise(acc)
+    }.as("keep_rate")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), u, rate)
+      .filter(col("u_mix") < col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Quality floor of the curation pipeline (c1). */
   private[operators] val c1QualityFloor = 0.5
 
@@ -257,8 +345,52 @@ object TextAnalysis {
     "t6_redact" -> t6Redact,
     "t7_vocab" -> t7Vocab,
     "t8_sequence_pack" -> t8SequencePack,
+    "t9_bpe_train" -> t9BpeTrain,
+    "u9_stratified_sample" -> u9StratifiedSample,
     "c1_curation" -> c1Curation,
   )
+
+  /** T9 oracle: the same merge iterations as chained CTEs — w0 is the
+    * symbolized corpus; each step counts pairs of w(i-1), argmaxes via
+    * a LIMIT 1 scalar subquery, and rewrites the corpus with a literal
+    * replace. Independent of the Spark side's loop (no shared state,
+    * different argmax mechanism). */
+  private lazy val t9Sql: String = {
+    val w0 =
+      """w0 AS (
+           SELECT rtrim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w
+           FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS wd FROM documents))"""
+    val iters = (1 to bpeMerges).map { i =>
+      s"""p$i AS (SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_transform(range(1, len(sy)),
+               x -> sy[x] || ' ' || sy[x + 1])) AS pair
+             FROM (SELECT string_split(w, ' ') AS sy FROM w${i - 1}))
+           GROUP BY 1),
+         b$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+         w$i AS (SELECT replace(w, (SELECT pair FROM b$i),
+                   replace((SELECT pair FROM b$i), ' ', '')) AS w
+                 FROM w${i - 1})"""
+    }.mkString(",\n")
+    val sel = (1 to bpeMerges)
+      .map(i => s"SELECT $i AS merge_rank, pair, freq FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH $w0,\n$iters\nSELECT merge_rank, pair, freq FROM ($sel)\nORDER BY merge_rank"
+  }
+
+  private def u9Sql: String = {
+    val cases = mixtureRates
+      .map { case (k, r) => s"WHEN '$k' THEN $r" }.mkString(" ")
+    s"""WITH b AS (
+          SELECT doc_id, source,
+            CAST(${h("(doc_id || '|' || 'mix42')")} AS DOUBLE)
+              / CAST(1152921504606846976 AS DOUBLE) AS u_mix,
+            CAST(CASE source $cases ELSE $mixtureDefault END AS DOUBLE)
+              AS keep_rate
+          FROM documents)
+        SELECT doc_id, source, u_mix, keep_rate FROM b
+        WHERE u_mix < keep_rate ORDER BY doc_id"""
+  }
 
   /** C1 oracle: the t1/t2/t3 oracle queries composed exactly as the
     * Spark side composes the operator frames (lazy: reads the oracle
@@ -281,7 +413,8 @@ object TextAnalysis {
         ORDER BY d.doc_id"""
 
   lazy val oracleAll: Map[String, String] =
-    oracle + ("c1_curation" -> c1Sql)
+    oracle + ("c1_curation" -> c1Sql) + ("t9_bpe_train" -> t9Sql) +
+      ("u9_stratified_sample" -> u9Sql)
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" ->

@@ -40,4 +40,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.keySet === exact3.keySet)
     assert(ivf.keySet === exact3.keySet)
   }
+
+  test("batch kNN join (s5) restricted to the query subset equals the " +
+    "per-query ANN (s2); all vectors answered") {
+    val s5 = graft.SparkEntry.queries("s5_knn_join")(spark, dir)
+    val s2 = graft.SparkEntry.queries("s2_lsh_ann")(spark, dir)
+    // identical geometry + probes: the batch self-join must agree with
+    // the query-side form exactly on the shared qids
+    val got = s5.filter("qid < 10").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = s2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === want)
+    // batch form answers (nearly) the whole corpus — every vector whose
+    // probed buckets contain at least one other vector gets neighbors
+    val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+    val answered = s5.select("qid").distinct().count()
+    assert(answered > n * 9 / 10, s"answered=$answered of n=$n")
+  }
 }

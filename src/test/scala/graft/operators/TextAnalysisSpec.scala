@@ -34,6 +34,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t9 BPE training: hand-computed merges on a planted corpus, " +
+    "early stop when fully merged") {
+    // corpus = three occurrences of "aaab": symbols "a a a b".
+    //  iter 1: pairs {a a: 6, a b: 3}            -> merge "a a" (6)
+    //          "a a a b" -> "aa a b" (left-to-right non-overlap)
+    //  iter 2: pairs {aa a: 3, a b: 3} tie       -> "a b" wins (lex)
+    //          "aa a b" -> "aa ab"
+    //  iter 3: pairs {aa ab: 3}                  -> merge "aa ab" (3)
+    //  iter 4: no pairs left -> STOP (3 of bpeMerges=5 merges emitted)
+    val dir = tmpDir("bpe-planted")
+    Seq((0L, "aaab aaab", "en", "srcX", 9), (1L, "aaab", "en", "srcX", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t9BpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "a a", 6L), (2, "a b", 3L),
+      (3, "aa ab", 3L)))
+  }
+
+  test("u9 stratified sample: rate-1.0 strata keep every row; kept " +
+    "fraction tracks the mixture rate") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val kept = TextAnalysis.u9StratifiedSample(spark, dir)
+    val total0 = docs.filter(col("source") === "src0").count()
+    val kept0 = kept.filter(col("source") === "src0").count()
+    assert(kept0 === total0) // src0 rate = 1.0: nothing may drop
+    // every kept row satisfies its own threshold
+    assert(kept.filter(col("u_mix") >= col("keep_rate")).count() === 0)
+    // downweighted stratum keeps strictly less than everything
+    val total1 = docs.filter(col("source") === "src1").count()
+    val kept1 = kept.filter(col("source") === "src1").count()
+    assert(kept1 < total1 && kept1 > 0)
+  }
+
   test("t8 sequence pack: two-level scan equals the naive global window; " +
     "offsets contiguous") {
     import org.apache.spark.sql.expressions.Window
