@@ -488,6 +488,38 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Benchmark doc_id cutoff for [[d9Decontaminate]] — docs below it
+    * stand in for the held-out eval set. */
+  private[operators] val benchCutoff = 25
+
+  /** D9: BENCHMARK DECONTAMINATION — the eval-leakage filter every
+    * training-data pipeline runs before a model sees the corpus: a
+    * training doc is contaminated if it shares a 3-gram shingle with
+    * any benchmark doc. Output per contaminated doc: distinct shared
+    * shingles and distinct benchmark docs hit (the triage columns a
+    * decontamination report needs).
+    *
+    * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (an
+    * eval suite is KBs–MBs, not TBs) — so it broadcasts, the corpus
+    * side never shuffles its shingles, and only HIT rows (rare) reach
+    * the per-doc aggregation. This is the one place an unconditional
+    * broadcast is structurally right, unlike the corpus-sized frames
+    * d3/d5 size-condition. Rides the same materialized shingle silver
+    * stage as d2/d3/d5/t5. */
+  val d9Decontaminate: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    val benchGrams = sh.filter(col("doc_id") < benchCutoff)
+      .select(col("doc_id").as("bench_id"),
+        explode(array_distinct(col("hs"))).as("g"))
+    val train = sh.filter(col("doc_id") >= benchCutoff)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
+    train.join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query
     * registry: it is the spec-side recall oracle for [[d6EmbeddingCosine]]
     * (DedupSpec measures which exact pairs the banding recovers). */
@@ -559,6 +591,7 @@ object Dedup {
     "d7_dedup_clusters" -> ((s, d) =>
       clusters(s, d).orderBy("cluster_rep", "doc_id")),
     "d8_cluster_keep" -> d8ClusterKeep,
+    "d9_decontaminate" -> d9Decontaminate,
   )
 
   private lazy val d3OracleSql: String =
@@ -589,6 +622,18 @@ object Dedup {
           ORDER BY a, b"""
 
   lazy val oracle: Map[String, String] = Map(
+    // Same shingle CTE; the contamination join is a plain relational
+    // join in the oracle (no broadcast semantics to mirror).
+    "d9_decontaminate" ->
+      s"""WITH $shingleCte,
+          bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(hs) AS g
+                 FROM hsc WHERE doc_id < $benchCutoff),
+          tg AS (SELECT DISTINCT doc_id, unnest(hs) AS g
+                 FROM hsc WHERE doc_id >= $benchCutoff)
+          SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits,
+            CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+          FROM tg JOIN bg USING (g)
+          GROUP BY 1 ORDER BY 1""",
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies

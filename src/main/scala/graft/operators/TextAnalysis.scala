@@ -246,6 +246,7 @@ object TextAnalysis {
       .select(rtrim(regexp_replace(col("w0"), "(.)", "$1 ")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, Long)]
+    var prev: org.apache.spark.sql.DataFrame = null
     var it = 1
     var exhausted = false
     while (it <= bpeMerges && !exhausted) {
@@ -255,22 +256,28 @@ object TextAnalysis {
           i => concat(element_at(col("sy"), i), lit(" "),
             element_at(col("sy"), i + 1)))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
+      // ONE job per iteration: the argmax materializes cur's persist as
+      // a side effect, after which the previous generation can go — at
+      // most two corpus generations are ever pinned.
       val best = pairs.orderBy(desc("freq"), col("pair")).limit(1).collect()
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (best.isEmpty) exhausted = true // every word fully merged
       else {
         val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
         merges += ((it, bp, bf))
-        val next = cur
-          .select(replace(col("w"), lit(bp), lit(bp.replace(" ", "")))
-            .as("w"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent frame
-        cur.unpersist(false)
-        cur = next
+        if (it < bpeMerges) { // the final generation has no consumer
+          val next = cur
+            .select(replace(col("w"), lit(bp), lit(bp.replace(" ", "")))
+              .as("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          prev = cur
+          cur = next
+        }
         it += 1
       }
     }
     cur.unpersist(false)
+    if (prev != null) prev.unpersist(false)
     import s.implicits._
     merges.result().toDF("merge_rank", "pair", "freq")
       .orderBy("merge_rank")
