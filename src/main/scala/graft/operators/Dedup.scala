@@ -86,22 +86,17 @@ object Dedup {
     * < 2³¹, so unique per shingle and value-order == (df, hash)-order —
     * valid while df < 2³², i.e. corpora under ~4B docs). The packing
     * keeps a consistent total order AND value-sorted arrays for the
-    * zero-allocation merge intersect, with no global rank window. */
-  private val cachedShingled =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Registry key: session + CONTENT fingerprint of the dir (names/sizes/
-    * mtimes), not the path alone — if the driver regenerates testdata in
-    * place, path-keyed entries would serve stale silver frames against a
-    * fresh oracle (the exact staleness Tables.sourceFingerprint guards
-    * the staging dirs from). */
-  private def regKey(s: SparkSession, dir: String): (SparkSession, String) =
-    (s, dir + "@" + graft.core.Tables.sourceFingerprint(dir))
+    * zero-allocation merge intersect, with no global rank window.
+    *
+    * Lifecycle: [[graft.core.Registry]] — content-fingerprinted keys
+    * (an in-place regeneration never serves a stale frame) AND
+    * eviction+unpersist of the superseded generation on miss. */
+  private val shingledReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
 
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
-    cachedShingled.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
-      val d = dir
-      val base = withShingleCols(t(ss, d, "documents"))
+    shingledReg.getOrCompute(s, dir) {
+      val base = withShingleCols(t(s, dir, "documents"))
         .select(col("doc_id"), col("hs"))
       val ex = base.select(col("doc_id"),
         explode(array_distinct(col("hs"))).as("shh"))
@@ -115,7 +110,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }
 
   /** Stage the native batched MinHash signature (plans.MinHashSig: one
     * pass over hs for all 12 perms) as `sig`, then cheap extractions —
@@ -454,16 +449,16 @@ object Dedup {
     * In production the CC labels are written once per dedup run and read
     * by every downstream keep/drop decision; here d7 (the gated CC
     * computation) and d8 (the keep rule) share the persisted frame. */
-  private val cachedClusters =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val clustersReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
 
   private def clusters(s: SparkSession, dir: String): DataFrame =
-    cachedClusters.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
-      val df = d7DedupClusters(ss, dir)
+    clustersReg.getOrCompute(s, dir) {
+      val df = d7DedupClusters(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }
 
   /** D8: the KEEP RULE — the decision stage after cluster formation that
     * an actual dedup pipeline ships: per cluster, keep the member with
@@ -488,36 +483,61 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
-  /** Benchmark doc_id cutoff for [[d9Decontaminate]] — docs below it
-    * stand in for the held-out eval set. */
+  /** Benchmark doc_id cutoff binding the GATED [[d9Decontaminate]] query
+    * — docs below it stand in for the held-out eval set. The operator
+    * itself ([[decontaminate]]) takes the benchmark as a frame: real
+    * decontamination runs against an arbitrary eval suite, not a
+    * doc_id prefix of the corpus. */
   private[operators] val benchCutoff = 25
 
-  /** D9: BENCHMARK DECONTAMINATION — the eval-leakage filter every
-    * training-data pipeline runs before a model sees the corpus: a
-    * training doc is contaminated if it shares a 3-gram shingle with
-    * any benchmark doc. Output per contaminated doc: distinct shared
-    * shingles and distinct benchmark docs hit (the triage columns a
-    * decontamination report needs).
+  /** D9 core over pre-shingled sides: `train` = (doc_id, hs),
+    * `bench` = (bench_id, hs). A training doc is contaminated if it
+    * shares a 3-gram shingle with any benchmark doc; output per
+    * contaminated doc: distinct shared shingles and distinct benchmark
+    * docs hit (the triage columns a decontamination report needs).
     *
     * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (an
     * eval suite is KBs–MBs, not TBs) — so it broadcasts, the corpus
     * side never shuffles its shingles, and only HIT rows (rare) reach
     * the per-doc aggregation. This is the one place an unconditional
     * broadcast is structurally right, unlike the corpus-sized frames
-    * d3/d5 size-condition. Rides the same materialized shingle silver
-    * stage as d2/d3/d5/t5. */
-  val d9Decontaminate: Q = (s, dir) => {
-    val sh = shingled(s, dir)
-    val benchGrams = sh.filter(col("doc_id") < benchCutoff)
-      .select(col("doc_id").as("bench_id"),
-        explode(array_distinct(col("hs"))).as("g"))
-    val train = sh.filter(col("doc_id") >= benchCutoff)
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
-    train.join(broadcast(benchGrams), Seq("g"))
+    * d3/d5 size-condition. */
+  private def decontaminateGrams(train: DataFrame,
+                                 bench: DataFrame): DataFrame = {
+    val benchGrams = bench.select(col("bench_id"),
+      explode(array_distinct(col("hs"))).as("g"))
+    val trainGrams = train.select(col("doc_id"),
+      explode(array_distinct(col("hs"))).as("g"))
+    trainGrams.join(broadcast(benchGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_hits"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .orderBy("doc_id")
+  }
+
+  /** BENCHMARK DECONTAMINATION against an ARBITRARY benchmark frame —
+    * the production entry point: `corpus` and `bench` are any
+    * (doc_id, text) frames (the eval suite usually comes from a
+    * different source entirely); both sides are shingled with the
+    * shared 3-gram pipeline so a hit here means what a d2/d5 shingle
+    * match means. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame): DataFrame =
+    decontaminateGrams(
+      withShingleCols(corpus).select(col("doc_id"), col("hs")),
+      withShingleCols(bench)
+        .select(col("doc_id").as("bench_id"), col("hs")))
+
+  /** D9 gated query: [[decontaminate]]'s core with the benchmark frame
+    * bound to the doc_id-cutoff split of the corpus (the synthetic
+    * testdata has no separate eval table), riding the materialized
+    * shingle silver stage shared with d2/d3/d5/t5. */
+  val d9Decontaminate: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    decontaminateGrams(
+      sh.filter(col("doc_id") >= benchCutoff)
+        .select(col("doc_id"), col("hs")),
+      sh.filter(col("doc_id") < benchCutoff)
+        .select(col("doc_id").as("bench_id"), col("hs")))
   }
 
   /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query

@@ -49,13 +49,19 @@ object MediaDecode {
     val compression = bb.getInt(30)
     require(bpp == 24 && compression == 0,
       s"only uncompressed 24-bpp BMP supported (bpp=$bpp, comp=$compression)")
-    // Untrusted header fields: a negative/huge width would overflow
-    // width*3 (and the stride math) before the truncation check below.
-    require(width > 0 && height > 0 && width <= (Int.MaxValue - 3) / 3 &&
-      dataOff >= 54, s"bad BMP dimensions (${width}x$height, dataOff=$dataOff)")
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) & ~3
-    require(dataOff + stride.toLong * height <= b.length, "truncated BMP")
+    // Untrusted header fields: row geometry is computed in LONG before
+    // any Int use — width*3 (and the +3 stride round-up: width=715827882
+    // passes a width*3 bound yet overflows rowBytes+3 to Int.MinValue,
+    // turning the truncation require into a vacuous negative-LHS pass)
+    // must never wrap. The truncation check then bounds both to the
+    // payload size, so the Int narrowing below is exact.
+    require(width > 0 && height > 0 && dataOff >= 54,
+      s"bad BMP dimensions (${width}x$height, dataOff=$dataOff)")
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) & ~3L
+    require(dataOff + strideL * height <= b.length, "truncated BMP")
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     var sum = 0L
     var y = 0
     while (y < height) {

@@ -28,7 +28,32 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   private val dims = 64
-  private val planes = 6 // 2^6 buckets; raise with n to keep buckets small
+
+  /** COMMITTED plane count for the gated queries (their DuckDB oracles
+    * embed the same 2^6-bucket geometry). Production entry points take
+    * the count as a parameter; [[planesFor]] derives it from corpus
+    * size so per-bucket occupancy — and with it the candidate volume of
+    * the s5 self-join — stays flat as n grows. */
+  private val planes = 6
+
+  /** Per-bucket occupancy [[planesFor]] aims for. Candidate volume of
+    * the batch self-join is ≈ probes·occupancy per query vector, so the
+    * target is the knob trading recall (bigger buckets) against cost. */
+  private[operators] val targetOccupancy = 1024L
+
+  /** Data-driven plane count: P = ⌈log2(n / targetOccupancy)⌉ clamped
+    * to [1, 24] — doubling the corpus adds one plane, keeping expected
+    * bucket occupancy (and s5's per-query candidate list) constant
+    * instead of letting candidate volume grow quadratically at fixed P
+    * (the d6TuneGeometry lesson applied to the ANN family; the s3
+    * histogram is the skew check run against the CHOSEN P). At 10⁹
+    * vectors: P = 20, ~10⁶ buckets, ~1k vectors each. */
+  private[graft] def planesFor(n: Long,
+                               occupancy: Long = targetOccupancy): Int = {
+    require(n > 0 && occupancy > 0, s"bad tuner inputs n=$n occ=$occupancy")
+    val raw = math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0))
+    math.min(24, math.max(1, raw.toInt))
+  }
 
   /** Pseudo-random-but-portable plane component in [-1, 1]:
     * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000.
@@ -49,18 +74,51 @@ object Similarity {
 
   private def normD(a: Column): Column = graft.functions.Vectors.norm(a)
 
-  /** Sign-bucket of a vector under the fixed plane matrix:
-    * bit p = (dot(v, plane_p) > 0). Each dot is a native FloatVecDot
+  /** Sign-bucket of a vector under the first `p` planes:
+    * bit i = (dot(v, plane_i) > 0). Each dot is a native FloatVecDot
     * against a literal plane vector — a flat 64-term element_at sum
     * overflows codegen method limits and interprets (see plans
     * .FloatVecDot scaladoc). Fold order matches the oracle's explicit
     * left-associated term sum. */
-  private def bucketOf(emb: Column): Column =
-    (0 until planes).map { p =>
-      val plane = typedlit((0 until dims).map(d => planeVal(p, d)))
-      when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << p))
+  private def bucketOf(emb: Column, p: Int): Column =
+    (0 until p).map { i =>
+      val plane = typedlit((0 until dims).map(d => planeVal(i, d)))
+      when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << i))
         .otherwise(0L)
     }.reduce(_ + _)
+
+  /** Shared multi-probe LSH ANN core — s2 (query subset) and s5 (batch
+    * self-join) under an arbitrary plane count: bucket both sides by
+    * the P-plane sign signature, explode each query to its own bucket
+    * plus the P hamming-1 neighbors (sign flips near a hyperplane are
+    * where true neighbors land), join on the bucket, exact cosine +
+    * rank within the probed union. Candidates only ever come from
+    * probed buckets, so the join is bucket-keyed — never all-pairs —
+    * and with [[planesFor]] the per-query candidate list stays
+    * ~probes·occupancy at any corpus size. */
+  private[graft] def lshAnn(s: SparkSession, dir: String, p: Int,
+                            queriesOnly: Boolean, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"),
+      bucketOf(col("embedding"), p).as("bkt"))
+    val probeMasks = lit(0L) +: (0 until p).map(i => lit(1L << i))
+    val qBase = if (queriesOnly) e.filter(col("vec_id") < 10) else e
+    val q = qBase.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("nrm").as("qn"),
+      explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
+        .as("bkt"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bkt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
 
   /** S1: exact brute-force cosine top-k — queries = vec_id < 10, k = 5
     * nearest others by cosine (desc, id tie-break). The oracle baseline
@@ -84,34 +142,13 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** S2: LSH-bucketed ANN with MULTI-PROBE — 6 random-hyperplane sign
-    * bits → bucket id; each query probes its own bucket plus the 6
-    * hamming-1 neighbors (sign flips near a hyperplane are where true
-    * neighbors land — multi-probe recovers most of the recall single-
-    * probe loses; measured vs s1 in the spec). Candidates come only from
-    * probed buckets: the O(q·n) join becomes bucket-keyed, and the probe
-    * factor (7 of 2^6 buckets) is the recall/cost dial. */
-  val s2LshAnn: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"), bucketOf(col("embedding")).as("bkt"))
-    val probeMasks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"),
-        explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
-          .as("bkt"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("bkt"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
+  /** S2: LSH-bucketed ANN with MULTI-PROBE over the query subset
+    * (vec_id < 10) — [[lshAnn]] under the committed 6-plane geometry
+    * (its DuckDB oracle embeds the same planes); the probe factor
+    * (P+1 of 2^P buckets) is the recall/cost dial, measured vs s1 in
+    * the spec. */
+  val s2LshAnn: Q = (s, dir) => lshAnn(s, dir, planes,
+    queriesOnly = true, k = 3)
 
   /** S4: IVF-style ANN — inverted-file search with the `label` column's
     * mean vectors as the coarse quantizer: (1) centroid per label
@@ -158,39 +195,25 @@ object Similarity {
     * neighbors (s2's ANN with the query filter removed): the self-join
     * form that embedding-level dedup, cluster seeding, and
     * retrieval-index bootstrap all run over the full corpus. Shape:
-    * multi-probe explode on the query side (7 of 2^P buckets), candidates
-    * from their own bucket only, exact cosine + rank within the probed
-    * union. At 100 TB the join never goes all-pairs — candidate volume is
-    * Σ_b (probe·n_b)·n_b, and P grows with n to keep per-bucket occupancy
-    * flat (the d6 sf1 lesson: occupancy drives candidate volume
-    * quadratically). The window ranks per qid over its probed candidates
-    * only — bounded fan-in, no global sort. */
-  val s5KnnJoin: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"), bucketOf(col("embedding")).as("bkt"))
-    val probeMasks = lit(0L) +: (0 until planes).map(p => lit(1L << p))
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      col("nrm").as("qn"),
-      explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
-        .as("bkt"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("bkt"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
+    * multi-probe explode on the query side (P+1 of 2^P buckets),
+    * candidates from their own bucket only, exact cosine + rank within
+    * the probed union. At 100 TB the join never goes all-pairs —
+    * candidate volume is Σ_b (probe·n_b)·n_b, and the production entry
+    * point derives P from corpus size ([[planesFor]]) so per-bucket
+    * occupancy stays flat (the d6 sf1 lesson: occupancy drives
+    * candidate volume quadratically; SimilaritySpec measures the tuned
+    * geometry's recall against the committed one). The window ranks per
+    * qid over its probed candidates only — bounded fan-in, no global
+    * sort. The GATED query runs the committed 6-plane geometry its
+    * oracle embeds. */
+  val s5KnnJoin: Q = (s, dir) => lshAnn(s, dir, planes,
+    queriesOnly = false, k = 3)
 
   /** S3: bucket histogram — the LSH load-balance diagnostic (bucket id →
     * vector count). At 100 TB this is the skew check run before choosing P. */
   val s3BucketStats: Q = (s, dir) =>
     t(s, dir, "embeddings")
-      .select(bucketOf(col("embedding")).as("bkt"))
+      .select(bucketOf(col("embedding"), planes).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as("n_vectors"))
       .orderBy("bkt")
 
@@ -207,6 +230,12 @@ object Similarity {
 
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+
+  /** Multi-probe mask list derived from the SAME `planes` constant the
+    * Spark side folds over — a literal list here would silently
+    * desynchronize engine and oracle if the committed geometry changed. */
+  private val probeMasksSql: String =
+    (0L +: (0 until planes).map(1L << _)).mkString("[", ", ", "]")
 
   private val normCte =
     """e AS (
@@ -245,7 +274,7 @@ object Similarity {
                    ${bucketSql("embedding")} AS bkt FROM e),
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
                   xor(bkt, m.m) AS bkt
-                FROM eb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m
+                FROM eb, (SELECT unnest($probeMasksSql) AS m) m
                 WHERE vec_id < 10),
           c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bkt FROM eb),
           scored AS (
@@ -271,7 +300,7 @@ object Similarity {
                    ${bucketSql("embedding")} AS bkt FROM e),
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
                   xor(bkt, m.m) AS bkt
-                FROM eb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS m) m),
+                FROM eb, (SELECT unnest($probeMasksSql) AS m) m),
           c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn, bkt FROM eb),
           scored AS (
             SELECT qid, cid, $dotSql / (qn * cn) AS cosine

@@ -216,68 +216,110 @@ object TextAnalysis {
   }
 
   /** Number of merges trained by [[t9BpeTrain]]. */
-  private[operators] val bpeMerges = 5
+  private[operators] val bpeMerges = 20
+
+  /** Doubled-separator symbol encoding of a word: ` a  b  c ` — every
+    * symbol owns a space on EACH side, so the literal pattern
+    * ` x  y ` matches iff x,y are ADJACENT SYMBOLS (symbols contain no
+    * spaces, so a match can only align on symbol boundaries), and
+    * left-to-right non-overlapping replace merges every non-overlapping
+    * adjacent occurrence (the canonical greedy BPE apply). The
+    * single-space form used previously shares the separator between
+    * consecutive matches — ` a b a b ` under pattern ` a b ` consumes
+    * the shared space and MISSES the second occurrence, and a pattern
+    * `s t` can match INSIDE the symbol sequence [es, t]; the doubled
+    * form has neither defect. */
+  private def symbolize(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** Adjacent-symbol pair counts of a (w, c) word-histogram frame,
+    * weighted by word-type count — one map-side-combinable groupBy. */
+  private def bpePairCounts(df: DataFrame): DataFrame =
+    df.select(split(trim(col("w")), "  ").as("sy"), col("c"))
+      .filter(size(col("sy")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
+        i => concat(element_at(col("sy"), i), lit(" "),
+          element_at(col("sy"), i + 1)))).as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("freq"))
 
   /** T9: distributed BPE MERGE TRAINING — the tokenizer-training loop
-    * itself, not just a pre-tokenizer count (t1): words become
-    * space-separated character symbols; each iteration counts adjacent
-    * symbol pairs corpus-wide (one map-side-combinable groupBy), picks
-    * the most frequent pair (ties → lexicographically first), and
-    * applies the merge with a literal string replace. Output is the
-    * merge table (rank, pair, freq) a BPE tokenizer ships.
+    * itself, not just a pre-tokenizer count (t1). Output is the merge
+    * table (rank, pair, freq) a BPE tokenizer ships.
     *
-    * Scale shape: per iteration ONE aggregation over the symbolized
-    * corpus plus a narrow map to apply the merge — exactly how
-    * distributed BPE trainers iterate at 100 TB. The per-iteration
-    * argmax `collect` is ONE row (metadata-scale, the d7
-    * convergence-scalar pattern); the corpus itself never reaches the
-    * driver. Intermediate corpora are persisted and the previous
-    * iteration's frame released, so lineage stays one-deep instead of
-    * re-running every prior merge per reference.
+    * Scale design (the three standard tricks real distributed BPE
+    * trainers use, in order of leverage):
+    *  1. WORD-TYPE HISTOGRAM: one corpus pass builds (word, count) and
+    *     every iteration runs over word TYPES, not tokens — Heaps' law
+    *     makes |types| sublinear in corpus size, so per-iteration cost
+    *     is independent of the 100 TB token volume after the first pass.
+    *  2. INCREMENTAL PAIR COUNTS: the global (pair, freq) frame is
+    *     maintained by DELTAS — only word types CONTAINING the merged
+    *     pair change any count, so each iteration re-counts just those
+    *     rows (subtract their old pairs, add their rewritten pairs)
+    *     instead of re-aggregating the whole vocabulary. 32k merges
+    *     touch a vanishing fraction of types each.
+    *  3. Boundary-exact merges via [[symbolize]]'s doubled-separator
+    *     encoding — plain literal replace, still codegen-friendly.
     *
-    * Oracle: the same 5 iterations as chained CTEs with scalar-subquery
-    * argmaxes — fully independent plan, same math. Both sides use
-    * LITERAL (non-regex) replace with left-to-right non-overlapping
-    * semantics, the canonical BPE apply order. */
+    * Driver traffic per iteration is the ONE argmax row (the d7
+    * convergence-scalar pattern). Each generation of the histogram and
+    * pair frames is `localCheckpoint`ed — persist alone is NOT enough
+    * for a 20+-iteration loop: the logical plan of generation i embeds
+    * the plans of every earlier generation (~3× growth per iteration),
+    * so by merge ~15 the OPTIMIZER itself OOMs; checkpointing truncates
+    * lineage so every iteration plans against a flat scan. (On a
+    * multi-executor cluster a lost executor invalidates a local
+    * checkpoint — a production 32k-merge trainer would use reliable
+    * checkpoints to the cluster FS at the same points.) Ties → lexicographically first pair.
+    *
+    * Oracle: the same iterations as chained CTEs with scalar-subquery
+    * argmaxes over the same word histogram — fully independent plan
+    * (full recount per iteration, no deltas), same math. */
   val t9BpeTrain: Q = (s, dir) => {
-    import org.apache.spark.storage.StorageLevel
-    var cur = t(s, dir, "documents")
+    var words = t(s, dir, "documents")
       .select(explode(toks(lower(col("text")))).as("w0"))
-      .select(rtrim(regexp_replace(col("w0"), "(.)", "$1 ")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(symbolize(col("w0")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var pc = bpePairCounts(words).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
-    var prev: org.apache.spark.sql.DataFrame = null
     var it = 1
     var exhausted = false
     while (it <= bpeMerges && !exhausted) {
-      val pairs = cur.select(split(col("w"), " ").as("sy"))
-        .filter(size(col("sy")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
-          i => concat(element_at(col("sy"), i), lit(" "),
-            element_at(col("sy"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("freq"))
-      // ONE job per iteration: the argmax materializes cur's persist as
-      // a side effect, after which the previous generation can go — at
-      // most two corpus generations are ever pinned.
-      val best = pairs.orderBy(desc("freq"), col("pair")).limit(1).collect()
-      if (prev != null) { prev.unpersist(false); prev = null }
+      val best = pc.orderBy(desc("freq"), col("pair")).limit(1).collect()
       if (best.isEmpty) exhausted = true // every word fully merged
       else {
         val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
         merges += ((it, bp, bf))
         if (it < bpeMerges) { // the final generation has no consumer
-          val next = cur
-            .select(replace(col("w"), lit(bp), lit(bp.replace(" ", "")))
-              .as("w"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          prev = cur
-          cur = next
+          val pat = " " + bp.replace(" ", "  ") + " "
+          val rep = " " + bp.replace(" ", "") + " "
+          val affected = words.filter(col("w").contains(pat))
+          val rewritten = affected
+            .select(replace(col("w"), lit(pat), lit(rep)).as("w"), col("c"))
+          // Delta update: old pairs of affected types out, new pairs in.
+          // Both children scan only checkpointed blocks + the affected
+          // slice; eager localCheckpoint materializes each, after which
+          // the parent generation's blocks are GC-cleaned.
+          pc = pc
+            .union(bpePairCounts(rewritten))
+            .union(bpePairCounts(affected)
+              .select(col("pair"), (-col("freq")).as("freq")))
+            .groupBy("pair").agg(sum("freq").as("freq"))
+            .filter(col("freq") > 0)
+            .localCheckpoint()
+          // union CONCATENATES partition lists — without the coalesce the
+          // histogram doubles its partition count every merge (2^k empty
+          // tasks per job by merge k). pc needs none: its groupBy
+          // re-shuffles to the session partition count each iteration.
+          words = words.filter(!col("w").contains(pat))
+            .union(rewritten)
+            .coalesce(s.sparkContext.defaultParallelism)
+            .localCheckpoint()
         }
         it += 1
       }
     }
-    cur.unpersist(false)
-    if (prev != null) prev.unpersist(false)
     import s.implicits._
     merges.result().toDF("merge_rank", "pair", "freq")
       .orderBy("merge_rank")
@@ -357,26 +399,38 @@ object TextAnalysis {
     "c1_curation" -> c1Curation,
   )
 
-  /** T9 oracle: the same merge iterations as chained CTEs — w0 is the
-    * symbolized corpus; each step counts pairs of w(i-1), argmaxes via
-    * a LIMIT 1 scalar subquery, and rewrites the corpus with a literal
-    * replace. Independent of the Spark side's loop (no shared state,
-    * different argmax mechanism). */
+  /** T9 oracle: the same merge iterations as chained CTEs over the same
+    * (word, count) histogram in the doubled-separator encoding — each
+    * step recounts ALL pairs of w(i-1) (no deltas: independent of the
+    * Spark side's incremental maintenance), argmaxes via a LIMIT 1
+    * scalar subquery, and rewrites the histogram with the same
+    * boundary-exact literal replace. Every CTE is MATERIALIZED — w_i
+    * references w_{i-1} twice (count + rewrite) and b_i twice (pattern
+    * + replacement), so the default inlining expands the 20-step chain
+    * into ~2^20 scans of the base table. */
   private lazy val t9Sql: String = {
     val w0 =
-      """w0 AS (
-           SELECT rtrim(regexp_replace(wd, '(.)', '\1 ', 'g')) AS w
+      """w0 AS MATERIALIZED (
+           SELECT ' ' || rtrim(regexp_replace(wd, '(.)', '\1  ', 'g')) || ' '
+               AS w,
+             CAST(count(*) AS BIGINT) AS c
            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
-                   AS wd FROM documents))"""
+                   AS wd FROM documents)
+           GROUP BY 1)"""
     val iters = (1 to bpeMerges).map { i =>
-      s"""p$i AS (SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM (
+      s"""p$i AS MATERIALIZED (
+             SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM (
              SELECT unnest(list_transform(range(1, len(sy)),
-               x -> sy[x] || ' ' || sy[x + 1])) AS pair
-             FROM (SELECT string_split(w, ' ') AS sy FROM w${i - 1}))
+               x -> sy[x] || ' ' || sy[x + 1])) AS pair, c
+             FROM (SELECT string_split(trim(w), '  ') AS sy, c FROM w${i - 1}))
            GROUP BY 1),
-         b$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
-         w$i AS (SELECT replace(w, (SELECT pair FROM b$i),
-                   replace((SELECT pair FROM b$i), ' ', '')) AS w
+         b$i AS MATERIALIZED (
+           SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+         w$i AS MATERIALIZED (
+           SELECT replace(w,
+                   ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
+                   ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')
+                   AS w, c
                  FROM w${i - 1})"""
     }.mkString(",\n")
     val sel = (1 to bpeMerges)

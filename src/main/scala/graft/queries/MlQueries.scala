@@ -43,44 +43,37 @@ object MlQueries {
 
   /** ABT cache: built+persisted once per (session, dir) — m1/m3/m4 and the
     * model fit all read it, and at driver-bench scale the recomputation
-    * (a shuffle + window over orders) dominated m1's cold cost. Same
-    * lifecycle contract as `fitted` below: entries live for the process
-    * (testdata dirs are immutable). */
-  private val cachedAbt =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Registry key: session + content fingerprint, not the raw path — an
-    * in-place regeneration of `dir` must refit/rebuild, never serve the
-    * stale frame (Dedup.regKey precedent). */
-  private def regKey(s: SparkSession, dir: String): (SparkSession, String) =
-    (s, dir + "@" + graft.core.Tables.sourceFingerprint(dir))
+    * (a shuffle + window over orders) dominated m1's cold cost.
+    * Lifecycle via [[graft.core.Registry]]: content-fingerprinted keys
+    * (an in-place regeneration rebuilds, never serves the stale frame)
+    * and eviction+unpersist of superseded generations. */
+  private val abtReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
 
   private[graft] def abt(s: SparkSession, dir: String): DataFrame =
-    cachedAbt.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
-      val d = dir
-      val df = abtPlan(ss, d)
+    abtReg.getOrCompute(s, dir) {
+      val df = abtPlan(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize now so every consumer hits warm blocks
       df
-    })
+    }
 
   private val features =
     Seq("n_orders", "total_spent", "avg_price", "avg_urgent_price", "n_urgent")
 
   /** Model registry: fit once per (session, dir) — the three ML queries
     * share one deterministic fit (seed 42), like a production model store.
-    * Keyed on the session too so a fresh driver session refits.
-    * Limitations (acceptable for the bench/verify lifecycle, by design):
-    * entries live for the process lifetime (call `fitted.clear()` to
-    * evict), and data mutated under `dir` mid-session would be served by
-    * the stale model — the testdata dirs are immutable. */
+    * Keyed on the session too so a fresh driver session refits; data
+    * regenerated in place under `dir` changes the content fingerprint,
+    * so the registry refits and drops the superseded model (models hold
+    * no persisted frames — release is a no-op, eviction just unpins the
+    * reference). */
   private val fitted =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      org.apache.spark.ml.PipelineModel]()
+    new graft.core.Registry[org.apache.spark.ml.PipelineModel](_ => ())
 
   private[graft] def model(s: SparkSession, dir: String) =
-    fitted.computeIfAbsent(regKey(s, dir), { case (ss, _) =>
-      val sp = AbtSplits.split(abt(ss, dir), "o_custkey", "yr", 1998)
+    fitted.getOrCompute(s, dir) {
+      val sp = AbtSplits.split(abt(s, dir), "o_custkey", "yr", 1998)
       // Content-hash partitioning (not round-robin) + in-partition sort +
       // persist before the multi-pass RF fit: MLlib's bagging/split-
       // finding RNG streams are keyed on (partition index, row order), so
@@ -95,7 +88,7 @@ object MlQueries {
       try ChampionModel.fit(train, features,
         impute99 = Seq("avg_urgent_price"), impute0 = Nil)
       finally train.unpersist(false)
-    })
+    }
 
   /** M1-M7: split → fit → score the OOT year; per-row probabilities. */
   val m1RfScore: Q = (s, dir) => {

@@ -329,7 +329,18 @@ object Relational {
     * (per customer, order history to date). Exercises the custom
     * aggregate through WindowExec's imperative-buffer path rather than
     * the GroupBy path the other medians use; oracle is DuckDB's
-    * windowed median (quantile_cont interpolation — same rank rule). */
+    * windowed median (quantile_cont interpolation — same rank rule).
+    *
+    * Cost bound: the growing frame ACCUMULATES incrementally (one
+    * buffer update per row), but each per-row eval re-sorts the
+    * buffer — O(k log k) at history length k, O(n² log n) worst case
+    * per partition. That worst case is bounded by the PARTITION KEY,
+    * not the corpus: a customer's order history is tens of rows at any
+    * SF, and that invariant (frame size ∝ entity activity, never table
+    * size) is the operator's contract — a running median over an
+    * unbounded-history key needs an order-statistic buffer (two-heap /
+    * indexable skiplist, O(log k) per step) before it is safe; don't
+    * lift this query form onto such a key as-is. */
   private val w4RunningMedian: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val run = Window.partitionBy("o_custkey")

@@ -72,4 +72,27 @@ class DedupSpec extends SparkSpec {
     assert(tuned >= default,
       s"tuned ($bands,$planes) recall $tuned < default recall $default")
   }
+
+  test("d9 decontaminate takes an arbitrary benchmark frame: planted " +
+    "3-gram overlap detected, clean docs pass, counts exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated training text with no overlap at all"),
+      (102L, "quick brown fox appears here too but nothing else matches"),
+    ).toDF("doc_id", "text")
+    // bench doc 7 shares the 3-grams of "quick brown fox" with 100/102;
+    // bench doc 8 shares nothing
+    val bench = Seq(
+      (7L, "watch the quick brown fox run"),
+      (8L, "zero common trigrams in this sentence whatsoever"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 100 shares "the quick brown"+"quick brown fox"; 102 "quick brown fox"
+    assert(got.map(_._1).toSeq === Seq(100L, 102L))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(100L) === ((100L, 2L, 1L)))
+    assert(byId(102L) === ((102L, 1L, 1L)))
+  }
 }

@@ -71,6 +71,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaDecode: adversarial headers throw the contract exception, " +
+    "never an array fault or a spin") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BMP whose width makes rowBytes+3 overflow Int (715827882*3+3 > 2^31):
+    // an Int-math stride goes negative and the truncation require passes
+    // vacuously, crashing in the pixel loop instead of throwing.
+    val bmp = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte)
+    bmp.putInt(10, 54)         // dataOff
+    bmp.putInt(18, 715827882)  // width
+    bmp.putInt(22, 2)          // height
+    bmp.putShort(28, 24)       // bpp
+    bmp.putInt(30, 0)          // compression
+    val eBmp = intercept[IllegalArgumentException] {
+      MediaDecode.decode(bmp.array())
+    }
+    assert(eBmp.getMessage.contains("truncated BMP"))
+    // WAV with a negative chunk length: an unchecked walk never advances.
+    val wav = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(24).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(-8)
+    val eWav = intercept[IllegalArgumentException] {
+      MediaDecode.decode(wav.array())
+    }
+    assert(eWav.getMessage.contains("chunk length"))
+  }
+
   test("x3: decodeFiles runs the real decoder through the injectable " +
     "mapPartitions path") {
     val rows = Multimodal.x3DecodedMedia(spark, dir).collect()

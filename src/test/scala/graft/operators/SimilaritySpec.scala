@@ -58,4 +58,31 @@ class SimilaritySpec extends SparkSpec {
     val answered = s5.select("qid").distinct().count()
     assert(answered > n * 9 / 10, s"answered=$answered of n=$n")
   }
+
+  test("data-driven plane count: planesFor scales with n; the tuned " +
+    "geometry's recall@3 vs exact (s1) is no worse than the committed one") {
+    // the mechanism: +1 plane per corpus doubling, clamped
+    assert(Similarity.planesFor(1000) === 1)
+    assert(Similarity.planesFor(1L << 40) === 24) // clamp
+    assert(Similarity.planesFor(1024L * 64) ===
+      Similarity.planesFor(1024L * 32) + 1)
+    // at 10^9 vectors the fixed committed P=6 would put ~16M vectors per
+    // bucket; the tuned P keeps the target occupancy
+    assert(Similarity.planesFor(1_000_000_000L) === 20)
+    val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+    val p = Similarity.planesFor(n)
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val committed = topMap("s2_lsh_ann", 3)
+    val tuned = Similarity.lshAnn(spark, dir, p, queriesOnly = true, k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cid")).toSet }
+    val rTuned = recallAt3(tuned, exact3)
+    val rCommitted = recallAt3(committed, exact3)
+    info(f"recall@3: tuned(P=$p)=$rTuned%.2f committed(P=6)=$rCommitted%.2f")
+    // the tuner may only trade cost for recall when occupancy allows it —
+    // never a worse answer at the same probe policy
+    assert(rTuned >= rCommitted, f"tuned P=$p recall $rTuned%.2f < " +
+      f"committed $rCommitted%.2f")
+  }
 }

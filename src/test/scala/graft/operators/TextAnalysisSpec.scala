@@ -42,7 +42,7 @@ class TextAnalysisSpec extends SparkSpec {
     //  iter 2: pairs {aa a: 3, a b: 3} tie       -> "a b" wins (lex)
     //          "aa a b" -> "aa ab"
     //  iter 3: pairs {aa ab: 3}                  -> merge "aa ab" (3)
-    //  iter 4: no pairs left -> STOP (3 of bpeMerges=5 merges emitted)
+    //  iter 4: no pairs left -> STOP (3 of bpeMerges=20 merges emitted)
     val dir = tmpDir("bpe-planted")
     Seq((0L, "aaab aaab", "en", "srcX", 9), (1L, "aaab", "en", "srcX", 4))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -51,6 +51,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq === Seq((1, "a a", 6L), (2, "a b", 3L),
       (3, "aa ab", 3L)))
+  }
+
+  test("t9 BPE merges are symbol-boundary-exact: pair 's t' must not " +
+    "fire inside the symbol sequence [es, t]") {
+    // words: est x2, st x3, es x4.
+    //  iter 1: pairs {e s: 6, s t: 5}  -> merge "e s" (6)
+    //          est -> [es, t]; es -> [es]
+    //  iter 2: pairs {es t: 2, s t: 3} -> merge "s t" (3)
+    //          must rewrite ONLY st -> [st]; a naive single-space
+    //          substring replace also corrupts [es, t] -> [est]
+    //  iter 3: pairs {es t: 2}         -> merge "es t" (2)
+    //  iter 4: no pairs left -> STOP
+    val dir = tmpDir("bpe-boundary")
+    Seq((0L, "est est st st st es es es es", "en", "srcX", 29))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t9BpeTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "e s", 6L), (2, "s t", 3L),
+      (3, "es t", 2L)))
   }
 
   test("u9 stratified sample: rate-1.0 strata keep every row; kept " +
