@@ -217,6 +217,80 @@ object Similarity {
       .groupBy("bkt").agg(count(lit(1)).as("n_vectors"))
       .orderBy("bkt")
 
+  /** Exact-rerank candidate count of [[s6Sq8Ann]]. */
+  private val sq8Candidates = 20
+
+  /** S6: SQ8 COMPRESSED-VECTOR search — the memory-bandwidth leg of the
+    * ANN family: every embedding is scalar-quantized to 8 bits per
+    * dimension (per-dim min/max trained over the corpus — one bounded-
+    * key aggregation, 64 rows, broadcast back), candidates are selected
+    * by the INTEGER dot product of the quantized codes, and only the
+    * top-[[sq8Candidates]] per query are reranked with exact float
+    * cosine. At 100 TB the quantized scan reads 64 B/vector instead of
+    * 256 B — the 4× bandwidth saving is why FAISS-style engines keep an
+    * SQ8 (or PQ) copy of the corpus — and the exact rerank touches only
+    * candidates·queries full vectors.
+    *
+    * Codes quantize the NORMALIZED vectors so the integer code dot is a
+    * cosine (not dot-product) proxy. Determinism: normalization divides
+    * by the fold-order-pinned norm (bit-identical in both engines, the
+    * same reliance every cosine here makes), min/max and the one
+    * rounding are exact double ops (round-half-up equals round-half-away
+    * for non-negative codes), and the candidate ordering key is an
+    * INTEGER — no fp-summation-order exposure until the final exact
+    * rerank, which reuses s1's fold-order-pinned cosine. */
+  val s6Sq8Ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    // Quantize the NORMALIZED vectors: the integer code dot is then a
+    // cosine proxy — quantizing raw components would rank by dot product
+    // and lose the true cosine top-k whenever norms vary.
+    val en = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .withColumn("nv",
+        transform(col("embedding"), x => x.cast("double") / col("nrm")))
+    val stats = en.select(posexplode(col("nv")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("pm"))
+      .select(transform(col("pm"), x => x.getField("mn")).as("mns"),
+        transform(col("pm"), x => x.getField("mx")).as("mxs"))
+    // Centered codes: the stored uint8 code minus the per-dim integer
+    // ZERO POINT. Raw uint8 dots are dominated by the offset terms
+    // (Σq·q' ≈ 64z² + zb(Σx + Σy) + b²·dot — the per-vector component
+    // sums swamp the cosine signal); centering leaves b²·dot ± small
+    // integer error, the form FAISS-style SQ8 scans actually compare.
+    val q8 = en.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          when(element_at(col("mxs"), i) > element_at(col("mns"), i),
+            round(lit(255.0)
+              * (element_at(col("nv"), i) - element_at(col("mns"), i))
+              / (element_at(col("mxs"), i) - element_at(col("mns"), i)), 0)
+              - round(lit(255.0)
+                * (lit(0.0) - element_at(col("mns"), i))
+                / (element_at(col("mxs"), i) - element_at(col("mns"), i)), 0))
+            .otherwise(lit(0.0)).cast("long")).as("q"))
+    val q = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val c = q8.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("q").as("cq"), col("nrm").as("cn"))
+    val wCand = Window.partitionBy("qid").orderBy(desc("qdot"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, col("qid") =!= col("cid"))
+      .withColumn("qdot", aggregate(
+        zip_with(col("qq"), col("cq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= sq8Candidates)
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB fragment: bucket id of `e.embedding` under the same planes. */
@@ -250,6 +324,7 @@ object Similarity {
     "s3_bucket_stats" -> s3BucketStats,
     "s4_ivf_ann" -> s4IvfAnn,
     "s5_knn_join" -> s5KnnJoin,
+    "s6_sq8_ann" -> s6Sq8Ann,
   )
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +380,47 @@ object Similarity {
           scored AS (
             SELECT qid, cid, $dotSql / (qn * cn) AS cosine
             FROM q JOIN c USING (bkt) WHERE qid <> cid),
+          ranked AS (
+            SELECT qid, cid, cosine,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, cid) AS INT) AS rk
+            FROM scored)
+          SELECT qid, cid, cosine, rk FROM ranked
+          WHERE rk <= 3 ORDER BY qid, rk""",
+    "s6_sq8_ann" ->
+      s"""WITH $normCte,
+          en AS (
+            SELECT vec_id, embedding, nrm,
+              list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
+            FROM e),
+          stats AS (
+            SELECT r.i AS pos, min(nv[r.i]) AS mn, max(nv[r.i]) AS mx
+            FROM en, range(1, 65) r(i) GROUP BY 1),
+          q8 AS (
+            SELECT en.vec_id, en.embedding, en.nrm,
+              list(CASE WHEN s.mx > s.mn THEN
+                  CAST(round(255.0 * (en.nv[s.pos] - s.mn)
+                      / (s.mx - s.mn))
+                    - round(255.0 * (0.0 - s.mn)
+                      / (s.mx - s.mn)) AS BIGINT)
+                ELSE 0 END ORDER BY s.pos) AS q
+            FROM en, stats s
+            GROUP BY en.vec_id, en.embedding, en.nrm),
+          cand AS (
+            SELECT qid, cid, qe, ce, qn, cn,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY qdot DESC, cid) AS crk
+            FROM (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                q.embedding AS qe, c.embedding AS ce,
+                q.nrm AS qn, c.nrm AS cn,
+                list_sum(list_transform(range(1, 65),
+                  i -> q.q[i] * c.q[i])) AS qdot
+              FROM q8 q JOIN q8 c
+                ON q.vec_id < 10 AND q.vec_id <> c.vec_id)),
+          scored AS (
+            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+            FROM cand WHERE crk <= $sq8Candidates),
           ranked AS (
             SELECT qid, cid, cosine,
               CAST(ROW_NUMBER() OVER (PARTITION BY qid

@@ -276,6 +276,19 @@ object TextAnalysis {
     * argmaxes over the same word histogram — fully independent plan
     * (full recount per iteration, no deltas), same math. */
   val t9BpeTrain: Q = (s, dir) => {
+    val (merges, _) = bpeTrainLoop(s, dir, rewriteFinal = false)
+    import s.implicits._
+    merges.toDF("merge_rank", "pair", "freq")
+      .orderBy("merge_rank")
+  }
+
+  /** Shared merge-training loop behind t9/t10: returns the merge table
+    * and the word histogram after the trained merges. t9 skips the FINAL
+    * rewrite (its output is the merge table alone — the last generation
+    * would have no consumer); t10 needs it (the fully-encoded histogram
+    * is its word → token-count join side). */
+  private def bpeTrainLoop(s: SparkSession, dir: String, rewriteFinal: Boolean)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     var words = t(s, dir, "documents")
       .select(explode(toks(lower(col("text")))).as("w0"))
       .select(symbolize(col("w0")).as("w"))
@@ -291,7 +304,7 @@ object TextAnalysis {
       else {
         val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
         merges += ((it, bp, bf))
-        if (it < bpeMerges) { // the final generation has no consumer
+        if (it < bpeMerges || rewriteFinal) {
           val pat = " " + bp.replace(" ", "  ") + " "
           val rep = " " + bp.replace(" ", "") + " "
           val affected = words.filter(col("w").contains(pat))
@@ -320,9 +333,89 @@ object TextAnalysis {
         it += 1
       }
     }
-    import s.implicits._
-    merges.result().toDF("merge_rank", "pair", "freq")
-      .orderBy("merge_rank")
+    (merges.result(), words)
+  }
+
+  /** Trained-tokenizer silver stage behind [[t10BpeEncode]] — the fully
+    * merged word histogram, content-fingerprint keyed with eviction of
+    * superseded generations (the d7/d8 cluster-stage pattern; the frame
+    * is already materialized by the loop's terminal localCheckpoint).
+    * t9 itself stays UNCACHED — the training loop IS the operator its
+    * bench entry measures. */
+  private val bpeReg = new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def bpeEncodeTable(s: SparkSession, dir: String): DataFrame =
+    bpeReg.getOrCompute(s, dir)(bpeTrainLoop(s, dir, rewriteFinal = true)._2)
+
+  /** T10: BPE ENCODE — apply the TRAINED merge table (t9's output) to the
+    * corpus and emit per-document BPE token counts, the number every
+    * packing (t8) and budget decision downstream of tokenizer training
+    * actually needs (t1's regex count is the pre-tokenizer proxy).
+    *
+    * Shape: encoding a word is a pure function of the word, so the
+    * encoder runs over the WORD-TYPE histogram (Heaps-sublinear, same
+    * leverage as training) and documents join to it by word — the
+    * original word is recovered from the merged form by stripping
+    * separators (merges only ever REMOVE them, so the map is exact).
+    * Per-doc word counts are map-side-combinable; the vocabulary join
+    * side broadcasts when its measured size allows (maybeBroadcast),
+    * degrading to a word-keyed shuffle join at 100 TB vocabularies.
+    * Production takes the trained table as input; the gated query binds
+    * the registry-cached training over the same corpus (cost paid once,
+    * warmup-bounded — the d7/d8 silver-stage contract). */
+  val t10BpeEncode: Q = (s, dir) => {
+    val enc = bpeEncodeTable(s, dir).select(
+      regexp_replace(col("w"), " ", "").as("word"),
+      size(split(trim(col("w")), "  ")).cast("long").as("n_sym"))
+    val dw = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    dw.join(Dedup.maybeBroadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_sym")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** T11: character-bigram LM quality score — the CCNet-style
+    * perplexity-proxy filter: a char-bigram model is trained on the
+    * corpus itself (pair counts / prefix counts over whitespace-
+    * normalized lowercase text) and every document is scored by its
+    * mean bigram log-probability; low scorers read as non-linguistic
+    * (boilerplate, tables, encoding noise).
+    *
+    * Scale/determinism notes: the model is two bounded-key aggregations
+    * (≤ |charset|² rows — broadcast candidate by construction, size-
+    * gated anyway); scoring is explode + broadcast join + one combinable
+    * groupBy. The per-doc sum adds SAME-SIGN terms (ln(c_pair/c_prefix)
+    * ≤ 0 always), so it is well-conditioned and any summation order
+    * agrees far below the oracle's 6-sig-fig canonicalization — no
+    * ordered fold needed (contrast the mixed-sign cosine sums, which do
+    * pin fold order). */
+  val t11BigramLm: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), wsPat, " ").as("nrm"))
+    val bg = d.filter(length(col("nrm")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("nrm")) - 1),
+        i => col("nrm").substr(i, lit(2)))).as("pair"))
+    val cp = bg.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+    val pre = cp.groupBy(substring(col("pair"), 1, 1).as("pre"))
+      .agg(sum("c_pair").as("c_pre"))
+    val model = cp.withColumn("pre", substring(col("pair"), 1, 1))
+      .join(pre, Seq("pre"))
+      .select(col("pair"),
+        log(col("c_pair").cast("double") / col("c_pre").cast("double"))
+          .as("lp"))
+    val scored = bg.join(Dedup.maybeBroadcast(model), Seq("pair"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum("lp").as("sum_logprob"))
+    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sum_logprob"),
+        (col("sum_logprob") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy("doc_id")
   }
 
   /** Per-source keep rates of the data-mixture sampler (u9): curated
@@ -349,6 +442,43 @@ object TextAnalysis {
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), u, rate)
       .filter(col("u_mix") < col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature exponent of the u10 mixture (α < 1 flattens the
+    * source distribution — the multilingual-sampling rule of mT5/XLM-R
+    * applied to data sources) and the overall target fraction. */
+  private[operators] val temperatureAlpha = 0.7
+  private[operators] val temperatureTargetFrac = 0.4
+
+  /** U10: TEMPERATURE-scaled mixture sampling — u9's fixed per-source
+    * rates replaced by DATA-DERIVED ones: p_s ∝ (n_s/N)^α redistributes
+    * mass from dominant sources to rare ones, and the per-source keep
+    * rate is the p_s-proportional share of a corpus-level target
+    * (capped at 1 — a rare stratum can't be upsampled by filtering).
+    * Membership is the same content-hash uniform as u8/u9: layout-
+    * independent, oracle-recomputable. The rate table is #sources rows
+    * (its windows are metadata-scale); the corpus side is one broadcast
+    * join + filter — map-only at 100 TB. */
+  val u10TemperatureSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val rates = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("n_total", sum("n_s").over(wAll))
+      .withColumn("w_s", pow(col("n_s").cast("double") / col("n_total"),
+        lit(temperatureAlpha)))
+      .withColumn("p_s", col("w_s") / sum("w_s").over(wAll))
+      .withColumn("keep_rate", least(lit(1.0),
+        col("p_s") * lit(temperatureTargetFrac) * col("n_total") / col("n_s")))
+      .select("source", "keep_rate")
+    val u = (Portable.h60(concat_ws("|", col("doc_id"), lit("temp42")))
+      .cast("double") / lit(math.pow(2, 60))).as("u_t")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), u)
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("u_t") < col("keep_rate"))
+      .select(col("doc_id"), col("source"), col("keep_rate"))
       .orderBy("doc_id")
   }
 
@@ -395,7 +525,10 @@ object TextAnalysis {
     "t7_vocab" -> t7Vocab,
     "t8_sequence_pack" -> t8SequencePack,
     "t9_bpe_train" -> t9BpeTrain,
+    "t10_bpe_encode" -> t10BpeEncode,
+    "t11_bigram_lm" -> t11BigramLm,
     "u9_stratified_sample" -> u9StratifiedSample,
+    "u10_temperature_sample" -> u10TemperatureSample,
     "c1_curation" -> c1Curation,
   )
 
@@ -408,7 +541,7 @@ object TextAnalysis {
     * references w_{i-1} twice (count + rewrite) and b_i twice (pattern
     * + replacement), so the default inlining expands the 20-step chain
     * into ~2^20 scans of the base table. */
-  private lazy val t9Sql: String = {
+  private lazy val bpeChainCtes: String = {
     val w0 =
       """w0 AS MATERIALIZED (
            SELECT ' ' || rtrim(regexp_replace(wd, '(.)', '\1  ', 'g')) || ' '
@@ -433,11 +566,82 @@ object TextAnalysis {
                    AS w, c
                  FROM w${i - 1})"""
     }.mkString(",\n")
+    s"$w0,\n$iters"
+  }
+
+  private lazy val t9Sql: String = {
     val sel = (1 to bpeMerges)
       .map(i => s"SELECT $i AS merge_rank, pair, freq FROM b$i")
       .mkString(" UNION ALL ")
-    s"WITH $w0,\n$iters\nSELECT merge_rank, pair, freq FROM ($sel)\nORDER BY merge_rank"
+    s"WITH $bpeChainCtes\nSELECT merge_rank, pair, freq FROM ($sel)\nORDER BY merge_rank"
   }
+
+  /** T10 oracle: the t9 chain's TERMINAL histogram w{bpeMerges} is the
+    * encode table — the original word is the merged form with separators
+    * stripped (merges only remove separators), n_sym its remaining
+    * symbol count; documents re-tokenize and join by word. Fully
+    * independent of the Spark side's delta-maintained loop. */
+  private lazy val t10Sql: String =
+    s"""WITH $bpeChainCtes,
+        enc AS (
+          SELECT replace(w, ' ', '') AS word,
+            CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_sym
+          FROM w$bpeMerges),
+        dw AS (
+          SELECT doc_id,
+            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN enc USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+
+  private val t11Sql: String =
+    """WITH d AS (
+         SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nrm
+         FROM documents),
+       bg AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(nrm)),
+             i -> substr(nrm, CAST(i AS INT), 2))) AS pair
+         FROM d WHERE len(nrm) >= 2),
+       cp AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_pair
+              FROM bg GROUP BY 1),
+       pre AS (SELECT substr(pair, 1, 1) AS pre,
+                 CAST(sum(c_pair) AS BIGINT) AS c_pre
+               FROM cp GROUP BY 1),
+       model AS (
+         SELECT pair, ln(CAST(c_pair AS DOUBLE) / CAST(c_pre AS DOUBLE)) AS lp
+         FROM cp JOIN pre ON substr(cp.pair, 1, 1) = pre.pre),
+       sc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           sum(lp) AS sum_logprob
+         FROM bg JOIN model USING (pair) GROUP BY 1)
+       SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         sc.sum_logprob, sc.sum_logprob / sc.n_bigrams AS avg_logprob
+       FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       ORDER BY d.doc_id"""
+
+  private def u10Sql: String =
+    s"""WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM documents GROUP BY 1),
+        r AS (
+          SELECT source, n_s, SUM(n_s) OVER () AS n_total,
+            pow(CAST(n_s AS DOUBLE) / SUM(n_s) OVER (), $temperatureAlpha)
+              AS w_s
+          FROM c),
+        rates AS (
+          SELECT source,
+            least(1.0, w_s / SUM(w_s) OVER ()
+              * $temperatureTargetFrac * n_total / n_s) AS keep_rate
+          FROM r)
+        SELECT d.doc_id, d.source, rates.keep_rate
+        FROM documents d JOIN rates USING (source)
+        WHERE CAST(${h("(d.doc_id || '|' || 'temp42')")} AS DOUBLE)
+            / CAST(1152921504606846976 AS DOUBLE) < keep_rate
+        ORDER BY d.doc_id"""
 
   private def u9Sql: String = {
     val cases = mixtureRates
@@ -475,7 +679,9 @@ object TextAnalysis {
 
   lazy val oracleAll: Map[String, String] =
     oracle + ("c1_curation" -> c1Sql) + ("t9_bpe_train" -> t9Sql) +
-      ("u9_stratified_sample" -> u9Sql)
+      ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
+      ("u9_stratified_sample" -> u9Sql) +
+      ("u10_temperature_sample" -> u10Sql)
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" ->

@@ -355,6 +355,22 @@ object Relational {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** W5 (extension): rank-distribution windows — percent_rank,
+    * cume_dist, and dense_rank of each order's price within its
+    * priority class. All three are tie-stable (equal inputs get equal
+    * outputs) and exact rationals of integer counts, so the outputs are
+    * engine-independent doubles. One shuffle on the partition key. */
+  private val w5RankDist: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("dr", dense_rank().over(w).cast("int"))
+      .orderBy("o_orderkey")
+  }
+
   /** U7 (extension): EXCEPT (distinct) — customers who never placed an
     * urgent order, as a set difference of key sets. */
   private val u6Except: Q = (s, dir) => {
@@ -589,6 +605,7 @@ object Relational {
     "w2_lag_lead" -> w2LagLead,
     "w3_running" -> w3Running,
     "w4_running_median" -> w4RunningMedian,
+    "w5_rank_dist" -> w5RankDist,
     "u6_except" -> u6Except,
     "u7_intersect" -> u7Intersect,
     "u8_content_sample" -> u8ContentSample,
@@ -767,6 +784,14 @@ object Relational {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_median
          FROM orders
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "w5_rank_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd,
+         CAST(DENSE_RANK() OVER w AS INT) AS dr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         ORDER BY o_orderkey""",
     "u6_except" ->
       """SELECT o_custkey FROM orders
          EXCEPT

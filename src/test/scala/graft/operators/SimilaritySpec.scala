@@ -59,6 +59,28 @@ class SimilaritySpec extends SparkSpec {
     assert(answered > n * 9 / 10, s"answered=$answered of n=$n")
   }
 
+  test("SQ8 rerank (s6): recall@3 vs exact (s1) is high — 8-bit codes " +
+    "rank candidates nearly exactly; rerank cosine never beats exact") {
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val sq8 = topMap("s6_sq8_ann", 3)
+    assert(sq8.keySet === exact3.keySet)
+    val r = recallAt3(sq8, exact3)
+    info(f"recall@3: sq8=$r%.2f")
+    // 255-level scalar quantization distorts dot products by <1% on unit-
+    // scale vectors — with 20 candidates for a top-3 answer the true
+    // neighbors essentially always survive the integer pre-ranking
+    assert(r >= 0.8, f"sq8 recall $r%.2f")
+    // the reranked best candidate can never exceed the true best cosine
+    val bestExact = graft.SparkEntry.queries("s1_cosine_topk")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Double]("cosine")).toMap
+    graft.SparkEntry.queries("s6_sq8_ann")(spark, dir)
+      .filter("rk = 1").collect().foreach { x =>
+        assert(x.getAs[Double]("cosine")
+          <= bestExact(x.getAs[Long]("qid")) + 1e-12)
+      }
+  }
+
   test("data-driven plane count: planesFor scales with n; the tuned " +
     "geometry's recall@3 vs exact (s1) is no worse than the committed one") {
     // the mechanism: +1 plane per corpus doubling, clamped

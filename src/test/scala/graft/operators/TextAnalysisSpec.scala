@@ -73,6 +73,85 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "es t", 2L)))
   }
 
+  test("t10 BPE encode: fully-merged planted corpus encodes one token " +
+    "per word; counts are word-count-weighted") {
+    // same corpus as the t9 planted test: training exhausts at 3 merges
+    // and every "aaab" collapses to a single symbol
+    val dir = tmpDir("bpe-encode")
+    Seq((0L, "aaab aaab", "en", "srcX", 9), (1L, "aaab", "en", "srcX", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t10BpeEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("t10 BPE encode invariants on the synthetic corpus: every word " +
+    "is ≥1 token, encoding never exceeds character count") {
+    val dir = "/root/testdata/sf0.001"
+    val enc = TextAnalysis.t10BpeEncode(spark, dir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (nw, nb) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))
+      assert(nb >= nw, s"doc ${r.get(0)}: $nb bpe tokens < $nw words")
+    }
+    // 20 merges on a natural-ish corpus must actually compress: strictly
+    // fewer BPE tokens than characters for the corpus as a whole
+    val chars = graft.core.Tables.t(spark, dir, "documents")
+      .agg(sum(length(regexp_replace(lower(col("text")), "\\s+", ""))))
+      .collect()(0).getLong(0)
+    val bpe = enc.map(_.getAs[Long]("n_bpe_tokens")).sum
+    info(s"corpus: $chars chars -> $bpe bpe tokens")
+    assert(bpe < chars)
+  }
+
+  test("t11 bigram LM: hand-computed log-probs on a planted corpus; " +
+    "scores are never positive") {
+    val dir = tmpDir("bigram-lm")
+    // corpus chars: doc0 "aa", doc1 "ab" -> bigrams aa(1), ab(1);
+    // prefix 'a' total 2 -> lp(aa) = lp(ab) = ln(1/2)
+    Seq((0L, "aa", "en", "srcX", 2), (1L, "ab", "en", "srcX", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t11BigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val half = math.log(0.5)
+    assert(got.map(_._1) === Seq(0L, 1L))
+    assert(got.map(_._2) === Seq(1L, 1L))
+    got.foreach { case (_, _, avg) => assert(math.abs(avg - half) < 1e-12) }
+    // corpus-scale: every score ≤ 0 (P ≤ 1 always), bigram counts = len-1
+    val full = TextAnalysis.t11BigramLm(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.isNullAt(2) || r.getAs[Double]("sum_logprob") <= 0.0)
+    }
+  }
+
+  test("u10 temperature sampling: keep rate strictly decreases with " +
+    "stratum size (α < 1 flattens); every rate in (0, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.u10TemperatureSample(spark, dir)
+    val rates = kept.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates.values.foreach(v => assert(v > 0.0 && v <= 1.0, rates))
+    // temperature rule: bigger stratum -> smaller (or capped) keep rate
+    val bySize = rates.toSeq.sortBy { case (s, _) => sizes(s) }
+    bySize.sliding(2).foreach {
+      case Seq((s1, r1), (s2, r2)) if sizes(s1) < sizes(s2) =>
+        assert(r1 >= r2, s"rate($s1)=$r1 < rate($s2)=$r2 but " +
+          s"${sizes(s1)} < ${sizes(s2)} docs")
+      case _ =>
+    }
+    // the sampler actually samples: strictly between 0 and everything
+    val total = docs.count()
+    val n = kept.count()
+    assert(n > 0 && n < total)
+  }
+
   test("u9 stratified sample: rate-1.0 strata keep every row; kept " +
     "fraction tracks the mixture rate") {
     val dir = "/root/testdata/sf0.001"

@@ -106,6 +106,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("w5 rank distributions match their closed forms (W5)") {
+    // pr = (rank-1)/(n-1), cd = (#rows with price <= mine)/n — the
+    // definitional identities, checked per partition on real data
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Relational.queries("w5_rank_dist")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Double]("o_totalprice"), r.getAs[Double]("pr"),
+        r.getAs[Double]("cd"), r.getAs[Int]("dr")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val n = part.length
+      val prices = part.map(_._2).sorted
+      part.foreach { case (_, price, pr, cd, dr) =>
+        val below = prices.count(_ < price)
+        val atOrBelow = prices.count(_ <= price)
+        assert(pr === (if (n == 1) 0.0 else below.toDouble / (n - 1)))
+        assert(cd === atOrBelow.toDouble / n)
+        val distinctBelow = prices.distinct.count(_ < price)
+        assert(dr === distinctBelow + 1)
+      }
+    }
+  }
+
   test("a17 approx_count_distinct within HLL tolerance of exact a15 twin") {
     // a17 has NO DuckDB oracle by design (HLL++ sketches are engine-
     // specific); its gate is this tolerance check against the exact twin.
