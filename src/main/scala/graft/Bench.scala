@@ -52,11 +52,15 @@ object Bench {
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val errors = results.collect { case (n, t) if t < 0 => n }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal formatting keeps the single JSON line short — the driver
+    // captures a bounded output window and a bloated line risks losing
+    // its head to truncation (BENCH_r05 arrived tail-only, parsed:null).
+    def f3(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"warmup_sec":$warmupSec,"n_queries":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -291,6 +291,27 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Analytic candidate volume of the s5 self-join at plane count `p`:
+    * Σ over (bucket, probe mask) of n_bucket · n_probedBucket — the
+    * number of (query, candidate) pairs the bucket join materializes
+    * (includes the n self-pairs the qid≠cid filter drops). Computed
+    * from the 2^p-row histogram alone (no join over the corpus) — the
+    * pre-flight cost model behind [[planesFor]], reported by the scale
+    * harness so candidate growth is MEASURED, not asserted. */
+  private[graft] def s5CandidateVolume(s: SparkSession, dir: String,
+                                       p: Int): Long = {
+    val h = t(s, dir, "embeddings")
+      .select(bucketOf(col("embedding"), p).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+    val masks = 0L +: (0 until p).map(i => (1L << i))
+    h.select(col("n").as("qn"),
+        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*))
+          .as("pb"))
+      .join(h.select(col("bkt").as("pb"), col("n").as("cn")), Seq("pb"))
+      .agg(sum(col("qn") * col("cn")))
+      .collect()(0).getLong(0)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB fragment: bucket id of `e.embedding` under the same planes. */

@@ -42,9 +42,23 @@ object ScaleRun {
 
     val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
       "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
-      "d7_dedup_clusters", "d8_cluster_keep", "t8_sequence_pack",
+      "d7_dedup_clusters", "d8_cluster_keep", "d9_decontaminate",
+      "s5_knn_join", "s6_sq8_ann", "t8_sequence_pack", "t9_bpe_train",
+      "t10_bpe_encode", "t11_bigram_lm", "u10_temperature_sample",
       "w4_running_median", "c1_curation", "fs_single_pass",
       "e8_stream_join")
+    // s5 pre-flight cost model: candidate volume (bucket-join pairs) at
+    // the committed P=6 geometry vs the planesFor-tuned one — the
+    // fixed-P quadratic risk, measured.
+    locally {
+      import graft.operators.Similarity
+      val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+      val pT = Similarity.planesFor(n)
+      val vC = Similarity.s5CandidateVolume(spark, dir, 6)
+      val vT = Similarity.s5CandidateVolume(spark, dir, pT)
+      println(s"[scale] s5 candidates: n=$n committedP=6 -> $vC pairs; " +
+        s"tuned P=$pT -> $vT pairs")
+    }
     (1 to passes).foreach { pass =>
       names.foreach { name =>
         val (r0, w0, s0) = (shufRead, shufWrite, peakStateRows)
