@@ -75,6 +75,26 @@ object MediaDecode {
       if (n == 0) 0.0 else sum / (n * 255.0))
   }
 
+  /** Offset of the P6 raster: re-runs the header scan (three ints +
+    * one whitespace byte) — kept in lockstep with [[decodePpm]]. */
+  private def ppmDataOffset(b: Array[Byte]): Int = {
+    var i = 2
+    var ints = 0
+    while (ints < 3) {
+      var inComment = false
+      while (i < b.length &&
+        (inComment || b(i) == ' ' || b(i) == '\n' || b(i) == '\r' ||
+          b(i) == '\t' || b(i) == '#')) {
+        if (b(i) == '#') inComment = true
+        else if (b(i) == '\n') inComment = false
+        i += 1
+      }
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      ints += 1
+    }
+    i + 1 // single whitespace after maxval
+  }
+
   /** Binary PPM (P6): ASCII header (whitespace-separated width, height,
     * maxval; '#' comments) followed by raw RGB bytes. */
   private def decodePpm(b: Array[Byte]): Decoded = {
@@ -110,6 +130,72 @@ object MediaDecode {
     while (k < i + n) { sum += b(k) & 0xff; k += 1 }
     Decoded("ppm", width, height, 3, 0, 0.0,
       if (n == 0) 0.0 else sum / (n * 255.0))
+  }
+
+  /** Decoded raster: NORMALIZED top-down row-major RGB bytes (BMP's
+    * bottom-up BGR storage and any top-down variant both land in the
+    * same canonical layout — downstream transforms never see storage
+    * order). */
+  case class Pixels(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Pixel extraction for the image formats [[decode]] accepts, same
+    * validation. Canonical layout per [[Pixels]]. */
+  def decodePixels(b: Array[Byte]): Pixels = {
+    require(b.length >= 2, s"payload too short: ${b.length}B")
+    if (b(0) == 'B' && b(1) == 'M') {
+      val d = decodeBmp(b) // full header validation (bounds, bpp, geometry)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      val topDown = bb.getInt(22) < 0
+      val stride = ((d.width.toLong * 3 + 3) & ~3L).toInt
+      val out = new Array[Byte](d.width * d.height * 3)
+      var y = 0
+      while (y < d.height) {
+        val srcRow = if (topDown) y else d.height - 1 - y
+        val off = dataOff + srcRow * stride
+        var x = 0
+        while (x < d.width) {
+          out((y * d.width + x) * 3) = b(off + x * 3 + 2)     // R <- BGR
+          out((y * d.width + x) * 3 + 1) = b(off + x * 3 + 1) // G
+          out((y * d.width + x) * 3 + 2) = b(off + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Pixels(d.width, d.height, out)
+    } else if (b(0) == 'P' && b(1) == '6') {
+      val d = decodePpm(b) // validates header + truncation
+      val off = ppmDataOffset(b)
+      val n = d.width * d.height * 3
+      // P6 raster is already top-down RGB
+      val out = java.util.Arrays.copyOfRange(b, off, off + n)
+      Pixels(d.width, d.height, out)
+    } else throw new IllegalArgumentException(
+      s"not a supported image (magic ${b.take(2).mkString(",")})")
+  }
+
+  /** Decoded PCM payload: interleaved 16-bit samples. */
+  case class Samples(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Sample extraction for PCM WAV, same validation as [[decode]]. */
+  def decodeSamples(b: Array[Byte]): Samples = {
+    val d = decode(b)
+    require(d.format == "wav", s"not a WAV payload (${d.format})")
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = bb.getInt(off)
+      val len = bb.getInt(off + 4)
+      if (id == 0x61746164) { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    val frames = dataLen / (d.channels * 2)
+    val out = new Array[Short](frames * d.channels)
+    var k = 0
+    while (k < out.length) { out(k) = bb.getShort(dataOff + k * 2); k += 1 }
+    Samples(d.sampleRate, d.channels, out)
   }
 
   /** PCM WAV (RIFF): walks the chunk list for 'fmt ' and 'data'.

@@ -160,6 +160,88 @@ object Multimodal {
   val x3DecodedMedia: Q = (s, _) =>
     decodeFiles(s, mediaFixtureDir).orderBy("file")
 
+  /** One row of [[x4ResizedMedia]] output. */
+  case class ResizedRow(file: String, out_w: Int, out_h: Int,
+                        mean_intensity: Double, pix_md5: String)
+
+  /** X4: image RESIZE — nearest-neighbor 2× downsample (even rows/cols
+    * of the canonical top-down RGB raster) through the same injectable
+    * mapPartitions shape as x3; per image emit the output geometry, the
+    * resized mean intensity, and the md5 of the resized byte stream —
+    * the md5 pins pixel SELECTION and channel normalization (BMP BGR
+    * bottom-up vs PPM RGB top-down must land identically), which a mean
+    * alone cannot. Oracle = hand-derived planted values. At 100 TB this
+    * is the thumbnail/downsample stage of an image-training pipeline:
+    * pure map, output bytes 4× smaller than input. */
+  def x4ResizedMedia: Q = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile").load(mediaFixtureDir)
+      .filter(!col("path").endsWith(".wav"))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, bytes) =>
+          val p = MediaDecode.decodePixels(bytes)
+          val (ow, oh) = ((p.width + 1) / 2, (p.height + 1) / 2)
+          val out = new Array[Byte](ow * oh * 3)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              var c = 0
+              while (c < 3) {
+                out((y * ow + x) * 3 + c) =
+                  p.rgb(((y * 2) * p.width + x * 2) * 3 + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val sum = out.foldLeft(0L)((a, v) => a + (v & 0xff))
+          val md = java.security.MessageDigest.getInstance("MD5").digest(out)
+          ResizedRow(f, ow, oh, (sum.toDouble / out.length) / 255.0,
+            md.map("%02x".format(_)).mkString)
+        }
+      }.toDF().orderBy("file")
+  }
+
+  /** One row of [[x5FrameSample]] output. */
+  case class FrameRow(file: String, frame_idx: Int, frame_ms: Double,
+                      level: Double)
+
+  /** X5: audio FRAME-SAMPLE — PCM payloads split into fixed 50 ms
+    * frames, every 2nd frame kept (the sampling stride an audio-training
+    * pipeline uses to cut decode volume before feature extraction); per
+    * kept frame emit its index, duration, and mean |sample|/32768 level.
+    * Pure map over payload rows; only complete frames count (trailing
+    * partial frames are dropped — the deterministic boundary rule the
+    * oracle mirrors). */
+  def x5FrameSample: Q = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile").load(mediaFixtureDir)
+      .filter(col("path").endsWith(".wav"))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (f, bytes) =>
+          val sm = MediaDecode.decodeSamples(bytes)
+          val perFrame = sm.sampleRate / 20 * sm.channels // 50 ms
+          val nFrames = sm.samples.length / perFrame
+          (0 until nFrames by 2).map { fi =>
+            var sum = 0L
+            var k = fi * perFrame
+            while (k < (fi + 1) * perFrame) {
+              sum += math.abs(sm.samples(k).toLong); k += 1
+            }
+            FrameRow(f, fi, 50.0, (sum.toDouble / perFrame) / 32768.0)
+          }
+        }
+      }.toDF().orderBy("file", "frame_idx")
+  }
+
   /** X2: metadata-pushdown scan — filter/aggregate over the typed meta
     * struct WITHOUT touching payloads (at scale this is the pruning that
     * keeps media scans cheap: parquet reads only meta columns). */
@@ -174,6 +256,8 @@ object Multimodal {
     "x1_media_features" -> x1MediaFeatures,
     "x2_meta_stats" -> x2MetaStats,
     "x3_decoded_media" -> x3DecodedMedia,
+    "x4_resized_media" -> x4ResizedMedia,
+    "x5_frame_sample" -> x5FrameSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +286,35 @@ object Multimodal {
          t(file, format, width, height, channels, sample_rate,
            duration_ms, intensity)
          ORDER BY file""",
+    // Hand-derived planted values: NN 2× downsample keeps even rows/
+    // cols of the canonical RGB raster. gray 6x4 uniform 128 -> 3x2 of
+    // 128s; tint 4x2 uniform BGR(30,20,10) -> 2x1 of RGB(10,20,30)
+    // (mean (10+20+30)/3 = 20); rgb.ppm rows [R,G,B] -> cols 0,2 of row
+    // 0 = [R,B] (mean 510/6 = 85). md5s computed over those exact byte
+    // streams.
+    "x4_resized_media" ->
+      """SELECT file, out_w, out_h,
+           CAST(mean_intensity AS DOUBLE) AS mean_intensity, pix_md5
+         FROM (VALUES
+           ('gray.bmp', 3, 2, 128.0/255, '7bf2bbbf7f5ccc6bb19d3166288a231d'),
+           ('rgb.ppm',  2, 1,  85.0/255, '0b6e96bfc7f6d594ea6f30a77482eccd'),
+           ('tint.bmp', 2, 1,  20.0/255, '8c2ed4391169bcbc1c31000ce5dd2c74'))
+         t(file, out_w, out_h, mean_intensity, pix_md5)
+         ORDER BY file""",
+    // tone.wav: 2000 samples @ 8 kHz mono = 250 ms -> five 50 ms frames
+    // (400 samples each, alternating +/-16384 -> level 0.5); every 2nd
+    // frame kept -> 0,2,4. stereo.wav: 4410 zero frames @ 44.1 kHz =
+    // 100 ms -> two 50 ms frames -> frame 0 only, level 0.
+    "x5_frame_sample" ->
+      """SELECT file, frame_idx, CAST(frame_ms AS DOUBLE) AS frame_ms,
+           CAST(level AS DOUBLE) AS level
+         FROM (VALUES
+           ('stereo.wav', 0, 50.0, 0.0),
+           ('tone.wav',   0, 50.0, 0.5),
+           ('tone.wav',   2, 50.0, 0.5),
+           ('tone.wav',   4, 50.0, 0.5))
+         t(file, frame_idx, frame_ms, level)
+         ORDER BY file, frame_idx""",
     "x2_meta_stats" ->
       """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
          source AS src, CAST(COUNT(*) AS BIGINT) AS n,

@@ -395,11 +395,19 @@ object TextAnalysis {
   val t11BigramLm: Q = (s, dir) => {
     val d = t(s, dir, "documents").select(col("doc_id"),
       regexp_replace(trim(lower(col("text"))), wsPat, " ").as("nrm"))
-    val bg = d.filter(length(col("nrm")) >= 2)
+    // Per-doc PAIR HISTOGRAM, materialized once: both the model (a
+    // re-aggregation of it) and the scoring join consume this frame —
+    // without the checkpoint the regex-normalize + per-char explode
+    // (the CPU-dominant pass over the whole corpus) runs twice, once
+    // per consumer (measured 1.8× the query cost at sf0.1). Same
+    // eager-materialization pattern as t9's generations.
+    val hist = d.filter(length(col("nrm")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), length(col("nrm")) - 1),
         i => col("nrm").substr(i, lit(2)))).as("pair"))
-    val cp = bg.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+      .groupBy("doc_id", "pair").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cp = hist.groupBy("pair").agg(sum("cnt").as("c_pair"))
     val pre = cp.groupBy(substring(col("pair"), 1, 1).as("pre"))
       .agg(sum("c_pair").as("c_pre"))
     val model = cp.withColumn("pre", substring(col("pair"), 1, 1))
@@ -407,10 +415,14 @@ object TextAnalysis {
       .select(col("pair"),
         log(col("c_pair").cast("double") / col("c_pre").cast("double"))
           .as("lp"))
-    val scored = bg.join(Dedup.maybeBroadcast(model), Seq("pair"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
-        sum("lp").as("sum_logprob"))
-    d.select("doc_id").join(scored, Seq("doc_id"), "left")
+    // cnt·lp (exact product, one same-sign sum over distinct pairs)
+    // instead of adding lp once per occurrence — both agree with the
+    // oracle's occurrence sum far below 6-sig-fig canonicalization.
+    val scored = hist.join(Dedup.maybeBroadcast(model), Seq("pair"))
+      .groupBy("doc_id").agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("sum_logprob"))
+    t(s, dir, "documents").select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("sum_logprob"),

@@ -302,12 +302,52 @@ object PointInTime {
       .orderBy("dt_ref", "l_suppkey")
   }
 
+  /** i4: keyed MERGE/upsert inside the oracle gate — orders staged as a
+    * year-partitioned base store, then one CDC-style batch applied via
+    * Sinks.upsert: for every o_orderkey % 1000 == 0 the batch carries a
+    * STALE update (seq 1, price+1) and a WINNING one (seq 2, price×2 —
+    * the de-batch keep-last rule must pick it), plus inserts with fresh
+    * keys (o_orderkey + 10M) for every o_orderkey % 1500 == 0. The batch
+    * is applied TWICE (idempotent re-run), the store read back in full.
+    * Oracle reconstructs the merge declaratively: NOT-IN keep set UNION
+    * winners UNION inserts. */
+  def upsertStore(s: SparkSession, dir: String): DataFrame = {
+    val store = sys.props("java.io.tmpdir") +
+      s"/graft-i4-store-${graft.core.Tables.sourceFingerprint(s"$dir/orders.parquet")}/orders"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    val base = graft.core.Tables.t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    graft.sources.Sinks.upsert(s, base.withColumn("__seq", lit(0L)), store,
+      Seq("o_orderkey"), "__seq", "o_year")
+    val hit = base.filter(col("o_orderkey") % 1000 === 0)
+    val updates = hit
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("__seq", lit(1L))
+      .unionByName(hit
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("__seq", lit(2L)))
+      .unionByName(base.filter(col("o_orderkey") % 1500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("__seq", lit(1L)))
+    graft.sources.Sinks.upsert(s, updates, store,
+      Seq("o_orderkey"), "__seq", "o_year")
+    graft.sources.Sinks.upsert(s, updates, store, // idempotent re-run
+      Seq("o_orderkey"), "__seq", "o_year")
+    s.read.parquet(store)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+        col("o_year"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_point_in_time" -> ((s, dir) => supplierFeatures(s, dir, refDate)),
     "fs_single_pass" -> ((s, dir) => supplierFeaturesSinglePass(s, dir, refDate)),
     "i1_backfill" -> backfillStore,
     "i2_backfill_batched" -> backfillStoreBatched,
     "i3_backfill_stream" -> backfillStoreStreaming,
+    "i4_upsert" -> upsertStore,
   )
 
   private def singlePassOracle(date: String): String =
@@ -345,11 +385,33 @@ object PointInTime {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY dt_ref, l_suppkey")
   }
 
+  private val upsertOracle: String =
+    """WITH winners AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 1000 = 0),
+       inserts AS (
+         SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey % 1500 = 0),
+       upd AS (SELECT * FROM winners UNION ALL SELECT * FROM inserts),
+       kept AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+       merged AS (SELECT * FROM kept UNION ALL SELECT * FROM upd)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS o_year
+       FROM merged ORDER BY o_orderkey"""
+
   val oracle: Map[String, String] = Map(
     "fs_point_in_time" -> oracleFor(refDate),
     "fs_single_pass" -> singlePassOracle(refDate),
     "i1_backfill" -> backfillOracle,
     "i2_backfill_batched" -> backfillOracle,
     "i3_backfill_stream" -> backfillOracle,
+    "i4_upsert" -> upsertOracle,
   )
 }

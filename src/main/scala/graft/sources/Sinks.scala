@@ -103,6 +103,60 @@ object Sinks {
     fs.delete(new Path(staged), true)
   }
 
+  /** Keyed MERGE (upsert) emulation on plain Parquet — the Delta
+    * `MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT` surface for a
+    * CDC-style updates batch: incoming rows REPLACE existing rows with
+    * the same key, new keys are inserted, and the batch itself is
+    * de-duplicated first (keep the row with the highest `seqCol` per
+    * key — the CDC de-batching rule; `seqCol` is transport metadata and
+    * is dropped from what lands in the table).
+    *
+    * Partition-pruned like [[replaceSlices]]: affected partitions =
+    * partitions the de-batched updates land in UNION partitions
+    * currently holding any updated key (found with a key-only semi
+    * join — the second leg keeps re-runs correct when an update moves a
+    * row ACROSS partitions: the stale copy is dropped, not orphaned).
+    * Only those `partCol=v` directories are rewritten and swapped;
+    * at 100 TB an upsert batch touching k partitions costs a scan+write
+    * of k partitions, never the table. Idempotent: re-running the same
+    * batch anti-joins the same keys out before the union, yielding
+    * byte-identical content. */
+  def upsert(spark: SparkSession, updates: DataFrame, path: String,
+             keyCols: Seq[String], seqCol: String, partCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    def clustered(df: DataFrame) = df.repartition(col(partCol))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", seqCol)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      clustered(latest).write.partitionBy(partCol).parquet(path)
+      return
+    }
+    val incoming = latest.select(partCol).distinct().collect()
+      .map(_.get(0).toString)
+    val keys = latest.select(keyCols.map(col): _*)
+    val stale = spark.read.parquet(path)
+      .join(keys, keyCols, "left_semi")
+      .select(partCol).distinct().collect().map(_.get(0).toString)
+    val affected = (incoming ++ stale).distinct
+    val kept = spark.read.parquet(path)
+      .filter(col(partCol).isin(affected.toSeq: _*))
+      .join(keys, keyCols, "left_anti")
+    val merged = kept.unionByName(latest)
+    val staged = stagePath(path)
+    clustered(merged).write.partitionBy(partCol).parquet(staged)
+    affected.foreach { v =>
+      val dst = new Path(root, s"$partCol=$v")
+      val src = new Path(staged, s"$partCol=$v")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new Path(staged), true)
+  }
+
   /** Bucketed managed table — the co-located-join layout (SURVEY §7.4
     * scale rules): two tables bucketed by the same key into the same
     * bucket count join WITHOUT a shuffle on either side (Exchange-free

@@ -98,6 +98,40 @@ class MultimodalSpec extends SparkSpec {
     assert(eWav.getMessage.contains("chunk length"))
   }
 
+  test("decodePixels normalizes storage order: BMP bottom-up BGR and " +
+    "PPM top-down RGB land in one canonical raster; decodeSamples " +
+    "round-trips the PCM payload") {
+    def bytes(name: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Multimodal.mediaFixtureDir, name))
+    val tint = MediaDecode.decodePixels(bytes("tint.bmp"))
+    assert((tint.width, tint.height) === (4, 2))
+    // stored BGR (30,20,10) must arrive as canonical RGB (10,20,30)
+    assert(tint.rgb.toSeq === Seq.fill(8)(Seq(10, 20, 30)).flatten
+      .map(_.toByte))
+    val rgb = MediaDecode.decodePixels(bytes("rgb.ppm"))
+    assert(rgb.rgb.toSeq === Seq(255, 0, 0, 0, 255, 0, 0, 0, 255,
+      255, 0, 0, 0, 255, 0, 0, 0, 255).map(_.toByte))
+    val tone = MediaDecode.decodeSamples(bytes("tone.wav"))
+    assert((tone.sampleRate, tone.channels) === (8000, 1))
+    assert(tone.samples.length === 2000)
+    assert(tone.samples(0) === 16384 && tone.samples(1) === -16384)
+    intercept[IllegalArgumentException] {
+      MediaDecode.decodePixels(bytes("tone.wav")) // not an image
+    }
+  }
+
+  test("x4 resize halves geometry and pins the resized byte stream; " +
+    "x5 frame sampling keeps every 2nd 50 ms frame") {
+    val resized = Multimodal.x4ResizedMedia(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(resized === Set(("gray.bmp", 3, 2), ("rgb.ppm", 2, 1),
+      ("tint.bmp", 2, 1)))
+    val frames = Multimodal.x5FrameSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3)))
+    assert(frames.toSeq === Seq(("stereo.wav", 0, 0.0),
+      ("tone.wav", 0, 0.5), ("tone.wav", 2, 0.5), ("tone.wav", 4, 0.5)))
+  }
+
   test("x3: decodeFiles runs the real decoder through the injectable " +
     "mapPartitions path") {
     val rows = Multimodal.x3DecodedMedia(spark, dir).collect()

@@ -66,6 +66,42 @@ class SinksSpec extends SparkSpec {
       ("2023-06-01", 2023, "x", 1.0), ("2024-06-01", 2024, "y", 2.0)))
   }
 
+  private def cdc(rows: (String, Int, Double, Long)*) =
+    rows.toDF("key", "pt", "value", "seq")
+
+  private def readUpsertStore(path: String) =
+    spark.read.parquet(path)
+      .select("key", "pt", "value")
+      .as[(String, Int, Double)].collect().toSet
+
+  test("upsert: keep-last de-batch, update vs insert, cross-partition " +
+    "key move, idempotent re-run, untouched partitions never rewritten") {
+    val path = tmpDir("sinks") + "/ups"
+    Sinks.upsert(spark, cdc(("a", 1, 1.0, 0L), ("b", 1, 2.0, 0L),
+      ("c", 2, 3.0, 0L), ("d", 3, 4.0, 0L)),
+      path, Seq("key"), "seq", "pt")
+    assert(readUpsertStore(path) === Set(
+      ("a", 1, 1.0), ("b", 1, 2.0), ("c", 2, 3.0), ("d", 3, 4.0)))
+    val dir3 = Paths.get(path, "pt=3")
+    val before = Files.list(dir3).toArray.map(_.toString).toSet
+    // batch: a updated twice (seq 2 wins), c MOVES to partition 1,
+    // e inserted; d (partition 3) untouched
+    val batch = cdc(("a", 1, 10.0, 1L), ("a", 1, 20.0, 2L),
+      ("c", 1, 30.0, 1L), ("e", 2, 50.0, 1L))
+    Sinks.upsert(spark, batch, path, Seq("key"), "seq", "pt")
+    val want = Set(("a", 1, 20.0), ("b", 1, 2.0), ("c", 1, 30.0),
+      ("d", 3, 4.0), ("e", 2, 50.0))
+    assert(readUpsertStore(path) === want)
+    // the stale pre-move copy of c (pt=2) is gone, not orphaned
+    assert(spark.read.parquet(path).filter("key = 'c'").count() === 1)
+    Sinks.upsert(spark, batch, path, Seq("key"), "seq", "pt") // re-run
+    assert(readUpsertStore(path) === want)
+    // the seq column is transport metadata — never lands in the table
+    assert(!spark.read.parquet(path).columns.contains("seq"))
+    val after = Files.list(dir3).toArray.map(_.toString).toSet
+    assert(before === after) // pt=3 files untouched by either apply
+  }
+
   test("replaceSlices: batched replacement drops all incoming slice values") {
     val path = tmpDir("sinks") + "/store"
     Sinks.replaceSlices(spark,
