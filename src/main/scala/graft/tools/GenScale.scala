@@ -101,6 +101,8 @@ object GenScale {
     s.range(n).select(
       col("id").as("o_orderkey"),
       pmod(xxhash64(col("id"), lit(1)), lit(150000L)).as("o_custkey"),
+      when(u(col("id"), 9) < 0.45, "F").when(u(col("id"), 9) < 0.75, "O")
+        .otherwise("P").as("o_orderstatus"),
       to_timestamp(date_add(to_date(lit("1995-01-01")),
         pmod(xxhash64(col("id"), lit(2)), lit(1642L)).cast("int")))
         .as("o_orderdate"),

@@ -43,7 +43,8 @@ object ScaleRun {
     val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
       "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
       "d7_dedup_clusters", "d8_cluster_keep", "d9_decontaminate",
-      "s5_knn_join", "s6_sq8_ann", "t8_sequence_pack", "t9_bpe_train",
+      "i4_upsert", "s5_knn_join", "s6_sq8_ann", "t8_sequence_pack",
+      "t9_bpe_train",
       "t10_bpe_encode", "t11_bigram_lm", "u10_temperature_sample",
       "w4_running_median", "c1_curation", "fs_single_pass",
       "e8_stream_join")
