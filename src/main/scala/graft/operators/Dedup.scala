@@ -600,6 +600,32 @@ object Dedup {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS mh$i"
     }.mkString(",\n            ")
 
+  /** Corpus document-frequency above which a shingle counts as HOT for
+    * d10 (df > 1 = the span appears in at least one OTHER document). */
+  private[operators] val d10HotDf = 1L
+
+  /** D10: CROSS-DOCUMENT duplicated-span scoring — the RefinedWeb-style
+    * boilerplate rule: per document, the fraction of its distinct
+    * 3-gram shingles occurring in more than [[d10HotDf]] documents
+    * (shared headers/footers/license blocks — the spans a curation
+    * pipeline strips or downweights before training). t5 scores
+    * WITHIN-doc repetition; d10 scores ACROSS-doc spans.
+    *
+    * Map-only over the shingle silver stage: `sh` already packs each
+    * shingle's corpus df into its high bits (df·2³¹ + hash, the
+    * AllPairs rarest-first ordering), so the ratio is one array scan
+    * per row — the corpus-wide df aggregation was paid once, in the
+    * shared stage, and NO new shuffle happens at any scale. */
+  val d10HotSpans: Q = (s, dir) =>
+    shingled(s, dir)
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_distinct_shingles"),
+        size(filter(col("sh"), rv => shiftright(rv, 31) > d10HotDf))
+          .cast("long").as("n_hot_shingles"))
+      .withColumn("hot_ratio",
+        col("n_hot_shingles").cast("double") / col("n_distinct_shingles"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -612,6 +638,7 @@ object Dedup {
       clusters(s, d).orderBy("cluster_rep", "doc_id")),
     "d8_cluster_keep" -> d8ClusterKeep,
     "d9_decontaminate" -> d9Decontaminate,
+    "d10_hot_spans" -> d10HotSpans,
   )
 
   private lazy val d3OracleSql: String =
@@ -654,6 +681,22 @@ object Dedup {
             CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
           FROM tg JOIN bg USING (g)
           GROUP BY 1 ORDER BY 1""",
+    // Independent plan: recomputes the df join the Spark side reads out
+    // of the silver stage's packed ordering.
+    "d10_hot_spans" ->
+      s"""WITH $shingleCte,
+          ex AS (SELECT doc_id, unnest(list_distinct(hs)) AS shh FROM hsc),
+          dfreq AS (SELECT shh, CAST(count(*) AS BIGINT) AS df
+                    FROM ex GROUP BY 1),
+          per AS (
+            SELECT e.doc_id,
+              CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+              CAST(sum(CASE WHEN dfreq.df > $d10HotDf THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_shingles
+            FROM ex e JOIN dfreq USING (shh) GROUP BY 1)
+          SELECT doc_id, n_distinct_shingles, n_hot_shingles,
+            CAST(n_hot_shingles AS DOUBLE) / n_distinct_shingles AS hot_ratio
+          FROM per ORDER BY doc_id""",
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies

@@ -95,4 +95,29 @@ class DedupSpec extends SparkSpec {
     assert(byId(100L) === ((100L, 2L, 1L)))
     assert(byId(102L) === ((102L, 1L, 1L)))
   }
+
+  test("d10 hot spans: duplicated docs score 1.0, unique docs 0.0, " +
+    "partial overlap in between") {
+    import spark.implicits._
+    val dir = tmpDir("d10-planted")
+    // A and B are identical (every shingle df=2 > 1 -> ratio 1.0);
+    // C is fully unique (ratio 0.0); D shares exactly its first 3-gram
+    // with A/B (1 hot of 3 distinct shingles)
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "srcX", 22),
+      (1L, "alpha beta gamma delta", "en", "srcX", 22),
+      (2L, "epsilon zeta eta theta", "en", "srcX", 22),
+      (3L, "alpha beta gamma iota kappa", "en", "srcX", 27),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val raw = Dedup.queries("d10_hot_spans")(spark, dir).collect()
+    info(raw.mkString("; "))
+    val got = raw
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, 2L, 1.0)))
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 1L, 1.0 / 3)))
+  }
 }
