@@ -494,6 +494,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shard count of the u11 deterministic shuffle. */
+  private[operators] val shuffleShards = 8L
+
+  /** U11: DETERMINISTIC CORPUS SHUFFLE + SHARD — the pre-training
+    * batching step: every document gets a global pseudo-random position
+    * (order = content hash of its id, so the permutation is seeded,
+    * layout-independent, and oracle-recomputable) and a round-robin
+    * shard assignment over [[shuffleShards]] output shards. The global
+    * rank is the t8 two-level scan — per-bucket row_number (hash high
+    * bits → 2^10 buckets) plus a metadata-scale bucket-offset join —
+    * never a partition-less window dragging the corpus through one
+    * task. At 100 TB this is exactly how a corpus is shuffled: sort by
+    * hash within hash-range buckets, concatenate bucket offsets. */
+  val u11ShuffleShard: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = t(s, dir, "documents").select(col("doc_id"),
+      Portable.h60(concat_ws("|", col("doc_id"), lit("shuf42"))).as("hk"))
+      .withColumn("bkt", shiftright(col("hk"), 60 - 10)) // top 10 bits
+    val wLocal = Window.partitionBy("bkt").orderBy("hk", "doc_id")
+    val local = keyed.withColumn("lrk", row_number().over(wLocal))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("bkt_off", coalesce(sum("bn").over(wBkt), lit(0L)))
+      .select("bkt", "bkt_off")
+    local.join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"),
+        (col("bkt_off") + col("lrk") - 1).as("shuffle_pos"))
+      .withColumn("shard", pmod(col("shuffle_pos"), lit(shuffleShards)))
+      .orderBy("doc_id")
+  }
+
   /** Quality floor of the curation pipeline (c1). */
   private[operators] val c1QualityFloor = 0.5
 
@@ -523,6 +555,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hot-span ceiling of the full curation pipeline (c2). */
+  private[operators] val c2HotCeiling = 0.5
+
+  /** Contamination floor of c2: a doc is dropped when it shares at
+    * least this many distinct n-grams with the benchmark set. A
+    * threshold (not any-overlap) is how production decontamination
+    * works — on a stopword-dense corpus single-trigram collisions are
+    * incidental (measured at sf0.01: 97 docs share exactly 1 trigram
+    * with the bench set; the one PLANTED contaminated doc shares 81). */
+  private[operators] val c2ContaminationHits = 5L
+
+  /** C2: CURATION v2 — the c1 pipeline extended with the round-6
+    * stages a production corpus build runs before tokenization:
+    * benchmark DECONTAMINATION (drop every doc d9 flags as overlapping
+    * the eval set), cross-doc BOILERPLATE suppression (d10 hot-span
+    * ratio ≤ [[c2HotCeiling]]), and the TEMPERATURE mixture sample
+    * (u10 membership). Pure composition of individually-gated
+    * operators; the oracle composes their SQL twins identically, so
+    * the gate checks five-way operator interop. All joins are
+    * doc_id-keyed. */
+  val c2CurationFull: Q = (s, dir) => {
+    val contaminated = Dedup.queries("d9_decontaminate")(s, dir)
+      .filter(col("n_hits") >= c2ContaminationHits)
+      .select("doc_id")
+    val hot = Dedup.queries("d10_hot_spans")(s, dir)
+      .select(col("doc_id"), col("hot_ratio"))
+    val mix = u10TemperatureSample(s, dir).select(col("doc_id"),
+      col("keep_rate"))
+    c1Curation(s, dir)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(hot, Seq("doc_id"))
+      .join(mix, Seq("doc_id"))
+      .filter(col("hot_ratio") <= c2HotCeiling)
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("quality_score"), col("n_regex_tokens"), col("hot_ratio"),
+        col("keep_rate"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -541,7 +612,9 @@ object TextAnalysis {
     "t11_bigram_lm" -> t11BigramLm,
     "u9_stratified_sample" -> u9StratifiedSample,
     "u10_temperature_sample" -> u10TemperatureSample,
+    "u11_shuffle_shard" -> u11ShuffleShard,
     "c1_curation" -> c1Curation,
+    "c2_curation_full" -> c2CurationFull,
   )
 
   /** T9 oracle: the same merge iterations as chained CTEs over the same
@@ -689,11 +762,45 @@ object TextAnalysis {
         WHERE l.lang_pred = 'en' AND q.quality_score >= $c1QualityFloor
         ORDER BY d.doc_id"""
 
+  /** U11 oracle: the naive single-window global rank — independent of
+    * the Spark side's two-level scan, which must equal it exactly. */
+  private def u11Sql: String =
+    s"""WITH keyed AS (
+          SELECT doc_id, ${h("(doc_id || '|' || 'shuf42')")} AS hk
+          FROM documents)
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+            AS shuffle_pos,
+          CAST((ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1)
+            % $shuffleShards AS BIGINT) AS shard
+        FROM keyed ORDER BY doc_id"""
+
+  /** C2 oracle: the c1/d9/d10/u10 oracle queries composed exactly as
+    * the Spark side composes the operator frames. */
+  private lazy val c2Sql: String =
+    s"""WITH c1 AS (SELECT * FROM (${c1Sql})),
+        contaminated AS (
+          SELECT doc_id FROM (${Dedup.oracle("d9_decontaminate")})
+          WHERE n_hits >= $c2ContaminationHits),
+        hot AS (
+          SELECT doc_id, hot_ratio FROM (${Dedup.oracle("d10_hot_spans")})),
+        mix AS (SELECT doc_id, keep_rate FROM (${u10Sql}))
+        SELECT c1.doc_id, c1.source, c1.lang_pred, c1.quality_score,
+          c1.n_regex_tokens, hot.hot_ratio, mix.keep_rate
+        FROM c1
+        JOIN hot ON hot.doc_id = c1.doc_id
+        JOIN mix ON mix.doc_id = c1.doc_id
+        WHERE c1.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND hot.hot_ratio <= $c2HotCeiling
+        ORDER BY c1.doc_id"""
+
   lazy val oracleAll: Map[String, String] =
     oracle + ("c1_curation" -> c1Sql) + ("t9_bpe_train" -> t9Sql) +
       ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
       ("u9_stratified_sample" -> u9Sql) +
-      ("u10_temperature_sample" -> u10Sql)
+      ("u10_temperature_sample" -> u10Sql) +
+      ("u11_shuffle_shard" -> u11Sql) +
+      ("c2_curation_full" -> c2Sql)
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" ->

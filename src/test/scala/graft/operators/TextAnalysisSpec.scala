@@ -207,6 +207,42 @@ class TextAnalysisSpec extends SparkSpec {
       "no doc straddles a block boundary — fixture too small?")
   }
 
+  test("u11 shuffle: positions are a permutation of 0..n-1, shards " +
+    "balanced within 1, and the two-level scan equals the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.u11ShuffleShard(spark, dir).collect()
+    val n = got.length
+    assert(got.map(_.getAs[Long]("shuffle_pos")).sorted.toSeq
+      === (0L until n).toSeq) // bijection
+    val byShard = got.groupBy(_.getAs[Long]("shard")).values.map(_.length)
+    assert(byShard.max - byShard.min <= 1, s"shards $byShard")
+    // ground truth: ONE unpartitioned window (the anti-pattern, used
+    // as reference only)
+    val naive = graft.core.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.Portable.h60(
+        concat_ws("|", col("doc_id"), lit("shuf42"))).as("hk"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy("hk", "doc_id")).cast("long") - 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+      .toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("shuffle_pos") === naive(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("c2 full curation is a subset of c1 with the extra gates applied") {
+    val dir = "/root/testdata/sf0.001"
+    val c1Ids = TextAnalysis.c1Curation(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val c2 = TextAnalysis.c2CurationFull(spark, dir).collect()
+    assert(c2.nonEmpty && c2.length < c1Ids.size)
+    c2.foreach { r =>
+      assert(c1Ids.contains(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Double]("hot_ratio") <= 0.5)
+    }
+  }
+
   test("t5 repetition ratio: duplicated shingles raise the ratio") {
     // the planted exact-duplicate docs in the corpus must have the same
     // rep_ratio as their originals (same text → same shingle multiset)
