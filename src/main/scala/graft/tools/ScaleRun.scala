@@ -43,6 +43,7 @@ object ScaleRun {
     val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
       "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
       "d7_dedup_clusters", "d8_cluster_keep", "d9_decontaminate",
+      "d10_hot_spans", "u11_shuffle_shard", "c2_curation_full",
       "i4_upsert", "s5_knn_join", "s6_sq8_ann", "t8_sequence_pack",
       "t9_bpe_train",
       "t10_bpe_encode", "t11_bigram_lm", "u10_temperature_sample",
