@@ -55,12 +55,21 @@ object Bench {
     // 3-decimal formatting keeps the single JSON line short — the driver
     // captures a bounded output window and a bloated line risks losing
     // its head to truncation (BENCH_r05 arrived tail-only, parsed:null).
-    def f3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale and would emit
+    // "0,600" (invalid JSON) on comma-decimal hosts.
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Per-pass times (not just the min) let a reader separate host
+    // contention (one inflated pass) from a real regression (all passes
+    // slow) without rerunning the bench.
+    val passJson = names.zipWithIndex.map { case (n, i) =>
+      "\"" + n + "\":[" + passes.map(p => f3(p(i)._2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

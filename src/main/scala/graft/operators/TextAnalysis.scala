@@ -481,8 +481,16 @@ object TextAnalysis {
       .withColumn("w_s", pow(col("n_s").cast("double") / col("n_total"),
         lit(temperatureAlpha)))
       .withColumn("p_s", col("w_s") / sum("w_s").over(wAll))
-      .withColumn("keep_rate", least(lit(1.0),
-        col("p_s") * lit(temperatureTargetFrac) * col("n_total") / col("n_s")))
+      // keep_rate flows through pow() and double window sums, where
+      // Spark's Math.pow and DuckDB's libm may differ in the last ulp —
+      // enough to flip a boundary doc's membership. Quantize to a 2^-30
+      // grid (power-of-two scale + floor are EXACT in binary fp, so both
+      // engines land on the identical representable value unless the
+      // pow-chain results straddle a grid line — ~2^-22 odds per source
+      // vs every-boundary-doc exposure before).
+      .withColumn("keep_rate", floor(least(lit(1.0),
+        col("p_s") * lit(temperatureTargetFrac) * col("n_total") / col("n_s"))
+        * lit(1073741824.0)) / lit(1073741824.0))
       .select("source", "keep_rate")
     val u = (Portable.h60(concat_ws("|", col("doc_id"), lit("temp42")))
       .cast("double") / lit(math.pow(2, 60))).as("u_t")
@@ -719,8 +727,9 @@ object TextAnalysis {
           FROM c),
         rates AS (
           SELECT source,
-            least(1.0, w_s / SUM(w_s) OVER ()
-              * $temperatureTargetFrac * n_total / n_s) AS keep_rate
+            floor(least(1.0, w_s / SUM(w_s) OVER ()
+              * $temperatureTargetFrac * n_total / n_s)
+              * 1073741824.0) / 1073741824.0 AS keep_rate
           FROM r)
         SELECT d.doc_id, d.source, rates.keep_rate
         FROM documents d JOIN rates USING (source)

@@ -320,6 +320,15 @@ object PointInTime {
       .withColumn("o_year", year(col("o_orderdate")).cast("int"))
     graft.sources.Sinks.upsert(s, base.withColumn("__seq", lit(0L)), store,
       Seq("o_orderkey"), "__seq", "o_year")
+    // The insert branch shifts keys by +10M to guarantee freshness; on a
+    // corpus whose keyspace reaches 10M an insert could collide with an
+    // existing key (upsert keep-last would collapse it, the oracle's
+    // UNION ALL would not) — enforce the assumption instead of leaving
+    // it latent.
+    val maxKey =
+      base.agg(max(col("o_orderkey"))).head.getAs[Number](0).longValue
+    require(maxKey < 10000000L,
+      s"i4 insert offset 10000000 would collide: max(o_orderkey)=$maxKey")
     val hit = base.filter(col("o_orderkey") % 1000 === 0)
     val updates = hit
       .withColumn("o_totalprice", col("o_totalprice") + 1.0)

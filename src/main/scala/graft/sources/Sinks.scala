@@ -2,9 +2,11 @@ package graft.sources
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Parquet sinks replicating the reference's Delta write surface
   * (SURVEY.md §2.1 S5-S8) without Delta jars.
@@ -13,8 +15,50 @@ import org.apache.spark.sql.functions.col
   * `coalesce(1)` — the reference's single-file layout is an MB-scale
   * choice; at 100 TB the default (0 = natural partitioning) keeps write
   * parallelism, and compaction is an explicit maintenance call.
+  *
+  * == Crash-safe commit protocol ==
+  * The reference inherits ACID partition swaps from Delta's transaction
+  * log (reference scripts/spark_ops.py:89,170). On plain Parquet the
+  * same guarantee is rebuilt with a commit marker + rename-only swaps:
+  *
+  *  1. the merged partitions are written to a staging dir (side effect
+  *     free — readers never see it);
+  *  2. a `_graft_commit` marker (atomic create via temp-file rename) is
+  *     written INSIDE the table root recording txid, staging path, and
+  *     every affected `partCol=v` directory with a has-new-data flag.
+  *     Underscore-prefixed paths are invisible to Spark/Parquet readers;
+  *  3. each affected partition is swapped with RENAMES ONLY: current dir
+  *     → `_graft_old/<txid>/partCol=v`, staged dir → current. No data is
+  *     deleted before the commit point, so every intermediate crash
+  *     state is recoverable;
+  *  4. the marker is deleted (THE commit point), then `_graft_old` and
+  *     staging are cleaned up.
+  *
+  * A crash anywhere in 2-4 is repaired by [[recover]] (also invoked
+  * automatically at the start of every replaceSlices/upsert): the marker
+  * tells it exactly which renames remain, and because the staged data
+  * was complete before the marker existed, recovery always rolls
+  * FORWARD idempotently to the new table state. [[readTable]] is the
+  * marker-aware reader: while a commit is in flight (or crashed), it
+  * serves the complete PRE-commit snapshot from `_graft_old` + untouched
+  * dirs; once the marker is gone it serves the new state — old or new,
+  * never a mix. (On an eventually-consistent object store the same
+  * protocol needs the marker read to be strongly consistent — S3 has
+  * been since 2020; the rename-per-partition cost model is the HDFS/
+  * local one.)
+  *
+  * Single concurrent WRITER per table remains the contract (matching
+  * the reference's per-table batch usage); the protocol adds crash
+  * atomicity and reader consistency, not multi-writer conflict
+  * resolution.
   */
 object Sinks {
+
+  /** Test hook (SinksSpec crash injection): when >= 0, the Nth swap
+    * rename of the NEXT commit throws before executing (0 = crash after
+    * the marker is written but before any rename). Recovery runs ignore
+    * the hook. Always reset to -1 after use. */
+  @volatile private[graft] var crashBeforeRename: Int = -1
 
   /** S5: full overwrite (schema replaced by construction on Parquet).
     * targetFiles = 0 → keep natural partitioning (scale default);
@@ -24,13 +68,20 @@ object Sinks {
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** S7: compaction — rewrite a table at a target file count. */
+  /** S7: compaction — rewrite a table at a target file count. The swap
+    * is rename-aside (old table → side dir, staged → table, delete
+    * side): a crash never loses data — worst case the table is at the
+    * side path, recoverable by hand or vacuum-visible. */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
     val df = spark.read.parquet(path)
     // Materialize before overwriting the path being read.
     val staged = stagePath(path)
     df.coalesce(math.max(targetFiles, 1)).write.parquet(staged)
-    swap(spark, staged, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
+    fs.rename(new Path(path), side)
+    fs.rename(new Path(staged), new Path(path))
+    fs.delete(side, true)
   }
 
   /** S6: Delta `replaceWhere` emulation on plain Parquet — replace only
@@ -38,7 +89,7 @@ object Sinks {
     * (reference scripts/spark_ops.py:169-175 writes the feature store
     * with replaceWhere dtRef='<date>' partitionBy dtYear).
     *
-    * Algorithm (idempotent; atomic per partition-directory swap):
+    * Algorithm (idempotent; crash-safe per the commit protocol above):
     *  1. first write → plain partitioned write;
     *  2. else: affected partitions = distinct partCol values in the new
     *     slice UNION partitions already holding rows of the slice values
@@ -50,9 +101,9 @@ object Sinks {
     *     partition column — free), with parquet min/max skipping;
     *  3. read ONLY those partitions (partition-pruned scan), drop rows of
     *     the incoming slice value, union the new slice;
-    *  4. write the merged partitions to a staging dir, then swap each
-    *     affected `partCol=v` directory via rename (close to atomic per
-    *     partition; readers of other partitions are never touched).
+    *  4. write the merged partitions to a staging dir, then commit via
+    *     the marker + rename-only swap (readers of other partitions are
+    *     never touched).
     *
     * Re-running the same slice yields byte-identical content (the old
     * slice is dropped before the union every time).
@@ -75,32 +126,28 @@ object Sinks {
     // tasks. Backfill slices are small by contract (one date's features);
     // for jumbo slices repartition(N, partCol, …) would be the lever.
     def clustered(df: DataFrame) = df.repartition(col(partCol))
+    requireSimplePartCol(newSlices, partCol)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) {
       clustered(newSlices).write.partitionBy(partCol).parquet(path)
       return
     }
-    val incoming = newSlices.select(partCol).distinct().collect()
-      .map(_.get(0).toString)
+    recoverIfNeeded(spark, fs, root)
+    val incoming = collectPartValues(newSlices.select(partCol).distinct(), partCol)
     require(incoming.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
-    val stale = spark.read.parquet(path)
-      .filter(col(sliceCol).isin(sliceValues: _*))
-      .select(partCol).distinct().collect().map(_.get(0).toString)
+    val stale = collectPartValues(
+      spark.read.parquet(path)
+        .filter(col(sliceCol).isin(sliceValues: _*))
+        .select(partCol).distinct(), partCol)
     val affected = (incoming ++ stale).distinct
     val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(affected.toSeq: _*))
+      .filter(col(partCol).isin(affected.map(_.toString): _*))
       .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
     val merged = existing.unionByName(newSlices)
     val staged = stagePath(path)
     clustered(merged).write.partitionBy(partCol).parquet(staged)
-    affected.foreach { v =>
-      val dst = new Path(root, s"$partCol=$v")
-      val src = new Path(staged, s"$partCol=$v")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(new Path(staged), true)
+    commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
   }
 
   /** Keyed MERGE (upsert) emulation on plain Parquet — the Delta
@@ -116,16 +163,17 @@ object Sinks {
     * currently holding any updated key (found with a key-only semi
     * join — the second leg keeps re-runs correct when an update moves a
     * row ACROSS partitions: the stale copy is dropped, not orphaned).
-    * Only those `partCol=v` directories are rewritten and swapped;
-    * at 100 TB an upsert batch touching k partitions costs a scan+write
-    * of k partitions, never the table. Idempotent: re-running the same
-    * batch anti-joins the same keys out before the union, yielding
-    * byte-identical content. */
+    * Only those `partCol=v` directories are rewritten and swapped under
+    * the commit-marker protocol; at 100 TB an upsert batch touching k
+    * partitions costs a scan+write of k partitions, never the table.
+    * Idempotent: re-running the same batch anti-joins the same keys out
+    * before the union, yielding byte-identical content. */
   def upsert(spark: SparkSession, updates: DataFrame, path: String,
              keyCols: Seq[String], seqCol: String, partCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, desc, row_number}
     def clustered(df: DataFrame) = df.repartition(col(partCol))
+    requireSimplePartCol(updates, partCol)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
     val latest = updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", seqCol)
@@ -135,26 +183,76 @@ object Sinks {
       clustered(latest).write.partitionBy(partCol).parquet(path)
       return
     }
-    val incoming = latest.select(partCol).distinct().collect()
-      .map(_.get(0).toString)
+    recoverIfNeeded(spark, fs, root)
+    val incoming = collectPartValues(latest.select(partCol).distinct(), partCol)
     val keys = latest.select(keyCols.map(col): _*)
-    val stale = spark.read.parquet(path)
-      .join(keys, keyCols, "left_semi")
-      .select(partCol).distinct().collect().map(_.get(0).toString)
+    val stale = collectPartValues(
+      spark.read.parquet(path)
+        .join(keys, keyCols, "left_semi")
+        .select(partCol).distinct(), partCol)
     val affected = (incoming ++ stale).distinct
     val kept = spark.read.parquet(path)
-      .filter(col(partCol).isin(affected.toSeq: _*))
+      .filter(col(partCol).isin(affected.map(_.toString): _*))
       .join(keys, keyCols, "left_anti")
     val merged = kept.unionByName(latest)
     val staged = stagePath(path)
     clustered(merged).write.partitionBy(partCol).parquet(staged)
-    affected.foreach { v =>
-      val dst = new Path(root, s"$partCol=$v")
-      val src = new Path(staged, s"$partCol=$v")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+    commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
+  }
+
+  /** Marker-aware table read: while a commit is in flight or crashed
+    * (marker present), serves the complete PRE-commit snapshot — the
+    * archived `_graft_old` copy of already-swapped partitions, the
+    * still-in-place copy of not-yet-swapped ones, and every untouched
+    * partition. Once the marker is gone, a plain read of the (new)
+    * table. Readers therefore observe old-or-new, never a mix. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMarker(fs, root) match {
+      case None => spark.read.parquet(path)
+      case Some(pc) =>
+        val affectedDirs = pc.parts.map(_._1).toSet
+        val untouched = fs.listStatus(root)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(pc.partCol + "=") &&
+            !affectedDirs(st.getPath.getName))
+          .map(_.getPath.toString)
+        val oldTx = oldRoot(root, pc.txid)
+        val stagedP = new Path(pc.staging)
+        // Pre-commit copy of an affected partition: the archived dir if
+        // the swap reached it; else the in-place dir — for a replaced
+        // partition (hasNew) ONLY while its staged replacement still
+        // exists (src gone + old gone means the in-place dir already
+        // holds NEW data of a brand-new partition); for a removed
+        // partition (!hasNew) the in-place dir is always pre-commit.
+        val (archived, inPlace) = pc.parts.flatMap { case (d, hasNew) =>
+          val old = new Path(oldTx, d)
+          val dst = new Path(root, d)
+          if (fs.exists(old)) Some(Left(old.toString))
+          else if (fs.exists(dst) &&
+            (!hasNew || fs.exists(new Path(stagedP, d))))
+            Some(Right(dst.toString))
+          else None
+        }.partitionMap(identity)
+        val reads = Seq(
+          (path, untouched.toSeq ++ inPlace),
+          (oldTx.toString, archived)
+        ).collect { case (base, paths) if paths.nonEmpty =>
+          spark.read.option("basePath", base).parquet(paths: _*)
+        }
+        if (reads.isEmpty) spark.read.parquet(path).limit(0)
+        else reads.reduce(_ unionByName _)
     }
-    fs.delete(new Path(staged), true)
+  }
+
+  /** Roll a crashed commit forward to the new table state. Returns true
+    * if there was anything to recover. Safe to call at any time;
+    * replaceSlices/upsert call it automatically. */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) false else recoverIfNeeded(spark, fs, root)
   }
 
   /** Bucketed managed table — the co-located-join layout (SURVEY §7.4
@@ -172,11 +270,12 @@ object Sinks {
   }
 
   /** S8: VACUUM analog — plain-Parquet overwrites already replace files,
-    * so the only orphans are staging dirs from interrupted
-    * replaceSlice/compact runs; delete those older than `minAgeMs`
-    * (default 1h — NEVER 0 in production: a younger staging dir may
-    * belong to an in-flight writer, and deleting it mid-run loses the
-    * partition being swapped). Returns the count removed. */
+    * so the orphans are staging dirs and `_graft_old` archives from
+    * interrupted runs whose marker is gone (marker present → recovery
+    * owns them); delete those older than `minAgeMs` (default 1h — NEVER
+    * 0 in production: a younger staging dir may belong to an in-flight
+    * writer, and deleting it mid-run loses the partition being swapped).
+    * Returns the count removed. */
   def vacuum(spark: SparkSession, path: String,
              minAgeMs: Long = 3600 * 1000L): Int = {
     val p = new Path(path)
@@ -185,21 +284,160 @@ object Sinks {
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parent)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val orphans = fs.listStatus(parent).filter { st =>
+    val staging = fs.listStatus(parent).filter { st =>
       st.getPath.getName.startsWith(s"${p.getName}-staging-") &&
         st.getModificationTime < cutoff
     }
-    orphans.foreach(st => fs.delete(st.getPath, true))
-    orphans.length
+    staging.foreach(st => fs.delete(st.getPath, true))
+    val oldArchives =
+      if (fs.exists(p) && !fs.exists(markerPath(p)) &&
+        fs.exists(new Path(p, "_graft_old")))
+        fs.listStatus(new Path(p, "_graft_old"))
+          .filter(_.getModificationTime < cutoff)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    oldArchives.foreach(st => fs.delete(st.getPath, true))
+    staging.length + oldArchives.length
   }
+
+  // ---------------------------------------------------------------- //
+  // commit protocol internals
+  // ---------------------------------------------------------------- //
+
+  /** Pending commit recorded by the `_graft_commit` marker:
+    * parts = (partition dir name, staged-replacement-exists). */
+  private case class PendingCommit(txid: String, staging: String,
+                                   partCol: String,
+                                   parts: Seq[(String, Boolean)])
+
+  private def markerPath(root: Path) = new Path(root, "_graft_commit")
+  private def oldRoot(root: Path, txid: String) =
+    new Path(root, s"_graft_old/$txid")
+
+  private def dirName(partCol: String, v: Any): String =
+    s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}"
+
+  /** Partition values must be non-null simple types: null writes to
+    * `__HIVE_DEFAULT_PARTITION__`, and fractional/timestamp values
+    * stringify differently from Hive partition-path encoding — both
+    * would silently break affected-partition detection, so they are
+    * rejected up front (ADVICE r6). */
+  private def requireSimplePartCol(df: DataFrame, partCol: String): Unit = {
+    val dt = df.schema(partCol).dataType
+    val ok = dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           DateType | BooleanType => true
+      case _ => false
+    }
+    require(ok, s"partition column $partCol has type ${dt.simpleString}; " +
+      "sinks support non-null string/integral/date/boolean partition " +
+      "columns (fractional and timestamp values do not round-trip " +
+      "through Hive partition-path encoding)")
+  }
+
+  private def collectPartValues(distinctVals: DataFrame,
+                                partCol: String): Seq[Any] = {
+    val vs = distinctVals.collect().map(_.get(0)).toSeq
+    require(!vs.contains(null),
+      s"partition column $partCol contains NULL values; sinks require " +
+        "non-null partition values")
+    vs
+  }
+
+  private def writeMarker(fs: FileSystem, root: Path,
+                          pc: PendingCommit): Unit = {
+    val tmp = new Path(root, s"_graft_commit.tmp-${pc.txid}")
+    val out = fs.create(tmp, true)
+    val body = (Seq(pc.txid, pc.staging, pc.partCol) ++
+      pc.parts.map { case (d, h) => s"$d\t$h" }).mkString("\n")
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, markerPath(root)) // atomic create = publish
+  }
+
+  private def readMarker(fs: FileSystem, root: Path): Option[PendingCommit] = {
+    val mp = markerPath(root)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    val parts = lines.drop(3).filter(_.nonEmpty).map { l =>
+      val Array(d, h) = l.split("\t", 2)
+      (d, h.toBoolean)
+    }
+    Some(PendingCommit(lines(0), lines(1), lines(2), parts))
+  }
+
+  /** Swap every affected partition via renames only; idempotent, so a
+    * recovery rerun picks up exactly where a crash stopped. */
+  private def applySwaps(fs: FileSystem, root: Path, pc: PendingCommit,
+                         injectCrash: Boolean): Unit = {
+    val stagedP = new Path(pc.staging)
+    val oldTx = oldRoot(root, pc.txid)
+    var renames = 0
+    def doRename(a: Path, b: Path): Unit = {
+      if (injectCrash && crashBeforeRename >= 0 && renames == crashBeforeRename)
+        throw new IllegalStateException(
+          s"graft test crash injection before rename #$renames")
+      require(fs.rename(a, b), s"rename failed: $a -> $b")
+      renames += 1
+    }
+    pc.parts.foreach { case (dir, hasNew) =>
+      val src = new Path(stagedP, dir)
+      val dst = new Path(root, dir)
+      val old = new Path(oldTx, dir)
+      if (hasNew) {
+        if (fs.exists(src)) { // else: this partition's swap already done
+          if (fs.exists(dst)) {
+            require(!fs.exists(old),
+              s"commit ${pc.txid}: both $dst and $old exist — external " +
+                "interference with the table during a commit")
+            fs.mkdirs(oldTx)
+            doRename(dst, old)
+          }
+          doRename(src, dst)
+        }
+      } else if (fs.exists(dst) && !fs.exists(old)) {
+        // partition emptied by the merge: archive (remove) its dir
+        fs.mkdirs(oldTx)
+        doRename(dst, old)
+      }
+    }
+  }
+
+  private def commitSwap(spark: SparkSession, fs: FileSystem, root: Path,
+                         staged: String, partCol: String,
+                         dirNames: Seq[String]): Unit = {
+    val txid = UUID.randomUUID().toString.take(8)
+    val stagedP = new Path(staged)
+    val parts = dirNames.map(d => d -> fs.exists(new Path(stagedP, d)))
+    val pc = PendingCommit(txid, staged, partCol, parts)
+    writeMarker(fs, root, pc)
+    applySwaps(fs, root, pc, injectCrash = true)
+    fs.delete(markerPath(root), false) // THE commit point
+    fs.delete(oldRoot(root, txid), true)
+    fs.delete(stagedP, true)
+  }
+
+  private def recoverIfNeeded(spark: SparkSession, fs: FileSystem,
+                              root: Path): Boolean =
+    readMarker(fs, root) match {
+      case None => false
+      case Some(pc) =>
+        // The marker only exists once the staged write completed, so the
+        // new state is always fully materialized: roll FORWARD.
+        applySwaps(fs, root, pc, injectCrash = false)
+        fs.delete(markerPath(root), false)
+        fs.delete(oldRoot(root, pc.txid), true)
+        fs.delete(new Path(pc.staging), true)
+        true
+    }
 
   private def stagePath(path: String): String =
     s"$path-staging-${UUID.randomUUID().toString.take(8)}"
-
-  /** Swap a staged rewrite into place (used by compact). */
-  private def swap(spark: SparkSession, staged: String, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staged), new Path(path))
-  }
 }

@@ -102,6 +102,89 @@ class SinksSpec extends SparkSpec {
     assert(before === after) // pt=3 files untouched by either apply
   }
 
+  test("upsert commit is crash-safe at EVERY rename boundary; readTable " +
+    "serves the old snapshot mid-commit and the new table after recovery") {
+    val batch = cdc(("a", 1, 10.0, 1L), ("a", 1, 20.0, 2L),
+      ("c", 1, 30.0, 1L), ("e", 2, 50.0, 1L))
+    def freshStore(path: String): Unit =
+      Sinks.upsert(spark, cdc(("a", 1, 1.0, 0L), ("b", 1, 2.0, 0L),
+        ("c", 2, 3.0, 0L), ("d", 3, 4.0, 0L)),
+        path, Seq("key"), "seq", "pt")
+    val preBatch = Set(("a", 1, 1.0), ("b", 1, 2.0), ("c", 2, 3.0),
+      ("d", 3, 4.0))
+    val postBatch = Set(("a", 1, 20.0), ("b", 1, 2.0), ("c", 1, 30.0),
+      ("d", 3, 4.0), ("e", 2, 50.0))
+    def snapshot(path: String) =
+      Sinks.readTable(spark, path).select("key", "pt", "value")
+        .as[(String, Int, Double)].collect().toSet
+    var crashPoint = 0
+    var crashed = true
+    while (crashed) {
+      val path = tmpDir("sinks") + s"/crash$crashPoint"
+      freshStore(path)
+      assert(snapshot(path) === preBatch)
+      Sinks.crashBeforeRename = crashPoint
+      crashed = try { Sinks.upsert(spark, batch, path, Seq("key"), "seq", "pt"); false }
+      catch { case _: IllegalStateException => true }
+      finally Sinks.crashBeforeRename = -1
+      if (crashed) {
+        // mid-commit: the marker is present, readTable must serve the
+        // complete PRE-commit snapshot — never a partial mix
+        assert(Files.exists(Paths.get(path, "_graft_commit")),
+          s"crash point $crashPoint left no marker")
+        assert(snapshot(path) === preBatch,
+          s"mid-commit snapshot mixed at crash point $crashPoint")
+        // recovery rolls forward to exactly the committed state
+        assert(Sinks.recover(spark, path))
+        assert(!Files.exists(Paths.get(path, "_graft_commit")))
+        assert(readUpsertStore(path) === postBatch,
+          s"recovery incomplete from crash point $crashPoint")
+        assert(snapshot(path) === postBatch)
+        // recovered store accepts further writes (auto-recover no-ops)
+        Sinks.upsert(spark, batch, path, Seq("key"), "seq", "pt")
+        assert(readUpsertStore(path) === postBatch)
+      } else {
+        assert(readUpsertStore(path) === postBatch)
+      }
+      crashPoint += 1
+    }
+    assert(crashPoint >= 4, s"expected >= 4 rename crash points, got $crashPoint")
+  }
+
+  test("crashed commit auto-recovers on the next write (no explicit recover)") {
+    val path = tmpDir("sinks") + "/autorec"
+    Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 1.0),
+      ("2023-12-01", 2023, "z", 7.0)), path, "dt_ref", "ignored", "dt_year")
+    Sinks.crashBeforeRename = 1 // crash mid-swap (after the first rename)
+    try intercept[IllegalStateException] {
+      Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 9.0)),
+        path, "dt_ref", "2024-01-01", "dt_year")
+    } finally Sinks.crashBeforeRename = -1
+    // next write on the same table first rolls the crashed commit forward
+    Sinks.replaceSlice(spark, store(("2023-12-01", 2023, "z", 8.0)),
+      path, "dt_ref", "2023-12-01", "dt_year")
+    assert(readStore(path) === Set(
+      ("2024-01-01", 2024, "a", 9.0), ("2023-12-01", 2023, "z", 8.0)))
+    assert(!Files.exists(Paths.get(path, "_graft_commit")))
+  }
+
+  test("sinks reject null and fractional partition values up front") {
+    val path = tmpDir("sinks") + "/bad"
+    val nullPart = Seq(("2024-01-01", Option.empty[Int], "a", 1.0))
+      .toDF("dt_ref", "dt_year", "key", "value")
+    Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 1.0)),
+      path, "dt_ref", "2024-01-01", "dt_year")
+    intercept[IllegalArgumentException] {
+      Sinks.replaceSlice(spark, nullPart, path, "dt_ref", "2024-01-01", "dt_year")
+    }
+    val doublePart = Seq(("2024-01-01", 2024.0, "a", 1.0))
+      .toDF("dt_ref", "dt_year", "key", "value")
+    intercept[IllegalArgumentException] {
+      Sinks.replaceSlice(spark, doublePart, path + "2", "dt_ref",
+        "2024-01-01", "dt_year")
+    }
+  }
+
   test("replaceSlices: batched replacement drops all incoming slice values") {
     val path = tmpDir("sinks") + "/store"
     Sinks.replaceSlices(spark,
