@@ -332,15 +332,11 @@ object Relational {
     * windowed median (quantile_cont interpolation — same rank rule).
     *
     * Cost bound: the growing frame ACCUMULATES incrementally (one
-    * buffer update per row), but each per-row eval re-sorts the
-    * buffer — O(k log k) at history length k, O(n² log n) worst case
-    * per partition. That worst case is bounded by the PARTITION KEY,
-    * not the corpus: a customer's order history is tens of rows at any
-    * SF, and that invariant (frame size ∝ entity activity, never table
-    * size) is the operator's contract — a running median over an
-    * unbounded-history key needs an order-statistic buffer (two-heap /
-    * indexable skiplist, O(log k) per step) before it is safe; don't
-    * lift this query form onto such a key as-is. */
+    * buffer update per row), and DoublesBuf self-detects the
+    * eval→add→eval window pattern, flipping into its p-balanced
+    * two-heap mode — O(log k) per add, O(1) per eval, O(n log n) per
+    * partition total. Safe on unbounded-history keys; memory is the
+    * frame itself (one double per row), the exact-median floor. */
   private val w4RunningMedian: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val run = Window.partitionBy("o_custkey")
