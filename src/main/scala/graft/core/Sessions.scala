@@ -51,15 +51,17 @@ object Sessions {
         stateStoreProvider)
       // one shared RocksDB block cache across all state partitions
       // instead of per-store unbounded LRU — the executor-memory guard
+      // (env-overridable for A/B experiments, default stays the guard)
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
-        "true")
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_BOUNDED", "true"))
       // commit the per-batch changelog instead of a full SST snapshot
       // (snapshots amortize in background maintenance) — cuts the
       // per-micro-batch commit cost that dominates e8's 32×4 store
       // commits; at 100 TB state it is the difference between commit
       // time scaling with STATE SIZE vs with BATCH DELTA
       .config("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
+        "changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

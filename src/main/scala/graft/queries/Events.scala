@@ -95,14 +95,16 @@ object Events {
     if (!new java.io.File(streamDir).exists())
       src.write.mode("overwrite").parquet(streamDir)
     val name = "graft_e5_sink"
-    val stream = s.readStream.schema(src.schema).parquet(streamDir)
-      .withColumn("ts", tsCol)
-    val q = graft.streaming.Streams.hourlyCounts(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withStatePartitions(s) {
+      val stream = s.readStream.schema(src.schema).parquet(streamDir)
+        .withColumn("ts", tsCol)
+      val q = graft.streaming.Streams.hourlyCounts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("hour", "event_type")
@@ -125,16 +127,18 @@ object Events {
     if (!new java.io.File(streamDir).exists())
       src.coalesce(1).write.mode("overwrite").parquet(streamDir)
     val name = "graft_e6_sink"
-    val stream = s.readStream.schema(src.schema).parquet(streamDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
-      .as[graft.streaming.Streams.Ev]
-    val sessions =
-      graft.streaming.Streams.sessionize(stream, gap = 30L * 60 * 1000000L)
-    val q = sessions.toDF().writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withStatePartitions(s) {
+      val stream = s.readStream.schema(src.schema).parquet(streamDir)
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .as[graft.streaming.Streams.Ev]
+      val sessions =
+        graft.streaming.Streams.sessionize(stream, gap = 30L * 60 * 1000000L)
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .select(col("user_id"), col("start_ns").as("start_us"),
         col("end_ns").as("end_us"), col("n_events"), col("sum_value"))
@@ -185,11 +189,13 @@ object Events {
         col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_ts"), col("purch_ts"),
         col("purch_val"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withStatePartitions(s) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("user_id", "click_ts", "purch_ts")
   }
 
@@ -207,17 +213,19 @@ object Events {
     if (!new java.io.File(streamDir).exists())
       src.write.mode("overwrite").parquet(streamDir)
     val name = "graft_e9_sink"
-    val deduped = s.readStream.schema(src.schema).parquet(streamDir)
-      .withColumn("ts", tsCol)
-      .withWatermark("ts", "2 hours")
-      .withColumn("hour", date_trunc("hour", col("ts")))
-      .dropDuplicatesWithinWatermark("user_id", "hour")
-      .select(col("user_id"), col("hour"))
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withStatePartitions(s) {
+      val deduped = s.readStream.schema(src.schema).parquet(streamDir)
+        .withColumn("ts", tsCol)
+        .withWatermark("ts", "2 hours")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .dropDuplicatesWithinWatermark("user_id", "hour")
+        .select(col("user_id"), col("hour"))
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("user_id", "hour")
   }
 

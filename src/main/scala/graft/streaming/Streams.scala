@@ -17,6 +17,35 @@ import graft.sources.Sinks
   */
 object Streams {
 
+  /** Default state-partition count for stateful streaming queries
+    * (env-overridable). Rationale: a stateful operator opens, updates,
+    * and COMMITS one state-store instance per shuffle partition per
+    * micro-batch, and the measured commit cost is super-linear in the
+    * number of CONCURRENT instances (StreamAB A/B, BASELINE.md: at 32
+    * partitions e8's 128 store commits cost 120 task-s/batch — 26×
+    * the 4.7 task-s of the same query at 8 partitions; invariant to
+    * provider (RocksDB vs HDFS), disk (ext4 vs tmpfs), and bounded-
+    * memory setting, i.e. pure commit-path contention). State
+    * partition count is also PINNED into the checkpoint at the first
+    * batch — it is a deployment decision, not a leftover of the batch
+    * shuffle default. Size it to state volume (~100-500 MB per
+    * partition at 100 TB event scale), not to core count. */
+  def defaultStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
+
+  /** Build + start + drain a STATEFUL streaming query with
+    * spark.sql.shuffle.partitions pinned to the state-partition count,
+    * restoring the batch default afterwards. Must wrap the `.start()`
+    * (micro-batch planning captures the value then); harness queries
+    * run sequentially, so the temporary session-conf flip is safe. */
+  def withStatePartitions[T](s: SparkSession,
+                             n: Int = defaultStatePartitions)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Hourly tumbling-window counts per event_type with a watermark —
     * streaming dual of queries.Events.e2HourlyAgg. `ts` is event-time
     * (TimestampType); late data beyond the watermark is dropped. */
