@@ -43,6 +43,10 @@ object ChampionModel {
       .setLabelCol(labelCol).setFeaturesCol("features")
       .setNumTrees(100).setMinInstancesPerNode(20).setSeed(42)
       .setMaxDepth(20)
+      // pinned explicitly (MLlib's "auto" resolves to sqrt for multi-tree
+      // classification today — a default change must not silently change
+      // the fitted forest the golden-hash spec records)
+      .setFeatureSubsetStrategy("sqrt")
     val stages = Seq(
       Option.when(impute99.nonEmpty)(imp99),
       Option.when(impute0.nonEmpty)(imp0),

@@ -4,9 +4,10 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** REAL pure-JVM media decoding — zero external codecs: uncompressed
   * 24-bpp BMP, binary PPM (P6), and PCM WAV header+payload parsing. This
-  * is the decoder that plugs into Multimodal's injectable-Decoder
-  * mapPartitions path (the stub twin remains only for the synthetic
-  * payloads of the x1 documents fixture, which are not media files).
+  * is the decoder behind the whole multimodal battery: the gated x1 path
+  * calls it per row through the codegen'd [[graft.plans.MediaFeaturesOf]]
+  * expression, and it is the default for Multimodal's injectable-Decoder
+  * mapPartitions path.
   *
   * Decoded fields are format-appropriate and zeroed elsewhere:
   *  - images: width/height (pixels), channels=3, intensity = mean

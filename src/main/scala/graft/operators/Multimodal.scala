@@ -7,24 +7,25 @@ import graft.core.Tables.t
 
 /** Multimodal-column plumbing (SURVEY.md §7.4): image/audio/video treated
   * as opaque `binary` payload columns with typed metadata structs, and a
-  * batched per-partition decode / feature-extract stage.
+  * REAL per-row decode / feature-extract stage.
   *
-  * Decoding is REAL where the payload is a real media file: x3 runs
-  * [[MediaDecode]] (pure-JVM BMP/PPM/WAV parsing, no external codecs)
-  * over committed fixtures with planted analytic ground truth. The x1
-  * documents fixture carries synthetic text payloads, so its decoder
-  * (`stubDecode`) stays a clearly-marked deterministic fake — the value
-  * there is the plumbing. That plumbing is the real Spark shape a 100 TB
-  * media pipeline needs:
+  * Every payload in the battery is a real media file decoded by
+  * [[MediaDecode]] (pure-JVM BMP/PPM/WAV parsing, no external codecs):
+  * the x1 media table attaches the committed fixture payloads to the
+  * documents corpus row-by-row, so feature extraction at corpus scale
+  * computes width/height/duration/intensity from actual decoded
+  * pixels/samples. The Spark shape is the one a 100 TB media pipeline
+  * needs:
   *  - payloads as BinaryType columns (never strings — no charset damage);
   *  - metadata as a typed StructType travelling with the payload;
-  *  - extraction has TWO paths: a codegen'd expression twin (the gated
-  *    x1 — the stub's features are md5 built-ins) and mapPartitions over
-  *    a typed Dataset in bounded BATCHES (batchSize=64) with an
+  *  - extraction has TWO paths that MultimodalSpec proves identical: a
+  *    native Catalyst expression ([[graft.plans.MediaFeaturesOf]],
+  *    codegen'd, the gated x1 hot path) and mapPartitions over a typed
+  *    Dataset in bounded BATCHES (batchSize=64) with an
   *    injectable Decoder — the exact shape a vectorized decoder (or GPU
   *    inference step) plugs into, one model/codec init per partition,
-  *    not per row; mapPartitions is reserved for genuinely opaque
-  *    decoders, never used where an expression fits;
+  *    not per row; mapPartitions is reserved for decoders that need
+  *    per-partition init, never used where an expression fits;
   *  - decoded features land as plain columns, joinable/filterable
   *    downstream with full Catalyst pushdown on the metadata.
   */
@@ -36,51 +37,54 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media_type: String,
                       payload: Array[Byte], src: String, n_chars: Long)
 
-  /** Decoded features appended to the media identity. */
+  /** Decoded features appended to the media identity — field-for-field
+    * [[MediaDecode.Decoded]] plus the payload size. */
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
-                           sig: String, width: Int, height: Int,
-                           brightness: Double)
+                           format: String, width: Int, height: Int,
+                           channels: Int, sample_rate: Int,
+                           duration_ms: Double, intensity: Double)
 
-  /** Media table fixture: documents' text bytes as the opaque payload,
-    * media_type round-robin, metadata struct alongside. At 100 TB the
-    * payload column comes from the object store; nothing downstream
-    * changes. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"),
-      struct(col("source").as("src"), col("lang"),
-        col("n_chars")).as("meta"))
-
-  /** A decoder turns one payload into (sig, width, height, brightness) —
-    * the plug point for a REAL image/audio codec or model. */
-  type Decoder = Array[Byte] => (String, Int, Int, Double)
-
-  /** ??? in spirit — STUB decoder: a real implementation decodes the
-    * image/audio payload here (no codecs ship in this container). This
-    * deterministic fake hashes the payload (md5) and derives
-    * pseudo-dimensions so the batched path is testable end-to-end. */
-  val stubDecode: Decoder = { payload =>
-    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-    val hex = md.map("%02x".format(_)).mkString
-    val width = java.lang.Integer.parseInt(hex.substring(0, 4), 16)
-    val height = java.lang.Integer.parseInt(hex.substring(4, 8), 16)
-    val brightness = java.lang.Long.parseLong(hex.substring(8, 12), 16) / 65535.0
-    (hex, width, height, brightness)
+  /** Media table: each document row carries one of the committed REAL
+    * media fixtures (BMP/PPM/WAV) as its opaque payload — doc_id % 5
+    * selects the file, media_type reflects the actual payload format.
+    * The 5 distinct payloads arrive via a broadcast join (metadata-scale
+    * build side); at 100 TB the payload column comes from the object
+    * store instead and nothing downstream changes. The meta struct stays
+    * the document's typed metadata, so metadata-only pruning (x2) is
+    * exercised against the same table. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fixtures = s.read.format("binaryFile").load(mediaFixtureDir)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content").as("payload"))
+      // stable 0-based index in filename order (5 rows — the window is
+      // metadata-scale; the oracle keys its VALUES list the same way)
+      .withColumn("fixture_idx",
+        (row_number().over(Window.orderBy("file")) - 1).cast("long"))
+      .withColumn("media_type",
+        when(col("file").endsWith(".wav"), "audio").otherwise("image"))
+    t(s, dir, "documents")
+      .withColumn("fixture_idx", col("doc_id") % 5)
+      .join(broadcast(fixtures), "fixture_idx")
+      .select(col("doc_id"), col("media_type"), col("payload"),
+        struct(col("source").as("src"), col("lang"),
+          col("n_chars")).as("meta"))
   }
+
+  /** A decoder turns one payload into its [[MediaDecode.Decoded]]
+    * features — the plug point for a codec library or model runtime.
+    * The default is the real pure-JVM decoder. */
+  type Decoder = Array[Byte] => MediaDecode.Decoded
 
   /** Batched per-partition feature extraction — the mapPartitions shape a
     * vectorized decoder/GPU-inference step plugs into via `decoder` (init
     * once per partition, process in batches of `batchSize`). mapPartitions
-    * is justified ONLY for opaque decoders; when the features are
-    * expressible as Catalyst expressions use [[extractFeaturesExpr]]
-    * (codegen'd, pushdown-friendly) — MultimodalSpec proves the two paths
-    * agree for the stub. */
+    * is justified ONLY for decoders needing per-partition init; the gated
+    * x1 uses the codegen'd expression twin
+    * ([[graft.plans.MediaFeaturesOf]]) — MultimodalSpec proves the two
+    * paths agree on the real decoder. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64,
-                      decoder: Decoder = stubDecode): DataFrame = {
+                      decoder: Decoder = MediaDecode.decode): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("doc_id"), col("media_type"), col("payload"),
@@ -90,33 +94,41 @@ object Multimodal {
         // init per partition (codec/model handle would be created here)
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (hex, w, h, b) = decoder(r.payload)
-            MediaFeatures(r.doc_id, r.media_type, r.payload.length, hex, w, h, b)
+            val d = decoder(r.payload)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+              d.format, d.width, d.height, d.channels, d.sampleRate,
+              d.durationMs, d.intensity)
           }
         }
       }
       .toDF()
   }
 
-  /** Native-expression twin of [[extractFeatures]]+[[stubDecode]]: the
-    * stub's md5-derived features are all built-ins (md5/substring/conv/
-    * length), so the GATED x1 path stays inside whole-stage codegen — no
-    * mapPartitions serialization wall on the hot path. */
+  /** Native-expression twin of [[extractFeatures]]: the same REAL decode
+    * as a codegen'd Catalyst expression, so the GATED x1 path stays
+    * inside whole-stage codegen — no mapPartitions serialization wall on
+    * the hot path. Codegen subexpression elimination evaluates the decode
+    * once per row across the extracted fields. */
   def extractFeaturesExpr(media: DataFrame): DataFrame = {
-    val sig = md5(col("payload"))
+    val feat = org.apache.spark.sql.graftshim.column(
+      graft.plans.MediaFeaturesOf(
+        org.apache.spark.sql.graftshim.expression(col("payload"))))
     media.select(
       col("doc_id"), col("media_type"),
       length(col("payload")).as("n_bytes"),
-      sig.as("sig"),
-      conv(substring(sig, 1, 4), 16, 10).cast("int").as("width"),
-      conv(substring(sig, 5, 4), 16, 10).cast("int").as("height"),
-      (conv(substring(sig, 9, 4), 16, 10).cast("long") / 65535.0)
-        .as("brightness"))
+      feat.getField("format").as("format"),
+      feat.getField("width").as("width"),
+      feat.getField("height").as("height"),
+      feat.getField("channels").as("channels"),
+      feat.getField("sample_rate").as("sample_rate"),
+      feat.getField("duration_ms").as("duration_ms"),
+      feat.getField("intensity").as("intensity"))
   }
 
-  /** X1: end-to-end media feature extraction (payload → decode →
-    * feature columns) via the codegen'd expression path; oracle-checked
-    * because the stub features are md5-derived. */
+  /** X1: end-to-end media feature extraction (real payload → real decode
+    * → feature columns) via the codegen'd expression path. The oracle is
+    * the fixtures' planted analytic ground truth joined per row by
+    * doc_id % 5 — an independent check of the decoder, not a mirror. */
   val x1MediaFeatures: Q = (s, dir) =>
     extractFeaturesExpr(mediaTable(s, dir))
       .orderBy("doc_id")
@@ -261,15 +273,27 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // Planted analytic ground truth of the committed fixtures (same
+    // derivations as the x3 oracle, tools/gen_media_fixture.py), joined
+    // per document row by the doc_id % 5 payload assignment — checks the
+    // per-row decode independently of the engine's decoder. n_bytes are
+    // the committed files' byte sizes.
     "x1_media_features" ->
-      """SELECT doc_id,
-         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-         md5(text) AS sig,
-         CAST(('0x' || substr(md5(text), 1, 4)) AS INT) AS width,
-         CAST(('0x' || substr(md5(text), 5, 4)) AS INT) AS height,
-         CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) / 65535.0 AS brightness
-         FROM documents ORDER BY doc_id""",
+      """SELECT d.doc_id, f.media_type, f.n_bytes, f.format, f.width,
+           f.height, f.channels, f.sample_rate,
+           CAST(f.duration_ms AS DOUBLE) AS duration_ms,
+           CAST(f.intensity AS DOUBLE) AS intensity
+         FROM documents d
+         JOIN (VALUES
+           (0, 'image', 134,   'bmp', 6, 4, 3, 0,     0.0,   128.0/255),
+           (1, 'image', 39,    'ppm', 3, 2, 3, 0,     0.0,   85.0/255),
+           (2, 'audio', 17684, 'wav', 0, 0, 2, 44100, 100.0, 0.0),
+           (3, 'image', 78,    'bmp', 4, 2, 3, 0,     0.0,   20.0/255),
+           (4, 'audio', 4044,  'wav', 0, 0, 1, 8000,  250.0, 0.5))
+           f(idx, media_type, n_bytes, format, width, height, channels,
+             sample_rate, duration_ms, intensity)
+           ON CAST(d.doc_id % 5 AS INT) = f.idx
+         ORDER BY d.doc_id""",
     // Planted analytic ground truth for the committed fixtures
     // (tools/gen_media_fixture.py derivations in its docstring) — an
     // independent check of the REAL decoder, not a mirror of it.
@@ -315,8 +339,12 @@ object Multimodal {
            ('tone.wav',   4, 50.0, 0.5))
          t(file, frame_idx, frame_ms, level)
          ORDER BY file, frame_idx""",
+    // media_type mirrors mediaTable's doc_id % 5 payload assignment
+    // (files in name order: gray.bmp, rgb.ppm, stereo.wav, tint.bmp,
+    // tone.wav — indices 2 and 4 are audio).
     "x2_meta_stats" ->
-      """SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      """SELECT CASE WHEN CAST(doc_id % 5 AS INT) IN (2, 4) THEN 'audio'
+                     ELSE 'image' END AS media_type,
          source AS src, CAST(COUNT(*) AS BIGINT) AS n,
          AVG(n_chars) AS avg_chars
          FROM documents WHERE n_chars > 200

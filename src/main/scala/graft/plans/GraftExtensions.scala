@@ -40,9 +40,18 @@ object GraftFunctions {
     mk(children.head, children(1))
   }
 
+  private def unary(name: String, mk: Expression => Expression)
+  : Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"$name expects 1 argument, got ${children.length}")
+    mk(children.head)
+  }
+
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("float_vec_dot", classOf[FloatVecDot].getName,
       binary("float_vec_dot", FloatVecDot.apply)),
+    ("media_features", classOf[MediaFeaturesOf].getName,
+      unary("media_features", MediaFeaturesOf.apply)),
     ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
       binary("sorted_intersect_count", SortedIntersectCount.apply)),
     ("exact_percentile", classOf[ExactPercentile].getName, { children =>

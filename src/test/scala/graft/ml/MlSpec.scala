@@ -95,6 +95,24 @@ class MlSpec extends SparkSpec {
     assert(math.abs(imp("avg_urgent_price") - 0.003641) < 1e-5, s"imp $imp")
   }
 
+  test("golden prediction frame: m1's full scored OOT frame at seed 42 " +
+    "reproduces the recorded hash (Spark-version-scoped)") {
+    // Upgrades m1_rf_score beyond the driver's rows-only check: the md5
+    // below pins every row of the scored frame (yr, key, label,
+    // prediction, p_champ rounded to 4), not just aggregate metrics.
+    // Recorded 2026-08-13 on Spark 4.1.2 from independent fresh-JVM runs
+    // at SPARK_GRAFT_CPUS ∈ {4, 8, 32}; valid while the deterministic-fit
+    // contract (content-hash partitioning + in-partition sort + seed 42 +
+    // explicit featureSubsetStrategy) and the Spark/MLlib version hold.
+    val frame = graft.queries.MlQueries.queries("m1_rf_score")(
+      spark, "/root/testdata/sf0.001")
+    val canon = frame.collect().map(_.toSeq.mkString(",")).mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 === "f937d03874f69cf40b80e29b14429715",
+      s"m1 prediction frame drifted (md5 $md5)")
+  }
+
   test("raceTable: keep-last semantics + pivot + zero fill") {
     val df = Seq(
       (2024, "a", 0.1, 1), (2024, "a", 0.9, 2), // keep ord=2 → 0.9

@@ -11,11 +11,15 @@ class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("mediaTable: binary payload + typed metadata struct") {
+  test("mediaTable: real binary payload + typed metadata struct") {
     val mt = Multimodal.mediaTable(spark, dir)
     assert(mt.schema("payload").dataType === BinaryType)
     assert(mt.schema("meta").dataType.isInstanceOf[StructType])
-    assert(mt.select("media_type").distinct().count() === 3)
+    assert(mt.select("media_type").distinct().count() === 2) // image, audio
+    // payloads are REAL media bytes, decodable row by row
+    val magic = mt.select("payload").limit(10).collect()
+      .map(r => MediaDecode.decode(r.getAs[Array[Byte]](0)).format).toSet
+    assert(magic.subsetOf(Set("bmp", "ppm", "wav")))
   }
 
   test("extractFeatures: deterministic across batch sizes and runs") {
@@ -26,10 +30,10 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b) // batch shape must not affect results
     assert(a.nonEmpty)
-    val row = a.head
-    assert(row.getAs[String]("sig").length === 32)
-    val bright = row.getAs[Double]("brightness")
-    assert(bright >= 0.0 && bright <= 1.0)
+    val row = a.head // doc_id 0 -> gray.bmp
+    assert(row.getAs[String]("format") === "bmp")
+    assert((row.getAs[Int]("width"), row.getAs[Int]("height")) === (6, 4))
+    assert(row.getAs[Double]("intensity") === 128.0 / 255)
   }
 
   test("expression path == batched-decoder path (and decoder is injectable)") {
@@ -40,9 +44,10 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(viaMapPartitions === viaExpressions)
     // a custom decoder actually flows through the batched path
-    val constant: Multimodal.Decoder = _ => ("x", 1, 2, 0.5)
+    val constant: Multimodal.Decoder =
+      _ => MediaDecode.Decoded("x", 1, 2, 3, 4, 5.0, 0.5)
     val custom = Multimodal.extractFeatures(mt, decoder = constant)
-      .select("sig", "width", "height", "brightness").distinct().collect()
+      .select("format", "width", "height", "intensity").distinct().collect()
     assert(custom.length === 1)
     assert(custom.head.getString(0) === "x")
   }
