@@ -113,10 +113,76 @@ object GenScale {
         (pmod(xxhash64(col("id"), lit(4)), lit(5)) + 1).cast("int"))
         .as("o_orderpriority"))
 
+  // Dimension tables (schema + value domains mirror the driver testdata,
+  // so selective filters — c_mktsegment, c_acctbal > 7000, nation names —
+  // stay selective at sf1 instead of degenerating to 0 or all rows).
+  def region(s: SparkSession): DataFrame =
+    s.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"),
+        lit("EUROPE"), lit("MIDDLE EAST")), (col("id") + 1).cast("int"))
+        .as("r_name"))
+
+  def nation(s: SparkSession): DataFrame =
+    s.range(25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      pmod(col("id"), lit(5)).cast("int").as("n_regionkey"))
+
+  def customer(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("c_name"),
+      pmod(xxhash64(col("id"), lit(11)), lit(25L)).cast("int")
+        .as("c_nationkey"),
+      (pmod(xxhash64(col("id"), lit(12)), lit(1100000L)) / 100.0 - 1000.0)
+        .as("c_acctbal"),
+      element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+        lit("HOUSEHOLD"), lit("MACHINERY")),
+        (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1).cast("int"))
+        .as("c_mktsegment"))
+
+  def supplier(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("s_suppkey"),
+      concat(lit("Supplier#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("s_name"),
+      pmod(xxhash64(col("id"), lit(21)), lit(25L)).cast("int")
+        .as("s_nationkey"),
+      (pmod(xxhash64(col("id"), lit(22)), lit(1000000L)) / 100.0)
+        .as("s_acctbal"))
+
+  def part(s: SparkSession, n: Long): DataFrame =
+    s.range(n).select(
+      col("id").as("p_partkey"),
+      concat(
+        element_at(array(lit("large"), lit("hot"), lit("blue"), lit("small"),
+          lit("dark"), lit("light")),
+          (pmod(xxhash64(col("id"), lit(31)), lit(6)) + 1).cast("int")),
+        lit(" "),
+        element_at(array(lit("ring"), lit("bolt"), lit("cog"), lit("plate"),
+          lit("wire"), lit("tube")),
+          (pmod(xxhash64(col("id"), lit(32)), lit(6)) + 1).cast("int")))
+        .as("p_name"),
+      concat(lit("Brand#"),
+        pmod(xxhash64(col("id"), lit(33)), lit(25L)) + 1).as("p_brand"),
+      element_at(array(lit("ECONOMY"), lit("LARGE"), lit("MEDIUM"),
+        lit("PROMO"), lit("SMALL"), lit("STANDARD")),
+        (pmod(xxhash64(col("id"), lit(34)), lit(6)) + 1).cast("int"))
+        .as("p_type"),
+      (pmod(xxhash64(col("id"), lit(35)), lit(50L)) + 1).cast("int")
+        .as("p_size"),
+      (lit(900.0) + pmod(xxhash64(col("id"), lit(36)), lit(110000L)) / 100.0)
+        .as("p_retailprice"))
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
     val s = graft.core.Sessions.get()
     Seq(
+      ("region", region(s)),
+      ("nation", nation(s)),
+      ("customer", customer(s, 150000)),
+      ("supplier", supplier(s, 10000)),
+      ("part", part(s, 200000)),
       ("documents", documents(s, 50000)),
       ("embeddings", embeddings(s, 20000)),
       ("events", events(s, 1000000)),

@@ -3,11 +3,13 @@ package graft.tools
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
-/** Scale-headroom harness: runs the dedup battery + fs_single_pass + e8
-  * against a GenScale-generated ~sf1 dir, reporting per-query wall time,
-  * shuffle read/write bytes, and peak streaming-state rows — the
-  * measured evidence behind BASELINE.md's "scale posture" claims.
-  * Usage: runMain graft.tools.ScaleRun [sfDir] [passes]
+/** Scale-headroom harness: runs the FULL query registry against a
+  * GenScale-generated ~sf1 dir, reporting per-query wall time, shuffle
+  * read/write bytes, and peak streaming-state rows — the measured
+  * evidence behind BASELINE.md's "scale posture" claims. An optional
+  * third arg restricts to queries whose name starts with the prefix
+  * (e.g. `d` for the dedup battery).
+  * Usage: runMain graft.tools.ScaleRun [sfDir] [passes] [prefix]
   */
 object ScaleRun {
 
@@ -40,15 +42,10 @@ object ScaleRun {
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
 
-    val names = Seq("d1_exact_dedup", "d2_minhash_sig", "d3_minhash_lsh",
-      "d4_simhash", "d5_ngram_jaccard", "d6_embedding_cosine",
-      "d7_dedup_clusters", "d8_cluster_keep", "d9_decontaminate",
-      "d10_hot_spans", "u11_shuffle_shard", "c2_curation_full",
-      "i4_upsert", "s5_knn_join", "s6_sq8_ann", "t8_sequence_pack",
-      "t9_bpe_train",
-      "t10_bpe_encode", "t11_bigram_lm", "u10_temperature_sample",
-      "w4_running_median", "c1_curation", "fs_single_pass",
-      "e8_stream_join")
+    val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.length > 2) all.filter(_.startsWith(args(2))) else all
+    require(names.nonEmpty, s"no registry query matches prefix ${args(2)}")
     // s5 pre-flight cost model: candidate volume (bucket-join pairs) at
     // the committed P=6 geometry vs the planesFor-tuned one — the
     // fixed-P quadratic risk, measured.
