@@ -502,6 +502,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** u12 mixing spec: per-source target token weights (normalized over
+    * the sources actually present), the corpus-relative token budget,
+    * and an epoch ceiling bounding upsampling blow-up. */
+  // src0's weight is set so its epochs exceed 1 on a ~balanced corpus
+  // (w_s / share_s > 1/budgetFrac) — the repetition path must be live
+  // in the gated query, not just theoretically reachable.
+  private[operators] val mixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.15, "src3" -> 0.1,
+    "src4" -> 0.05)
+  private[operators] val mixWeightDefault = 0.1
+  private[operators] val mixBudgetFrac = 0.5
+  private[operators] val mixMaxEpochs = 8.0
+
+  /** U12: TOKEN-BUDGET DATA MIXING — the pretraining-mix step u9/u10
+    * cannot express: given per-source target token WEIGHTS and a total
+    * token budget (a fraction of corpus inventory), each source needs
+    * epochs_s = target_tokens_s / inventory_tokens_s passes — UNDER 1
+    * means downsampling, OVER 1 means the deterministic REPETITION
+    * (multi-epoch) real mixes use when a small high-weight source must
+    * be seen more than once. Every doc is emitted floor(epochs) times
+    * plus once more iff its content-hash uniform u < frac(epochs) — the
+    * same layout-independent h60 membership as u8-u10, so the oracle
+    * recomputes the exact multiset. epochs flows through window sums of
+    * doubles, so it is quantized to the 2^-30 grid (u10 precedent)
+    * before floor/frac; after that, membership is exact in both
+    * engines. Rate table is #sources rows (metadata-scale windows);
+    * corpus side is a broadcast join + map-side sequence explode whose
+    * output is exactly the emitted multiset — linear at 100 TB. */
+  val u12TokenMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val nTok = size(toks(col("text"))).as("n_tokens")
+    val u = (Portable.h60(concat_ws("|", col("doc_id"), lit("budget42")))
+      .cast("double") / lit(math.pow(2, 60))).as("u_b")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), nTok, u)
+    val wRaw = mixWeights.foldLeft(lit(mixWeightDefault)) {
+      case (acc, (k, w)) => when(col("source") === k, lit(w)).otherwise(acc)
+    }
+    val rates = docs.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("inv_tokens"))
+      .withColumn("w_raw", wRaw)
+      .withColumn("w_s", col("w_raw") / sum("w_raw").over(wAll))
+      .withColumn("total_inv", sum("inv_tokens").over(wAll))
+      .withColumn("epochs", floor(least(lit(mixMaxEpochs),
+        col("w_s") * lit(mixBudgetFrac) * col("total_inv") / col("inv_tokens"))
+        * lit(1073741824.0)) / lit(1073741824.0))
+      .withColumn("full_ep", floor(col("epochs")).cast("int"))
+      .withColumn("frac_ep", col("epochs") - floor(col("epochs")))
+      .select("source", "epochs", "full_ep", "frac_ep")
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("u_b"),
+        col("full_ep"), col("frac_ep"),
+        explode(sequence(lit(0), col("full_ep"))).as("epoch"))
+      .filter(col("epoch") < col("full_ep") || col("u_b") < col("frac_ep"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_tokens"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Shard count of the u11 deterministic shuffle. */
   private[operators] val shuffleShards = 8L
 
@@ -621,6 +680,7 @@ object TextAnalysis {
     "u9_stratified_sample" -> u9StratifiedSample,
     "u10_temperature_sample" -> u10TemperatureSample,
     "u11_shuffle_shard" -> u11ShuffleShard,
+    "u12_token_mix" -> u12TokenMix,
     "c1_curation" -> c1Curation,
     "c2_curation_full" -> c2CurationFull,
   )
@@ -737,6 +797,51 @@ object TextAnalysis {
             / CAST(1152921504606846976 AS DOUBLE) < keep_rate
         ORDER BY d.doc_id"""
 
+  /** U12 oracle: the identical rate derivation (normalized weights,
+    * budget fraction, epoch cap, 2^-30 quantization) over the identical
+    * token inventory, with the epoch multiset expanded by a lateral
+    * generate_series — the same full-epochs-plus-hash-gated-fractional
+    * rule, recomputed from scratch. Arithmetic op order matches the
+    * Spark side left-assoc so the quantized epochs land identically. */
+  private def u12Sql: String = {
+    val cases = mixWeights
+      .map { case (k, w) => s"WHEN '$k' THEN $w" }.mkString(" ")
+    s"""WITH docs AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+              AS n_tokens,
+            CAST(${h("(doc_id || '|' || 'budget42')")} AS DOUBLE)
+              / CAST(1152921504606846976 AS DOUBLE) AS u_b
+          FROM documents),
+        inv AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS inv_tokens
+          FROM docs GROUP BY 1),
+        r AS (
+          SELECT source, inv_tokens,
+            CAST(CASE source $cases ELSE $mixWeightDefault END AS DOUBLE)
+              AS w_raw
+          FROM inv),
+        rates AS (
+          SELECT source,
+            floor(least($mixMaxEpochs, w_raw / SUM(w_raw) OVER ()
+              * $mixBudgetFrac * SUM(inv_tokens) OVER () / inv_tokens)
+              * 1073741824.0) / 1073741824.0 AS epochs
+          FROM r),
+        ex AS (
+          SELECT source, CAST(floor(epochs) AS INT) AS full_ep,
+            epochs - floor(epochs) AS frac_ep
+          FROM rates)
+        SELECT d.doc_id, d.source, CAST(t.epoch AS INT) AS epoch,
+          d.n_tokens
+        FROM docs d
+        JOIN ex USING (source)
+        CROSS JOIN (SELECT unnest(range(0, ${mixMaxEpochs.toInt + 1}))
+                      AS epoch) t
+        WHERE t.epoch < ex.full_ep
+           OR (t.epoch = ex.full_ep AND d.u_b < ex.frac_ep)
+        ORDER BY d.doc_id, epoch"""
+  }
+
   private def u9Sql: String = {
     val cases = mixtureRates
       .map { case (k, r) => s"WHEN '$k' THEN $r" }.mkString(" ")
@@ -809,6 +914,7 @@ object TextAnalysis {
       ("u9_stratified_sample" -> u9Sql) +
       ("u10_temperature_sample" -> u10Sql) +
       ("u11_shuffle_shard" -> u11Sql) +
+      ("u12_token_mix" -> u12Sql) +
       ("c2_curation_full" -> c2Sql)
 
   val oracle: Map[String, String] = Map(

@@ -152,6 +152,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n > 0 && n < total)
   }
 
+  test("u12 token mix: emitted tokens track the per-source budget " +
+    "share; repetition is exact full epochs + hash-gated fraction") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    val out = TextAnalysis.u12TokenMix(spark, dir)
+    // doc multiplicities are contiguous epochs 0..k (full epochs all
+    // present, at most one fractional on top)
+    val mult = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("epoch").as("maxe")).collect()
+    mult.foreach(r =>
+      assert(r.getAs[Long]("n") === r.getAs[Int]("maxe") + 1L, r))
+    // within a source, per-doc multiplicity differs by at most 1
+    // (floor(epochs) vs floor(epochs)+1) — the deterministic-epoch rule
+    val spread = out.groupBy("source", "doc_id").count()
+      .groupBy("source").agg((max("count") - min("count")).as("d"))
+      .collect()
+    spread.foreach(r => assert(r.getAs[Long]("d") <= 1L, r))
+    // emitted token mass per source approaches weight_s * budget
+    // (exact up to the per-doc granularity of the fractional epoch);
+    // inventory comes from the CORPUS, not the output — fractional-epoch
+    // sources drop docs from the output entirely
+    val tokDocs = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val inv = tokDocs.groupBy("source")
+      .agg(sum("n_tokens").as("inv")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("inv")).toMap
+    val totalInv = inv.values.sum.toDouble
+    val emitted = out.groupBy("source").agg(sum("n_tokens").as("got"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("got")).toMap
+    val wRaw = inv.keys.map(s => s ->
+      TextAnalysis.mixWeights.toMap.getOrElse(s,
+        TextAnalysis.mixWeightDefault)).toMap
+    val wSum = wRaw.values.sum
+    emitted.foreach { case (s, got) =>
+      val target = wRaw(s) / wSum * TextAnalysis.mixBudgetFrac * totalInv
+      val capped = math.min(target, TextAnalysis.mixMaxEpochs * inv(s))
+      // loose band: the fractional epoch is hash-gated per doc, so small
+      // strata carry binomial noise; the EXACT multiset is the oracle's
+      // job — this asserts the budget shape, not bit equality
+      assert(math.abs(got - capped) / capped < 0.5,
+        s"$s emitted $got vs target $capped")
+    }
+    // the repetition path is LIVE: at least one doc emitted more than once
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() > 0,
+      "no doc repeated — multi-epoch path not exercised")
+  }
+
   test("u9 stratified sample: rate-1.0 strata keep every row; kept " +
     "fraction tracks the mixture rate") {
     val dir = "/root/testdata/sf0.001"
