@@ -153,23 +153,30 @@ object Dedup {
           <= broadcastCeiling) broadcast(df)
     else df
 
-  /** D3 candidate generation — band the 12-value signature into 4 bands ×
-    * 3 rows, hash each band, self-join on (band, bandHash). The band rows
-    * carry ONLY (band, bandHash, doc_id) — never the shingle sets: the
-    * band explode replicates every row ×4 onto both join sides, so any
-    * payload here multiplies shuffle bytes by ~8× the corpus volume
-    * (PlanSpec asserts no array-typed attribute crosses an Exchange).
-    * Shared by d3 (which joins the sets back for verify) and d7. */
-  private[graft] def d3Candidates(s: SparkSession, dir: String): DataFrame = {
+  /** Banded signature rows (doc_id, band, bandHash): the 12-value
+    * signature split into 4 bands × 3 rows, each band md5-hashed. Band
+    * rows carry ONLY scalars — never the shingle sets: the band explode
+    * replicates every row ×4 onto join sides, so any payload here
+    * multiplies shuffle bytes by ~8× the corpus volume (PlanSpec asserts
+    * no array-typed attribute crosses an Exchange). At 100 TB this is
+    * the corpus's persisted LSH INDEX, bucketed by (band, bh). */
+  private[graft] def banded(s: SparkSession, dir: String): DataFrame = {
     val sig = withSig(shingled(s, dir)).select(col("doc_id") +: minhashCols: _*)
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           md5(concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
             col(s"mh${3 * b + 2}"))).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b")),
+  }
+
+  /** D3 candidate generation — self-join the banded index on
+    * (band, bandHash). Shared by d3 (which joins the sets back for
+    * verify) and d7. */
+  private[graft] def d3Candidates(s: SparkSession, dir: String): DataFrame = {
+    val b = banded(s, dir)
+    b.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(b.select(col("band"), col("bh"), col("doc_id").as("b")),
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -626,6 +633,59 @@ object Dedup {
         col("n_hot_shingles").cast("double") / col("n_distinct_shingles"))
       .orderBy("doc_id")
 
+  /** Modulus and residue selecting the d11 incoming batch. Membership is
+    * a PREDICATE parameter in spirit (an incremental pipeline passes
+    * "ingest date = today"); the gated instance uses a modular slice
+    * because the testdata plants duplicates at ADJACENT ids — a modular
+    * slice puts one side of every planted pair in the batch and the
+    * other in the index, so the gate exercises real matches, which an
+    * id-range cut would structurally miss. */
+  private[operators] val d11Mod = 7L
+  private[operators] val d11Res = 3L
+
+  /** D11: INCREMENTAL dedup — screen an incoming batch against the
+    * corpus LSH index withOUT re-deduping the corpus: band rows of the
+    * batch probe the index's (band, bandHash) buckets, survivors verify
+    * exact Jaccard by joining both sides' shingle sets back by id, and
+    * every batch doc gets an ingest/drop verdict with its match count
+    * and best score. This is the OPERATIONAL dedup shape at 100 TB:
+    * the banded index is persisted+bucketed once (here: the shared
+    * silver stage), and each arriving batch — typically orders of
+    * magnitude smaller — broadcasts its band rows against it; batch-
+    * internal duplicates are d1/d3's job on the batch alone. */
+  val d11IncrementalDedup: Q = (s, dir) => {
+    val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
+    val b = banded(s, dir)
+    val idx = b.filter(!isBatch)
+      .select(col("band"), col("bh"), col("doc_id").as("old_id"))
+    val probe = b.filter(isBatch)
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+    val cand = idx.join(maybeBroadcast(probe), Seq("band", "bh"))
+      .select("new_id", "old_id").distinct()
+    val sets = shingled(s, dir).select(col("doc_id"), col("sh"), col("n"))
+    val matches = cand
+      .join(maybeBroadcast(sets.select(col("doc_id").as("new_id"),
+        col("sh").as("sa"), col("n").as("na"))), Seq("new_id"))
+      .join(maybeBroadcast(sets.select(col("doc_id").as("old_id"),
+        col("sh").as("sb"), col("n").as("nb"))), Seq("old_id"))
+      .withColumn("inter",
+        graft.functions.Portable.sortedIntersectCount(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"),
+        max("jaccard").as("best_jaccard"))
+    t(s, dir, "documents").filter(isBatch).select("doc_id")
+      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        when(col("n_dups").isNull, "ingest").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -639,6 +699,7 @@ object Dedup {
     "d8_cluster_keep" -> d8ClusterKeep,
     "d9_decontaminate" -> d9Decontaminate,
     "d10_hot_spans" -> d10HotSpans,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
   )
 
   private lazy val d3OracleSql: String =
@@ -707,6 +768,46 @@ object Dedup {
             $mhSelSql
           FROM hsc ORDER BY doc_id""",
     "d3_minhash_lsh" -> d3OracleSql,
+    // Batch-vs-index asymmetric band join + per-batch-doc verdict; the
+    // Jaccard verify reuses d3's exact formulation so scores stay
+    // hash-identical.
+    "d11_incremental_dedup" ->
+      s"""WITH $shingleCte,
+          sig AS (
+            SELECT doc_id, list_distinct(hs) AS shset,
+            $mhSelSql
+            FROM hsc),
+          banded AS (
+            SELECT doc_id, shset, u.band,
+              CASE u.band
+                WHEN 0 THEN md5(mh0 || ',' || mh1 || ',' || mh2)
+                WHEN 1 THEN md5(mh3 || ',' || mh4 || ',' || mh5)
+                WHEN 2 THEN md5(mh6 || ',' || mh7 || ',' || mh8)
+                ELSE md5(mh9 || ',' || mh10 || ',' || mh11) END AS bh
+            FROM sig, (SELECT unnest(range(4)) AS band) u),
+          cand AS (
+            SELECT DISTINCT r.doc_id AS new_id, l.doc_id AS old_id,
+              r.shset AS sa, l.shset AS sb
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bh = r.bh
+            WHERE l.doc_id % $d11Mod <> $d11Res
+              AND r.doc_id % $d11Mod = $d11Res),
+          m AS (
+            SELECT new_id, CAST(count(*) AS BIGINT) AS n_dups,
+              max(jacc) AS best_jaccard
+            FROM (
+              SELECT new_id, old_id,
+                CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa, sb))) AS jacc
+              FROM cand)
+            WHERE jacc >= 0.8 GROUP BY 1)
+          SELECT d.doc_id, COALESCE(m.n_dups, 0) AS n_dups,
+            m.best_jaccard,
+            CASE WHEN m.new_id IS NULL THEN 'ingest' ELSE 'drop' END
+              AS verdict
+          FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+          WHERE d.doc_id % $d11Mod = $d11Res
+          ORDER BY d.doc_id""",
     // Transitive closure via recursive CTE — a genuinely different
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.

@@ -13,6 +13,39 @@ class DedupSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("d11 incremental dedup == d3's pairs restricted across the " +
+    "batch/index boundary; every batch doc gets a verdict") {
+    val isBatch = (id: Long) =>
+      id % Dedup.d11Mod == Dedup.d11Res
+    // expected matches per batch doc, from the independently-gated d3
+    val expect = Dedup.queries("d3_minhash_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (x, y, _) => isBatch(x) && !isBatch(y) }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).max) }
+    val got = Dedup.queries("d11_incremental_dedup")(spark, dir).collect()
+    val batchTotal = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(Dedup.d11Mod)) === Dedup.d11Res)
+      .count()
+    assert(got.length.toLong === batchTotal) // verdict for EVERY batch doc
+    got.foreach { r =>
+      val id = r.getLong(0)
+      expect.get(id) match {
+        case Some((n, best)) =>
+          assert(r.getLong(1) === n, s"doc $id n_dups")
+          assert(math.abs(r.getDouble(2) - best) < 1e-12, s"doc $id best")
+          assert(r.getString(3) === "drop")
+        case None =>
+          assert(r.getLong(1) === 0L && r.isNullAt(2) &&
+            r.getString(3) === "ingest", s"doc $id should ingest: $r")
+      }
+    }
+    // the slice is chosen so planted duplicate pairs straddle it — the
+    // gate must exercise real drops, not a vacuous all-ingest frame
+    assert(got.exists(_.getString(3) === "drop"), "no drop verdict")
+  }
+
   test("d5 prefix filter is EXACT: equals the naive inverted-index join") {
     // Naive form: full (non-prefix) inverted index, same threshold/verify.
     val docs = Dedup.withShingleCols(t(spark, dir, "documents"))
