@@ -229,6 +229,45 @@ object Events {
     s.table(name).orderBy("user_id", "hour")
   }
 
+  /** E10: STREAM-STATIC enrichment join — the third streaming join shape
+    * after stream-stream (e8) and streaming dedup (e9): each micro-batch
+    * of the event stream joins a STATIC dimension (customer segment by
+    * key), then flows into a watermarked hourly window per segment. The
+    * static side needs no watermark and holds NO state — it is planned
+    * as a broadcast hash join against every micro-batch, which is the
+    * 100 TB posture for dimension enrichment (a big dimension degrades
+    * to a per-batch shuffle join; state cost stays zero either way —
+    * only the downstream window agg is stateful). Inner join doubles as
+    * the referential filter: events with user_id beyond the customer
+    * keyspace drop out, mirrored by the oracle's inner join. */
+  val e10StreamEnrich: Q = (s, dir) => {
+    val src = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
+    if (!new java.io.File(streamDir).exists())
+      src.write.mode("overwrite").parquet(streamDir)
+    val name = "graft_e10_sink"
+    graft.streaming.Streams.withStatePartitions(s) {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = s.readStream.schema(src.schema).parquet(streamDir)
+        .withColumn("ts", tsCol)
+        .withWatermark("ts", "2 hours")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      val agg = enriched
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("window.start").as("hour"), col("c_mktsegment"),
+          col("n_events"), col("sum_value"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("hour", "c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_json_props" -> e1JsonProps,
     "e2_hourly_agg" -> e2HourlyAgg,
@@ -239,6 +278,7 @@ object Events {
     "e7_session_window" -> e7SessionWindow,
     "e8_stream_join" -> e8StreamJoin,
     "e9_stream_dedup" -> e9StreamDedup,
+    "e10_stream_enrich" -> e10StreamEnrich,
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +290,14 @@ object Events {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // batch dual of the stream-static enrichment: inner join to the
+    // customer dimension, hourly window per segment
+    "e10_stream_enrich" ->
+      """SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour,
+         c.c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_events, SUM(e.value) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e3_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,
