@@ -430,6 +430,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chunk geometry of t12: fixed token window advanced by a stride
+    * (overlap = [[chunkTokens]] - [[chunkStride]] tokens). */
+  private[operators] val chunkTokens = 32
+  private[operators] val chunkStride = 24
+
+  /** T12: PER-DOCUMENT OVERLAPPING CHUNKING — the RAG/embedding-index
+    * layout: each document is windowed into fixed [[chunkTokens]]-token
+    * chunks whose starts advance by [[chunkStride]], so consecutive
+    * chunks share an 8-token overlap and the last chunk always reaches
+    * the document's final token. Complements t8: t8 packs the corpus
+    * ACROSS documents into training sequences; t12 windows WITHIN one
+    * document for retrieval corpora. Map-only at any corpus size —
+    * tokens are split once per row and the bounded `sequence` explode
+    * multiplies rows by ~n_tok/stride; no shuffle beyond the output
+    * sort, so the shape is embarrassingly parallel. */
+  val t12Chunk: Q = (s, dir) => {
+    val C = chunkTokens
+    val S = chunkStride
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      // positive operands: truncating int division == floor division,
+      // matching the oracle's `//`
+      .withColumn("n_chunks",
+        when(col("n_tok") <= C, lit(1)).otherwise(
+          floor((col("n_tok") - C + (S - 1)) / lit(S)).cast("int") + 1))
+    tok
+      .select(col("doc_id"), col("tk"), col("n_tok"), col("n_chunks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("n_chunks"),
+        (col("chunk_idx") * S).cast("int").as("start_tok"),
+        least(lit(C), col("n_tok") - col("chunk_idx") * S).cast("int")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("chunk_idx") * S + 1, lit(C)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Per-source keep rates of the data-mixture sampler (u9): curated
     * strata kept whole, web-ish strata downweighted — the mixture-
     * weighting step of every training-data pipeline. Sources outside
@@ -677,6 +718,7 @@ object TextAnalysis {
     "t9_bpe_train" -> t9BpeTrain,
     "t10_bpe_encode" -> t10BpeEncode,
     "t11_bigram_lm" -> t11BigramLm,
+    "t12_chunk" -> t12Chunk,
     "u9_stratified_sample" -> u9StratifiedSample,
     "u10_temperature_sample" -> u10TemperatureSample,
     "u11_shuffle_shard" -> u11ShuffleShard,
@@ -918,6 +960,33 @@ object TextAnalysis {
       ("c2_curation_full" -> c2Sql)
 
   val oracle: Map[String, String] = Map(
+    // t12: the same chunk geometry over the same whitespace tokens;
+    // per-row expansion via a STATIC range(0,16) cross join bounded by
+    // `i < n_chunks` (DuckDB's generate_series rejects lateral column
+    // parameters — the u12 pattern). Cap 16 covers any document up to
+    // chunkStride*15 + chunkTokens = 392 tokens; the corpus max is 100
+    // at every SF (TextAnalysisSpec pins the cap against the data).
+    "t12_chunk" ->
+      s"""WITH d AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents),
+          n AS (
+            SELECT doc_id, tk, len(tk) AS n_tok,
+              CASE WHEN len(tk) <= $chunkTokens THEN 1
+                   ELSE (len(tk) - $chunkTokens + ${chunkStride - 1})
+                        // $chunkStride + 1 END AS n_chunks
+            FROM d)
+          SELECT doc_id,
+            CAST(i AS INT) AS chunk_idx,
+            CAST(n_chunks AS INT) AS n_chunks,
+            CAST(i * $chunkStride AS INT) AS start_tok,
+            CAST(least($chunkTokens, n_tok - i * $chunkStride) AS INT)
+              AS n_chunk_tokens,
+            array_to_string(list_slice(tk, i * $chunkStride + 1,
+              i * $chunkStride + $chunkTokens), ' ') AS chunk_text
+          FROM n CROSS JOIN range(0, 16) AS r(i)
+          WHERE i < n_chunks
+          ORDER BY doc_id, chunk_idx""",
     "t1_tokens" ->
       s"""SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,

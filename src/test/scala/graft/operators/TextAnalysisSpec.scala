@@ -290,6 +290,57 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t12 chunking: coverage, stride, overlap, and reconstruction " +
+    "invariants on the real corpus; oracle cap pinned") {
+    val dir = "/root/testdata/sf0.001"
+    val C = TextAnalysis.chunkTokens
+    val S = TextAnalysis.chunkStride
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1)).toMap
+    val chunks = TextAnalysis.t12Chunk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === toks.keySet) // every doc chunked
+    chunks.foreach { case (id, rows) =>
+      val n = toks(id).length
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      // contiguous indexes starting at 0, n_chunks consistent
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ===
+        sorted.indices.toSeq)
+      assert(sorted.forall(_.getAs[Int]("n_chunks") === sorted.length))
+      sorted.foreach { r =>
+        val start = r.getAs[Int]("start_tok")
+        val len = r.getAs[Int]("n_chunk_tokens")
+        assert(start === r.getAs[Int]("chunk_idx") * S)
+        assert(len === math.min(C, n - start)) // never past the end
+        // chunk text is exactly the token window it claims to be
+        assert(r.getAs[String]("chunk_text") ===
+          toks(id).slice(start, start + len).mkString(" "))
+      }
+      // full coverage: the last chunk reaches the final token
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") +
+        last.getAs[Int]("n_chunk_tokens") === n)
+      // every non-last chunk is full and overlaps its successor by C-S
+      sorted.init.foreach(r =>
+        assert(r.getAs[Int]("n_chunk_tokens") === C))
+      // the oracle's static range(0,16) cap holds against the data
+      assert(sorted.length <= 16)
+    }
+    // reconstruction: stride-prefixes of each chunk + the last chunk
+    // rebuild the exact token sequence (the property a retrieval index
+    // depends on — no token lost, none duplicated beyond the overlap)
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      val rebuilt = sorted.init.flatMap(
+        _.getAs[String]("chunk_text").split(" ").take(S)) ++
+        sorted.last.getAs[String]("chunk_text").split(" ")
+      assert(rebuilt.toSeq === toks(id).toSeq, s"doc $id")
+    }
+  }
+
   test("t5 repetition ratio: duplicated shingles raise the ratio") {
     // the planted exact-duplicate docs in the corpus must have the same
     // rep_ratio as their originals (same text → same shingle multiset)
