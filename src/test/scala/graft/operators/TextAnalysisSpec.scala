@@ -303,42 +303,77 @@ class TextAnalysisSpec extends SparkSpec {
     val chunks = TextAnalysis.t12Chunk(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))
     assert(chunks.keySet === toks.keySet) // every doc chunked
+    checkChunkInvariants(chunks, toks)
+    // the oracle's static range(0,16) cap holds against the data
+    chunks.values.foreach(rows => assert(rows.length <= 16))
+  }
+
+  /** t12 invariants shared by the corpus and the boundary-geometry
+    * tests: contiguous indexes, stride starts, window exactness, full
+    * coverage, full non-last chunks, and stride-prefix reconstruction
+    * of the exact token sequence (no token lost, none duplicated
+    * beyond the overlap — the property a retrieval index depends on). */
+  private def checkChunkInvariants(
+      chunks: Map[Long, Array[org.apache.spark.sql.Row]],
+      toks: Map[Long, Seq[String]]): Unit = {
+    val C = TextAnalysis.chunkTokens
+    val S = TextAnalysis.chunkStride
     chunks.foreach { case (id, rows) =>
       val n = toks(id).length
       val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
-      // contiguous indexes starting at 0, n_chunks consistent
       assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ===
-        sorted.indices.toSeq)
+        sorted.indices.toSeq, s"doc $id")
       assert(sorted.forall(_.getAs[Int]("n_chunks") === sorted.length))
       sorted.foreach { r =>
         val start = r.getAs[Int]("start_tok")
         val len = r.getAs[Int]("n_chunk_tokens")
         assert(start === r.getAs[Int]("chunk_idx") * S)
         assert(len === math.min(C, n - start)) // never past the end
-        // chunk text is exactly the token window it claims to be
         assert(r.getAs[String]("chunk_text") ===
           toks(id).slice(start, start + len).mkString(" "))
       }
-      // full coverage: the last chunk reaches the final token
       val last = sorted.last
       assert(last.getAs[Int]("start_tok") +
         last.getAs[Int]("n_chunk_tokens") === n)
-      // every non-last chunk is full and overlaps its successor by C-S
       sorted.init.foreach(r =>
         assert(r.getAs[Int]("n_chunk_tokens") === C))
-      // the oracle's static range(0,16) cap holds against the data
-      assert(sorted.length <= 16)
-    }
-    // reconstruction: stride-prefixes of each chunk + the last chunk
-    // rebuild the exact token sequence (the property a retrieval index
-    // depends on — no token lost, none duplicated beyond the overlap)
-    chunks.foreach { case (id, rows) =>
-      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
       val rebuilt = sorted.init.flatMap(
         _.getAs[String]("chunk_text").split(" ").take(S)) ++
         sorted.last.getAs[String]("chunk_text").split(" ")
       assert(rebuilt.toSeq === toks(id).toSeq, s"doc $id")
     }
+  }
+
+  test("t12 chunking: boundary geometries the corpus misses — n at/" +
+    "around the window, stride multiples, and the oracle cap") {
+    val C = TextAnalysis.chunkTokens   // 32
+    val S = TextAnalysis.chunkStride   // 24
+    // boundary token counts: single-token doc; one around each chunk-
+    // count step (n <= C -> 1 chunk; then a new chunk every S tokens);
+    // the 392-token oracle-cap edge; plus seeded random fill
+    val rng = new scala.util.Random(42)
+    val boundary = Seq(1, S - 1, S, S + 1, C - 1, C, C + 1,
+      C + S - 1, C + S, C + S + 1, 2 * C, 5 * S, 15 * S + C)
+    val ns = boundary ++ Seq.fill(40)(1 + rng.nextInt(15 * S + C))
+    val docs = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dir = tmpDir("t12-boundary")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = docs.map { case (id, text) =>
+      id -> (text.split(" "): Seq[String]) }.toMap
+    val chunks = TextAnalysis.t12Chunk(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === toks.keySet)
+    checkChunkInvariants(chunks, toks)
+    // chunk-count formula at the exact steps
+    def expected(n: Int): Int = if (n <= C) 1 else (n - C + S - 1) / S + 1
+    chunks.foreach { case (id, rows) =>
+      assert(rows.length === expected(toks(id).length), s"doc $id")
+    }
+    // the 392-token doc sits exactly at the oracle's range(0,16) cap
+    assert(chunks(ns.indexOf(15 * S + C).toLong).length === 16)
   }
 
   test("t5 repetition ratio: duplicated shingles raise the ratio") {
