@@ -702,6 +702,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C3: RETRIEVAL-CORPUS BUILD — the c1 curation gate composed with
+    * t12's overlapping chunking: only curated documents are chunked,
+    * each chunk annotated with its document's source and quality score
+    * (the frame an embedding/indexing job consumes). Doc-keyed
+    * equi-join of two gated stages — both sides shuffle on doc_id, so
+    * the join is co-partitioned; at corpus scale the c1 survivor set
+    * is the small side and AQE broadcasts it. The oracle composes the
+    * two stage oracles the same way, gating the INTEROP (chunks exist
+    * exactly for c1 survivors, annotations carried exactly). */
+  val c3ChunkCorpus: Q = (s, dir) => {
+    val kept = c1Curation(s, dir)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    t12Chunk(s, dir).join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        col("start_tok"), col("n_chunk_tokens"), col("chunk_text"),
+        col("source"), col("quality_score"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -725,6 +744,7 @@ object TextAnalysis {
     "u12_token_mix" -> u12TokenMix,
     "c1_curation" -> c1Curation,
     "c2_curation_full" -> c2CurationFull,
+    "c3_chunk_corpus" -> c3ChunkCorpus,
   )
 
   /** T9 oracle: the same merge iterations as chained CTEs over the same
@@ -950,8 +970,20 @@ object TextAnalysis {
           AND hot.hot_ratio <= $c2HotCeiling
         ORDER BY c1.doc_id"""
 
+  /** C3 oracle: the c1 and t12 oracles composed with the same doc_id
+    * join — chunks exist exactly for c1 survivors, with the survivor's
+    * source/quality carried onto every chunk. */
+  private lazy val c3Sql: String =
+    s"""WITH ch AS (SELECT * FROM (${oracle("t12_chunk")})),
+        c1 AS (SELECT * FROM (${c1Sql}))
+        SELECT ch.doc_id, ch.chunk_idx, ch.n_chunks, ch.start_tok,
+          ch.n_chunk_tokens, ch.chunk_text, c1.source, c1.quality_score
+        FROM ch JOIN c1 ON c1.doc_id = ch.doc_id
+        ORDER BY ch.doc_id, ch.chunk_idx"""
+
   lazy val oracleAll: Map[String, String] =
-    oracle + ("c1_curation" -> c1Sql) + ("t9_bpe_train" -> t9Sql) +
+    oracle + ("c1_curation" -> c1Sql) + ("c3_chunk_corpus" -> c3Sql) +
+      ("t9_bpe_train" -> t9Sql) +
       ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
       ("u9_stratified_sample" -> u9Sql) +
       ("u10_temperature_sample" -> u10Sql) +
