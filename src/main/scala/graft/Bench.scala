@@ -69,7 +69,34 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
+    // The driver captures a BOUNDED stdout window (~2000 chars, tail):
+    // the full 108-query map + per-pass arrays is ~6 KB, so a single fat
+    // line arrives tail-only and unparseable (BENCH_r05/r08 lesson:
+    // parsed:null, only ~46 of 108 timings auditable). Persist the FULL
+    // payload to a stable file in the repo, and print a line guaranteed
+    // to fit: per-FAMILY sums (leading letters of the query name)
+    // instead of per-query, plus a pointer to the full file.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: $e")
+    }
+    val line =
+      if (fullLine.length <= 1900) fullLine
+      else {
+        val fams = results.filter(_._2 >= 0)
+          .groupBy { case (n, _) => n.takeWhile(_.isLetter) }
+          .toSeq.sortBy(_._1)
+          .map { case (f, rs) =>
+            "\"" + f + "\":" + f3(rs.map(_._2).sum)
+          }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; 108 entries do not fit)","queries_file":"$fullPath"}"""
+      }
+    println(line)
     spark.stop()
   }
 }

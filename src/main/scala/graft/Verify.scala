@@ -14,6 +14,9 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     val spark = graft.core.Sessions.get()
+    // Tripwire first (round-8 lesson): name any driver-side schema drift
+    // loudly instead of letting it surface as opaque per-query errors.
+    graft.core.SchemaCheck.warn(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

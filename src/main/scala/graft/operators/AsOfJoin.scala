@@ -99,7 +99,7 @@ object AsOfJoin {
   val j7Asof: Q = (s, dir) => {
     // µs precision on both sides: DuckDB's parquet reader truncates
     // TIMESTAMP(NANOS) to its µs TIMESTAMP, so the comparable domain is µs
-    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val ev = graft.core.EventTime.withTsMicros(t(s, dir, "events"))
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"),
@@ -119,7 +119,7 @@ object AsOfJoin {
     * direction of j7's attribution). Oracle: DuckDB's native ASOF with
     * the <= comparison. */
   val j11AsofForward: Q = (s, dir) => {
-    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val ev = graft.core.EventTime.withTsMicros(t(s, dir, "events"))
     val clicks = ev.filter(col("event_type") === "click")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),

@@ -48,7 +48,7 @@ object RangeJoin {
     * several purchases and vice versa — the full containment relation. */
   val j8Range: Q = (s, dir) => {
     val hourUs = 3600L * 1000000L
-    val ev = t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+    val ev = graft.core.EventTime.withTsMicros(t(s, dir, "events"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.EventTime
 import graft.core.Tables.t
 
 /** Event-stream (batch) queries over the `events` table: JSON prop
@@ -12,21 +13,14 @@ import graft.core.Tables.t
   * streaming operators (same logical shapes, verifiable via the DuckDB
   * oracle; streaming variants can't be oracle-checked so they get specs).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); Spark's vectorized reader
-  * rejects nanos, so Sessions sets `legacy.parquet.nanosAsLong` and `ts`
-  * arrives as LongType nanoseconds. tsCol converts ns → µs-precision
-  * TimestampType via integer floor-div (values are post-1970 so floor ==
-  * truncation in DuckDB's CAST(ts AS TIMESTAMP) too).
+  * `events.ts` physical type varies by testdata generation (legacy
+  * nanos-as-long vs plain timestamp[us]) — ALL access goes through the
+  * schema-adaptive core.EventTime accessors, which normalize to the µs
+  * domain DuckDB compares in (see that object's scaladoc).
   */
 object Events {
 
   type Q = (SparkSession, String) => DataFrame
-
-  /** ns-long → TimestampType (µs), matching DuckDB CAST(ts AS TIMESTAMP).
-    * `div` is INTEGER division — `col/1000` is Spark true-division through
-    * double, which loses ns precision above 2^53 (any epoch-ns value) and
-    * can round an event across an hour boundary away from the oracle. */
-  private[graft] def tsCol: Column = timestamp_micros(expr("ts div 1000"))
 
   /** E1: JSON property extraction — get_json_object over the `props` JSON
     * string column + aggregate by extracted value bucket. */
@@ -40,11 +34,13 @@ object Events {
   /** E2: event-time windowed aggregation — tumbling 1-hour windows per
     * event_type (batch dual of a streaming window agg; the streaming
     * variant adds a watermark). */
-  val e2HourlyAgg: Q = (s, dir) =>
-    t(s, dir, "events")
-      .groupBy(date_trunc("hour", tsCol).as("hour"), col("event_type"))
+  val e2HourlyAgg: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.groupBy(date_trunc("hour", EventTime.tsTimestamp(ev)).as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .orderBy("hour", "event_type")
+  }
 
   /** E3: gap-based sessionization — a new session starts after a >30 min
     * silence per user (lag window + running sum), then per-user session
@@ -55,8 +51,8 @@ object Events {
     * boundary between the engines. */
   val e3Sessions: Q = (s, dir) => {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us")
-    t(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val ev = t(s, dir, "events")
+    ev.select(col("user_id"), EventTime.tsMicros(ev).as("ts_us"), col("value"))
       .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
@@ -73,12 +69,13 @@ object Events {
 
   /** E4: per-type daily pivot — event counts per day wide by type
     * (U5 pivot shape on event-time). */
-  val e4DailyPivot: Q = (s, dir) =>
-    t(s, dir, "events")
-      .groupBy(to_date(date_trunc("day", tsCol)).as("day"))
+  val e4DailyPivot: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.groupBy(to_date(date_trunc("day", EventTime.tsTimestamp(ev))).as("day"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .orderBy("day")
+  }
 
   /** E5: the e2 hourly aggregation executed as a STRUCTURED STREAM —
     * events staged to a stream directory, read with readStream, windowed
@@ -96,8 +93,8 @@ object Events {
       src.write.mode("overwrite").parquet(streamDir)
     val name = "graft_e5_sink"
     graft.streaming.Streams.withStatePartitions(s) {
-      val stream = s.readStream.schema(src.schema).parquet(streamDir)
-        .withColumn("ts", tsCol)
+      val stream = EventTime.withTsTimestamp(
+        s.readStream.schema(src.schema).parquet(streamDir))
       val q = graft.streaming.Streams.hourlyCounts(stream)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -128,8 +125,9 @@ object Events {
       src.coalesce(1).write.mode("overwrite").parquet(streamDir)
     val name = "graft_e6_sink"
     graft.streaming.Streams.withStatePartitions(s) {
-      val stream = s.readStream.schema(src.schema).parquet(streamDir)
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+      val raw = s.readStream.schema(src.schema).parquet(streamDir)
+      val stream = raw
+        .select(col("user_id"), EventTime.tsMicros(raw).as("ts"), col("value"))
         .as[graft.streaming.Streams.Ev]
       val sessions =
         graft.streaming.Streams.sessionize(stream, gap = 30L * 60 * 1000000L)
@@ -151,14 +149,15 @@ object Events {
     * session's end = last event + gap, and an event at exactly the end
     * boundary starts a NEW session (windows are [start, end)) — the
     * oracle mirrors with a >= gap test, vs e3's strict >. */
-  val e7SessionWindow: Q = (s, dir) =>
-    t(s, dir, "events")
-      .select(col("user_id"), tsCol.as("ts"), col("value"))
+  val e7SessionWindow: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    ev.select(col("user_id"), EventTime.tsTimestamp(ev).as("ts"), col("value"))
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
+  }
 
   /** E8: STREAM-STREAM inner join inside the oracle gate — click→purchase
     * attribution: each click joins the same user's purchases within the
@@ -174,8 +173,8 @@ object Events {
     if (!new java.io.File(streamDir).exists())
       src.coalesce(1).write.mode("overwrite").parquet(streamDir)
     val name = "graft_e8_sink"
-    def stream = s.readStream.schema(src.schema).parquet(streamDir)
-      .withColumn("ts", tsCol)
+    def stream = EventTime.withTsTimestamp(
+      s.readStream.schema(src.schema).parquet(streamDir))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
@@ -214,8 +213,8 @@ object Events {
       src.write.mode("overwrite").parquet(streamDir)
     val name = "graft_e9_sink"
     graft.streaming.Streams.withStatePartitions(s) {
-      val deduped = s.readStream.schema(src.schema).parquet(streamDir)
-        .withColumn("ts", tsCol)
+      val deduped = EventTime.withTsTimestamp(
+          s.readStream.schema(src.schema).parquet(streamDir))
         .withWatermark("ts", "2 hours")
         .withColumn("hour", date_trunc("hour", col("ts")))
         .dropDuplicatesWithinWatermark("user_id", "hour")
@@ -239,7 +238,17 @@ object Events {
     * to a per-batch shuffle join; state cost stays zero either way —
     * only the downstream window agg is stateful). Inner join doubles as
     * the referential filter: events with user_id beyond the customer
-    * keyspace drop out, mirrored by the oracle's inner join. */
+    * keyspace drop out, mirrored by the oracle's inner join.
+    *
+    * Output mode is APPEND (round-8 verdict item): each window row is
+    * emitted exactly once when the watermark passes its end, and its
+    * state is evicted — state stays bounded by (windows within the
+    * watermark horizon × segments), the continuous-deployment posture;
+    * `complete` mode would re-emit and retain every window forever.
+    * Consequence the oracle mirrors: windows NOT yet closed by the final
+    * watermark (wm = max event time in ms − 2 h; Spark evicts windows
+    * with end ≤ wm, verified in StreamsSpec) are never emitted — under
+    * AvailableNow the trailing ~3 hours of windows stay open. */
   val e10StreamEnrich: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = sys.props("java.io.tmpdir") +
@@ -250,8 +259,8 @@ object Events {
     graft.streaming.Streams.withStatePartitions(s) {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val enriched = s.readStream.schema(src.schema).parquet(streamDir)
-        .withColumn("ts", tsCol)
+      val enriched = EventTime.withTsTimestamp(
+          s.readStream.schema(src.schema).parquet(streamDir))
         .withWatermark("ts", "2 hours")
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
       val agg = enriched
@@ -260,7 +269,7 @@ object Events {
         .select(col("window.start").as("hour"), col("c_mktsegment"),
           col("n_events"), col("sum_value"))
       val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -291,13 +300,24 @@ object Events {
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // batch dual of the stream-static enrichment: inner join to the
-    // customer dimension, hourly window per segment
+    // customer dimension, hourly window per segment. APPEND-mode dual:
+    // only windows CLOSED by the stream's final watermark appear — wm =
+    // (max event time in ms) − 2 h over ALL events (the watermark sits
+    // before the join), a window emits when its end <= wm (boundary
+    // pinned by StreamsSpec). epoch_us arithmetic mirrors Spark's
+    // ms-granularity watermark exactly.
     "e10_stream_enrich" ->
-      """SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour,
+      """WITH m AS (
+           SELECT ((epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000)
+                   - 2*3600*1000) * 1000 AS wm_us
+           FROM events)
+         SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour,
          c.c_mktsegment,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(e.value) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2
+         HAVING epoch_us(hour) + 3600000000::BIGINT <= (SELECT wm_us FROM m)
+         ORDER BY 1, 2""",
     "e3_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,

@@ -57,7 +57,10 @@ object Streams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** One incoming event for sessionization (ts = epoch ns). */
+  /** One incoming event for sessionization. `ts` is an epoch count in
+    * whatever unit the caller normalized to (ns from a legacy
+    * nanos-as-long read, µs via core.EventTime.tsMicros) — `gap` must be
+    * expressed in the same unit. */
   case class Ev(user_id: Long, ts: Long, value: Double)
 
   /** Open-session state carried between micro-batches. */

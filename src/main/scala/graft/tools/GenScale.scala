@@ -66,10 +66,18 @@ object GenScale {
   def events(s: SparkSession, n: Long): DataFrame =
     s.range(n).select(
       col("id").as("event_id"),
-      // 30 days at second granularity, stored as LongType ns (the type
-      // the engine sees after the nanosAsLong read of the driver data)
-      (lit(1704067200L) + pmod(xxhash64(col("id"), lit(2)),
-        lit(30L * 86400))).*(lit(1000000000L)).as("ts"),
+      // 30 days at second granularity. Physical type mirrors the driver
+      // data: plain timestamp[us] without timezone (TIMESTAMP_NTZ) since
+      // the 2026-08-13 regen; SPARK_GRAFT_EVENTS_TS=ns emits the legacy
+      // LongType-ns shape instead so the nanosAsLong path can be
+      // scale-tested too (core.EventTime adapts to both).
+      {
+        val sec = lit(1704067200L) +
+          pmod(xxhash64(col("id"), lit(2)), lit(30L * 86400))
+        if (sys.env.get("SPARK_GRAFT_EVENTS_TS").contains("ns"))
+          (sec * lit(1000000000L)).as("ts")
+        else timestamp_seconds(sec).cast("timestamp_ntz").as("ts")
+      },
       pmod(xxhash64(col("id"), lit(1)), lit(20000L)).as("user_id"),
       when(u(col("id"), 3) < 0.6, "click")
         .when(u(col("id"), 3) < 0.9, "view")

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The testdata tripwire itself: green on the driver's current data, and
+  * loud (naming table.column with expected-vs-found) on a synthetic
+  * drift. If the driver regenerates `/root/testdata` with a type the
+  * engine doesn't handle, the FIRST test here goes red with the exact
+  * drift lines — no more opaque per-query gate errors (round-8 lesson). */
+class SchemaCheckSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("driver testdata matches the engine-supported schema (sf0.001)") {
+    val d = SchemaCheck.drift(spark, "/root/testdata/sf0.001")
+    assert(d.isEmpty, "TESTDATA DRIFTED:\n" + d.mkString("\n"))
+  }
+
+  test("a drifted column type is reported with expected-vs-found") {
+    val dir = tmpDir("drift")
+    // events with ts as STRING — a shape the engine does not read
+    Seq((1L, "2024-01-01T00:00:00", 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val d = SchemaCheck.drift(spark, dir)
+    val tsLine = d.find(_.startsWith("events.ts"))
+    assert(tsLine.isDefined, s"no events.ts drift line in:\n${d.mkString("\n")}")
+    assert(tsLine.get.contains("found string"))
+    assert(tsLine.get.contains("bigint"))
+    // the other nine tables are absent from the synthetic dir → unreadable
+    assert(d.count(_.contains("unreadable")) === SchemaCheck.expected.size - 1)
+  }
+
+  test("a missing column is reported as MISSING") {
+    val dir = tmpDir("missing")
+    Seq((1L, 2L)).toDF("event_id", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val d = SchemaCheck.drift(spark, dir)
+    assert(d.exists(l => l.startsWith("events.ts") && l.contains("MISSING")))
+  }
+}

@@ -59,7 +59,8 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("sessionize over real events parquet agrees with the batch e3 query") {
-    // stream the actual testdata events table (ns-as-long ts) through the
+    // stream the actual testdata events table (whatever physical ts type
+    // the driver shipped — core.EventTime normalizes to µs) through the
     // stateful sessionizer; closed sessions = batch total sessions minus
     // the still-open last session of each user.
     val dir = "/root/testdata/sf0.001"
@@ -69,10 +70,13 @@ class StreamsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(streamDir, "events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir)
-      .selectExpr("user_id", "ts", "value").as[Streams.Ev]
-    val gapNs = 30L * 60 * 1000000000L
-    val q = Streams.sessionize(stream, gapNs)
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    val stream = raw
+      .select(col("user_id"), graft.core.EventTime.tsMicros(raw).as("ts"),
+        col("value"))
+      .as[Streams.Ev]
+    val gapUs = 30L * 60 * 1000000L
+    val q = Streams.sessionize(stream, gapUs)
       .writeStream.format("memory").queryName("realsess")
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -84,6 +88,45 @@ class StreamsSpec extends SparkSpec {
     val expectedClosed = totals.getLong(0) - totals.getLong(1)
     assert(closed === expectedClosed,
       s"closed=$closed, batch sessions=${totals.getLong(0)}, users=${totals.getLong(1)}")
+  }
+
+  test("append-mode windowed agg: watermark closes + evicts windows (e10 shape)") {
+    // Pins the eviction boundary the e10 oracle depends on: a window
+    // [h, h+1h) is emitted+evicted once the watermark (max event ms −
+    // delay) reaches its END (end <= wm, checked at the exact-tie batch
+    // below). Also asserts state is EVICTED, not retained — the property
+    // complete mode lacks and the reason e10 runs append.
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "seg", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("seg"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("seg"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("e10shape")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:30:00"), "a", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("e10shape").count() === 0) // wm 08:30, nothing closed
+    // exact tie: wm becomes 11:00:00.000 == end of window [10:00, 11:00)
+    mem.addData((t("2024-01-01 13:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    val atTie = spark.table("e10shape").count()
+    // 1 ms past the tie: wm 11:00:00.001 > end strictly
+    mem.addData((t("2024-01-01 13:00:00.001"), "a", 1.0))
+    q.processAllAvailable()
+    val past = spark.table("e10shape")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val so = q.lastProgress.stateOperators
+    q.stop()
+    assert(past === Set((t("2024-01-01 10:00:00"), "a", 1L)),
+      s"emitted windows: $past")
+    assert(atTie === 1, // end <= wm — the boundary the e10 oracle encodes
+      s"eviction boundary drifted: window emitted at exact tie? count=$atTie")
+    // evicted, not retained: only the open 13:00 window remains in state
+    assert(so.nonEmpty && so(0).numRowsTotal === 1,
+      s"state rows ${so.headOption.map(_.numRowsTotal)} != 1 open window")
   }
 
   test("state store is RocksDB by default; state rows bounded by active keys") {
