@@ -97,8 +97,8 @@ object AsOfJoin {
     * NATIVE ASOF LEFT JOIN (a true cross-engine differential: composed
     * union+window vs a purpose-built operator). */
   val j7Asof: Q = (s, dir) => {
-    // µs precision on both sides: DuckDB's parquet reader truncates
-    // TIMESTAMP(NANOS) to its µs TIMESTAMP, so the comparable domain is µs
+    // µs domain on both sides — the cross-engine comparable precision
+    // whatever physical ts type ships (see core.EventTime)
     val ev = graft.core.EventTime.withTsMicros(t(s, dir, "events"))
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
