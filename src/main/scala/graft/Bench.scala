@@ -32,6 +32,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.get()
+    // same tripwire as Verify: name a driver-side schema drift loudly
+    // instead of recording it as N opaque per-query errors
+    graft.core.SchemaCheck.warn(spark, sfDir)
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     val names = SparkEntry.queries.keys.toSeq.sorted

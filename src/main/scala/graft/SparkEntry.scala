@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
-import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Relational}
+import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Profile, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracle),
     (AsOfJoin.queries, AsOfJoin.oracle),
     (RangeJoin.queries, RangeJoin.oracle),
+    (Profile.queries, Profile.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables.t
+import graft.functions.Agg
+
+/** Data-quality PROFILING — the hygiene scans a 100 TB corpus pipeline
+  * runs continuously before/after every ingest (the reference's closest
+  * analog is its ad-hoc `printSchema`/count checks around
+  * scripts/02_bronze.py:84-104; this family is the productionized form).
+  *
+  * Scale shape, deliberately LONG-FORM: each profiled column is melted to
+  * `(column_name, value)` rows with a map-only explode, then ONE
+  * aggregation keyed by column name computes every statistic. The
+  * alternatives both fail at scale: k separate passes re-scan the table
+  * k times, and a single WIDE row with k `COUNT(DISTINCT …)`s plans as
+  * Catalyst's Expand (same k× row multiplication as the melt) but funnels
+  * the final merge through ONE group — the long form keeps the k× work
+  * map-side and the distinct machinery partitioned by (column, value).
+  */
+object Profile {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PROF1: per-column completeness + cardinality over `orders`, plus a
+    * derived view column (`NULLIF(o_orderstatus,'F')`) so the null path
+    * is genuinely exercised on the null-free synthetic tables — profiling
+    * derived/view columns is the real operational shape (a feed's
+    * "effective" columns, not just its physical ones). */
+  val prof1Completeness: Q = (s, dir) => {
+    val src = t(s, dir, "orders")
+    val profiled: Seq[(String, Column)] = Seq(
+      "o_orderstatus" -> col("o_orderstatus").cast("string"),
+      "o_orderpriority" -> col("o_orderpriority").cast("string"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderstatus_nonf" -> nullif(col("o_orderstatus"), lit("F")))
+    src.select(explode(array(profiled.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.as("v")) }: _*)).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("kv.v").as("v"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"))
+      .orderBy("column_name")
+  }
+
+  /** PROF2: numeric column statistics over `lineitem` — min/max/avg/
+    * sample-stddev plus EXACT median via the native ExactPercentile
+    * aggregate (graft.plans.PercentileExact; t-digest swap for the
+    * 100 TB path via spark.graft.approxPercentile, same as a6). */
+  val prof2NumericStats: Q = (s, dir) => {
+    val src = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val melted = src.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("kv.v").as("v"))
+    melted.groupBy("column_name")
+      .agg(min("v").as("v_min"), max("v").as("v_max"),
+        avg("v").as("v_avg"), stddev_samp(col("v")).as("v_stddev"),
+        Agg.median(s, col("v")).as("v_median"))
+      .orderBy("column_name")
+  }
+
+  /** PROF3: fixed-width histogram of `l_extendedprice` (bin width 100
+    * anchored at 900 — ~1k bins on the driver's TPC-H-style price
+    * domain), with per-bin count and observed min/max. Pure map-side
+    * combine into the bin groups: the distribution scan that costs one
+    * pass regardless of data volume. Bin arithmetic is IEEE double
+    * `floor((x - 900) / 100)` in BOTH engines, so bin edges cannot
+    * diverge between Spark and the oracle. */
+  val prof3Histogram: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(floor((col("l_extendedprice") - 900) / 100).cast("int")
+        .as("bin"), col("l_extendedprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("bin_min"),
+        max("l_extendedprice").as("bin_max"))
+      .withColumn("bin_lo", (lit(900) + col("bin") * 100).cast("double"))
+      .select("bin", "bin_lo", "n", "bin_min", "bin_max")
+      .orderBy("bin")
+
+  val queries: Map[String, Q] = Map(
+    "prof1_completeness" -> prof1Completeness,
+    "prof2_numeric_stats" -> prof2NumericStats,
+    "prof3_histogram" -> prof3Histogram,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "prof1_completeness" -> {
+      def one(name: String, expr: String) =
+        s"""SELECT '$name' AS column_name,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT($expr) AS BIGINT) AS n_nonnull,
+            CAST(COUNT(DISTINCT $expr) AS BIGINT) AS n_distinct
+            FROM orders"""
+      Seq(
+        one("o_orderstatus", "o_orderstatus"),
+        one("o_orderpriority", "o_orderpriority"),
+        one("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        one("o_orderstatus_nonf", "NULLIF(o_orderstatus, 'F')"),
+      ).mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "prof2_numeric_stats" -> {
+      def one(name: String) =
+        s"""SELECT '$name' AS column_name,
+            MIN($name) AS v_min, MAX($name) AS v_max,
+            AVG($name) AS v_avg, STDDEV_SAMP($name) AS v_stddev,
+            MEDIAN($name) AS v_median
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "prof3_histogram" ->
+      """SELECT CAST(FLOOR((l_extendedprice - 900) / 100) AS INT) AS bin,
+         CAST(900 + CAST(FLOOR((l_extendedprice - 900) / 100) AS INT) * 100
+           AS DOUBLE) AS bin_lo,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(l_extendedprice) AS bin_min, MAX(l_extendedprice) AS bin_max
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Profiling family invariants beyond the DuckDB oracle gate: structural
+  * properties that must hold on ANY input, checked on the real sf0.001
+  * testdata, plus the scale-shape assertion (single scan, no join). */
+class ProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prof1: one row per profiled column; null path live on the derived column") {
+    val rows = Profile.prof1Completeness(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted ===
+      Array("o_custkey", "o_orderpriority", "o_orderstatus",
+        "o_orderstatus_nonf"))
+    val n = rows.map(r => r.getLong(1)).distinct
+    assert(n.length === 1, s"n_rows must be identical per column: ${n.toSeq}")
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // physical columns are null-free in the synthetic data...
+    assert(byName("o_orderstatus").getLong(2) === n.head)
+    // ...the NULLIF-derived one must NOT be (F exists in o_orderstatus)
+    assert(byName("o_orderstatus_nonf").getLong(2) < n.head)
+    assert(byName("o_orderstatus_nonf").getLong(3)
+      === byName("o_orderstatus").getLong(3) - 1)
+  }
+
+  test("prof2: stats are internally consistent per column") {
+    Profile.prof2NumericStats(spark, dir).collect().foreach { r =>
+      val (mn, mx, av, sd, md) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= md && md <= mx, s"median outside [min,max] in $r")
+      assert(mn <= av && av <= mx, s"avg outside [min,max] in $r")
+      assert(sd >= 0.0)
+    }
+  }
+
+  test("prof3: bins partition the data — counts sum to row count, ranges nest") {
+    val hist = Profile.prof3Histogram(spark, dir).collect()
+    val total = graft.core.Tables.t(spark, dir, "lineitem").count()
+    assert(hist.map(_.getLong(2)).sum === total)
+    hist.foreach { r =>
+      val (lo, mn, mx) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(lo <= mn && mn <= mx && mx < lo + 100, s"bin range broken: $r")
+    }
+  }
+
+  test("profiling plans stay single-scan: no join, no cartesian, one shuffle") {
+    for ((name, q) <- Profile.queries) {
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan.replace("Exchange rangepartitioning", "")).size
+      assert(exchanges <= 2, // grouping + countDistinct partials at most
+        s"$name shuffles $exchanges times")
+    }
+  }
+}
