@@ -97,7 +97,7 @@ object Bench {
           .map { case (f, rs) =>
             "\"" + f + "\":" + f3(rs.map(_._2).sum)
           }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; 108 entries do not fit)","queries_file":"$fullPath"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
       }
     println(line)
     spark.stop()

@@ -28,8 +28,12 @@ object Agg {
       graftshim.expression(c.cast("double")), p).toAggregateExpression())
   }
 
-  def median(s: SparkSession, c: Column): Column =
+  def median(s: SparkSession, c: Column): Column = percentile(s, c, 0.5)
+
+  /** Arbitrary-p percentile with the same exact-vs-t-digest swap as
+    * median (exact by default for oracle parity). */
+  def percentile(s: SparkSession, c: Column, p: Double): Column =
     if (s.conf.get(ApproxFlag, "false").toBoolean)
-      percentile_approx(c, lit(0.5), lit(ApproxAccuracy))
-    else exactPercentile(c, 0.5)
+      percentile_approx(c, lit(p), lit(ApproxAccuracy))
+    else exactPercentile(c, p)
 }

@@ -32,6 +32,12 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(trim(c), wsPat)
 
+  /** The BPE-ish pre-tokenizer, shared with queries.Profile (prof4
+    * profiles the SAME token domain t1/t8/u12 count in). */
+  private[graft] def tokenPattern: String = tokPat
+  private[graft] def regexTokenCount(c: Column): Column =
+    regexp_count(c, lit(tokPat))
+
   /** T1: token counting — whitespace tokens and a BPE-ish regex
     * pre-tokenization count (letters / digits / single punct). */
   val t1Tokens: Q = (s, dir) =>

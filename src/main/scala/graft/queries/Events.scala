@@ -81,8 +81,12 @@ object Events {
     * events staged to a stream directory, read with readStream, windowed
     * through streaming.Streams.hourlyCounts (watermarked event-time
     * window), Trigger.AvailableNow into a memory sink, result returned
-    * as a DataFrame. Shares e2's oracle: the stream must converge to the
-    * batch answer (complete mode; bounded input). */
+    * as a DataFrame. APPEND output mode (same posture as e10, round 9):
+    * each window emits once when the watermark passes its end and its
+    * state is evicted — bounded state for a continuous deployment, where
+    * complete mode would retain and re-emit every window forever. Oracle
+    * = e2's hourly agg restricted to watermark-closed windows (end <=
+    * max-event-ms − 2 h; boundary pinned by StreamsSpec). */
   val e5StreamHourly: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     // deterministic staging path per source dir: repeated calls reuse one
@@ -97,7 +101,7 @@ object Events {
         s.readStream.schema(src.schema).parquet(streamDir))
       val q = graft.streaming.Streams.hourlyCounts(stream)
         .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -337,10 +341,18 @@ object Events {
          SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
            CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
          FROM s GROUP BY 1 ORDER BY 1""",
+    // e2's hourly agg under APPEND-mode emission: only windows closed by
+    // the final watermark (max event ms − 2 h; end <= wm, StreamsSpec)
     "e5_stream_hourly" ->
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      """WITH m AS (
+           SELECT ((epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000)
+                   - 2*3600*1000) * 1000 AS wm_us
+           FROM events)
+         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM events GROUP BY 1, 2
+         HAVING epoch_us(hour) + 3600000000::BIGINT <= (SELECT wm_us FROM m)
+         ORDER BY 1, 2""",
     "e9_stream_dedup" ->
       """SELECT DISTINCT user_id,
          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour

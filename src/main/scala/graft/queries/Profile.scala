@@ -83,10 +83,31 @@ object Profile {
       .select("bin", "bin_lo", "n", "bin_min", "bin_max")
       .orderBy("bin")
 
+  /** PROF4: corpus token-length distribution per source — doc counts,
+    * total tokens, and p50/p90/p99 token-length percentiles over the
+    * SAME BPE-ish token domain t1/t8/u12 count in (shared pre-tokenizer,
+    * operators.TextAnalysis.regexTokenCount). The sequence-length profile
+    * that sizes packing (t8) and token budgets (u12) for a training run;
+    * exact percentiles by default, t-digest via the a6 flag at 100 TB. */
+  val prof4TokenDist: Q = (s, dir) => {
+    import graft.operators.TextAnalysis
+    t(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        Agg.percentile(s, col("n_tokens"), 0.5).as("p50_tokens"),
+        Agg.percentile(s, col("n_tokens"), 0.9).as("p90_tokens"),
+        Agg.percentile(s, col("n_tokens"), 0.99).as("p99_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "prof1_completeness" -> prof1Completeness,
     "prof2_numeric_stats" -> prof2NumericStats,
     "prof3_histogram" -> prof3Histogram,
+    "prof4_token_dist" -> prof4TokenDist,
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +134,19 @@ object Profile {
             FROM lineitem"""
       Seq("l_quantity", "l_extendedprice", "l_discount")
         .map(one).mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "prof4_token_dist" -> {
+      val pat = graft.operators.TextAnalysis.tokenPattern
+      s"""WITH tok AS (
+           SELECT source,
+             len(regexp_extract_all(text, '$pat')) AS n_tokens
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           quantile_cont(n_tokens, 0.5) AS p50_tokens,
+           quantile_cont(n_tokens, 0.9) AS p90_tokens,
+           quantile_cont(n_tokens, 0.99) AS p99_tokens
+         FROM tok GROUP BY source ORDER BY source"""
     },
     "prof3_histogram" ->
       """SELECT CAST(FLOOR((l_extendedprice - 900) / 100) AS INT) AS bin,

@@ -49,6 +49,21 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("prof4: percentiles ordered, totals consistent, same token domain as t1") {
+    val rows = Profile.prof4TokenDist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.core.Tables.t(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $r")
+    }
+    // token domain parity with t1: totals equal sum of t1's regex counts
+    val t1Total = graft.operators.TextAnalysis.t1Tokens(spark, dir)
+      .agg(sum(col("n_regex_tokens").cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === t1Total)
+  }
+
   test("profiling plans stay single-scan: no join, no cartesian, one shuffle") {
     for ((name, q) <- Profile.queries) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
