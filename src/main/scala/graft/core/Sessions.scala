@@ -62,6 +62,10 @@ object Sessions {
       .config("spark.sql.streaming.stateStore.rocksdb." +
         "changelogCheckpointing.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
+      // exact percentiles (oracle parity) by default; the t-digest scale
+      // path (functions.Agg) A/B-able per-run for ScaleRun evidence
+      .config(graft.functions.Agg.ApproxFlag,
+        sys.env.getOrElse("SPARK_GRAFT_APPROX_PCT", "false"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
