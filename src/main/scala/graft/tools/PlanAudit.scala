@@ -1,0 +1,45 @@
+package graft.tools
+
+/** Physical-plan audit dump: `explain("formatted")` for a curated set of
+  * headline queries, written to stdout for committing as PLANS_r{N}.md —
+  * the direct evidence behind BASELINE.md's scale-posture claims
+  * (pushdown reaching the scan, broadcast on the small side, whole-stage
+  * codegen spans, no stray Exchanges).
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir] [query ...]
+  */
+object PlanAudit {
+
+  /** Headline set: one representative per scale-critical plan shape. */
+  val defaults: Seq[String] = Seq(
+    "q1_agg",            // partial agg + pruned scan
+    "p5_pit_filter",     // predicate pushdown to parquet
+    "j1_left_join_agg",  // broadcast small side
+    "j10_bucketed_join", // Exchange-free sort-merge on bucketed tables
+    "fs_single_pass",    // one-shuffle conditional-aggregate feature store
+    "u3_keep_last",      // keyed window dedup, no global sort
+    "d3_minhash_lsh",    // banded LSH join, scalars only across Exchange
+    "s5_knn_join",       // bucketed candidate join + rerank
+    "c3_chunk_corpus",   // curation ∩ chunking composition
+    "prof2_numeric_stats", // melt + single keyed ObjectHashAggregate
+    "e2_hourly_agg",     // event-time window agg (batch dual of e5)
+    "j7_asof",           // union+last-carry as-of join
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq else defaults
+    val spark = graft.core.Sessions.get()
+    graft.core.SchemaCheck.warn(spark, dir)
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      println(s"\n## $name\n")
+      println("```")
+      // executedPlan AFTER AQE re-optimization where applicable
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -17,6 +17,7 @@ object ScaleRun {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
     val passes = if (args.length > 1) args(1).toInt else 2
     val spark = graft.core.Sessions.get()
+    graft.core.SchemaCheck.warn(spark, dir)
 
     @volatile var shufRead = 0L
     @volatile var shufWrite = 0L
