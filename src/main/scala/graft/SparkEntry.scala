@@ -12,7 +12,7 @@ import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Profile, Relatio
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (PointInTime.queries, PointInTime.oracle),

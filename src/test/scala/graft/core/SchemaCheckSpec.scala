@@ -13,9 +13,12 @@ class SchemaCheckSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("driver testdata matches the engine-supported schema (sf0.001)") {
-    val d = SchemaCheck.drift(spark, "/root/testdata/sf0.001")
-    assert(d.isEmpty, "TESTDATA DRIFTED:\n" + d.mkString("\n"))
+  test("driver testdata matches the engine-supported schema (all three sf dirs)") {
+    // the driver regenerates each dir; they can drift independently
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = SchemaCheck.drift(spark, s"/root/testdata/$sf")
+      assert(d.isEmpty, s"TESTDATA DRIFTED under $sf:\n" + d.mkString("\n"))
+    }
   }
 
   test("a drifted column type is reported with expected-vs-found") {
