@@ -103,11 +103,41 @@ object Profile {
       .orderBy("source")
   }
 
+  /** PROF5: cross-column correlation profile — Pearson r + sample
+    * covariance per column pair, the relationship scan of a profiling
+    * suite. `corr`/`covar_samp` are algebraic aggregates (co-moment
+    * merge): single pass, map-side combinable, constant-size state —
+    * the 100 TB shape needs nothing special. Pairs are chosen
+    * well-conditioned (|r| far from 0) so the 6-sig-fig oracle compare
+    * is robust to cross-engine summation-order noise; a near-zero r
+    * would demand ~1e-9 ABSOLUTE agreement, which float merge order
+    * cannot guarantee. */
+  val prof5Correlations: Q = (s, dir) => {
+    val src = t(s, dir, "lineitem")
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val pairs: Seq[(String, Column, Column)] = Seq(
+      ("disc_vs_keep", col("l_discount"), lit(1) - col("l_discount")),
+      ("price_vs_net", col("l_extendedprice"), net),
+      ("qty_vs_total", col("l_quantity"),
+        col("l_quantity") * col("l_extendedprice")))
+    val melted = src.select(explode(array(pairs.map { case (n, x, y) =>
+        struct(lit(n).as("pair"), x.cast("double").as("x"),
+          y.cast("double").as("y")) }: _*)).as("kv"))
+      .select(col("kv.pair").as("pair"), col("kv.x").as("x"),
+        col("kv.y").as("y"))
+    melted.groupBy("pair")
+      .agg(corr(col("x"), col("y")).as("pearson_r"),
+        covar_samp(col("x"), col("y")).as("covar"),
+        count(lit(1)).as("n"))
+      .orderBy("pair")
+  }
+
   val queries: Map[String, Q] = Map(
     "prof1_completeness" -> prof1Completeness,
     "prof2_numeric_stats" -> prof2NumericStats,
     "prof3_histogram" -> prof3Histogram,
     "prof4_token_dist" -> prof4TokenDist,
+    "prof5_correlations" -> prof5Correlations,
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +177,20 @@ object Profile {
            quantile_cont(n_tokens, 0.9) AS p90_tokens,
            quantile_cont(n_tokens, 0.99) AS p99_tokens
          FROM tok GROUP BY source ORDER BY source"""
+    },
+    "prof5_correlations" -> {
+      def one(name: String, x: String, y: String) =
+        s"""SELECT '$name' AS pair,
+            corr($x, $y) AS pearson_r,
+            covar_samp($x, $y) AS covar,
+            CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem"""
+      Seq(
+        one("disc_vs_keep", "l_discount", "(1 - l_discount)"),
+        one("price_vs_net", "l_extendedprice",
+          "(l_extendedprice * (1 - l_discount))"),
+        one("qty_vs_total", "l_quantity", "(l_quantity * l_extendedprice)"),
+      ).mkString("", " UNION ALL ", " ORDER BY pair")
     },
     "prof3_histogram" ->
       """SELECT CAST(FLOOR((l_extendedprice - 900) / 100) AS INT) AS bin,

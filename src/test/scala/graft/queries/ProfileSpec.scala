@@ -64,6 +64,22 @@ class ProfileSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === t1Total)
   }
 
+  test("prof5: correlations bounded, identities hold, well-conditioned") {
+    val rows = Profile.prof5Correlations(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.values.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12, s"|r|>1: $r")
+      assert(r.getLong(3) > 0)
+    }
+    // corr(d, 1-d) is exactly -1 up to float noise
+    assert(math.abs(rows("disc_vs_keep").getDouble(1) + 1.0) < 1e-9)
+    // the oracle-parity precondition the scaladoc commits to: every
+    // profiled pair is well-conditioned (|r| far from 0)
+    rows.values.foreach(r =>
+      assert(math.abs(r.getDouble(1)) > 0.1,
+        s"near-zero corr is not 6-sig-fig comparable cross-engine: $r"))
+  }
+
   test("profiling plans stay single-scan: no join, no cartesian, one shuffle") {
     for ((name, q) <- Profile.queries) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
