@@ -97,7 +97,14 @@ object Bench {
           .map { case (f, rs) =>
             "\"" + f + "\":" + f3(rs.map(_._2).sum)
           }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        // a mass-error round (r08: 12 errors) must not overflow the
+        // compact line either — cap the stdout list, full list in file
+        val errShown = errors.take(25)
+        val errCompact = (errShown.map("\"" + _ + "\"") ++
+          (if (errors.size > errShown.size)
+            Seq("\"...+" + (errors.size - errShown.size) + " more\"")
+          else Nil)).mkString("[", ",", "]")
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
       }
     println(line)
     spark.stop()
