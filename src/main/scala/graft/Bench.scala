@@ -29,6 +29,35 @@ package graft
   *    success, and the total sums successful queries only.
   */
 object Bench {
+
+  /** Host-contention calibration probe (round-9 VERDICT item 3): a FIXED
+    * CPU+shuffle micro-query, independent of graft code and testdata —
+    * `range(20M)` → hash-mod keys → two-column aggregate → single
+    * reduction. Timed min-of-3 on the warmed JVM; its committed
+    * reference value lives in BASELINE_GATE.json (`calib_ref_sec`) and
+    * the ratio `calib_sec / calib_ref_sec` is the machine-readable
+    * host-speed factor: per-query gate breaches that shrink under
+    * time/ratio are host contention, ones that don't are real
+    * regressions (interpretation rule documented in BASELINE.md §"Bench
+    * methodology"). The probe's plan never changes with engine code —
+    * it uses only Spark built-ins — so its time moves ONLY with the
+    * host. */
+  def calibrationProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20L * 1000 * 1000)
+        .select((col("id") * 2654435761L % 1000003L).as("k"),
+          (col("id") % 97L).as("v"))
+        .groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .agg(sum("sv"), max("n"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT/codegen warm for the probe itself
+    Seq.fill(3)(once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.get()
@@ -43,6 +72,11 @@ object Bench {
     val t0w = System.nanoTime()
     names.foreach { n => try run(n) catch { case _: Throwable => () } }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
+    // Calibration AFTER warmup (probe runs on the same JVM state the
+    // timed passes see), BEFORE the passes (so a contention wave during
+    // the passes still shows up in per-pass spread, while the probe
+    // anchors the host's speed at measurement start).
+    val calibSec = calibrationProbe(spark)
     // Passes 2-4: timed; report the per-query min.
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
@@ -73,7 +107,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
     // The driver captures a BOUNDED stdout window (~2000 chars, tail):
     // the full 108-query map + per-pass arrays is ~6 KB, so a single fat
     // line arrives tail-only and unparseable (BENCH_r05/r08 lesson:
@@ -81,8 +115,15 @@ object Bench {
     // payload to a stable file in the repo, and print a line guaranteed
     // to fit: per-FAMILY sums (leading letters of the query name)
     // instead of per-query, plus a pointer to the full file.
+    // Default path is SUFFIXED with the sf dir's basename (round-9
+    // ADVICE): an ad-hoc run at sf0.001 or on a broken build must not
+    // silently clobber the curated sf0.1 artifact. The compact stdout
+    // line prints `queries_file`, so the driver/judge always sees where
+    // this run's full map went; promoting a run to the committed
+    // BENCH_FULL.json is an explicit copy.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      s"/root/repo/BENCH_FULL_$sfBase.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullLine + "\n")
     catch { case e: Throwable =>
@@ -104,7 +145,7 @@ object Bench {
           (if (errors.size > errShown.size)
             Seq("\"...+" + (errors.size - errShown.size) + " more\"")
           else Nil)).mkString("[", ",", "]")
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"warmup_sec":${f3(warmupSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
       }
     println(line)
     spark.stop()

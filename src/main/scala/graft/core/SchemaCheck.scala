@@ -55,9 +55,51 @@ object SchemaCheck {
       "embedding" -> Set("array<float>"), "label" -> Set("int")),
   )
 
+  /** Plausible epoch-NANOSECOND range for event timestamps: 2001-09-09
+    * (1e18 ns) through ~2059 (2.8e18 ns). A bigint `events.ts` whose max
+    * falls OUTSIDE this range is almost certainly epoch-µs (~1.7e15 for
+    * current dates) or epoch-ms (~1.7e12) shipped as plain int64 — a
+    * drift the type allowlist alone cannot see: [[EventTime]] would
+    * scale every event-time 1000×/1e6× off and the failure would surface
+    * only as opaque oracle hash mismatches, the exact mode this tripwire
+    * exists to name. */
+  private[graft] val nsLo = 1_000_000_000_000_000_000L
+  private[graft] val nsHi = 2_800_000_000_000_000_000L
+
+  /** Magnitude check for the one column whose UNIT is a convention on
+    * top of its type: bigint `events.ts` must hold epoch-ns (the legacy
+    * nanos-as-long read). One-column min/max scan — metadata-scale cost
+    * (parquet column stats), paid once per harness launch. */
+  private def tsMagnitudeDrift(spark: SparkSession, dir: String): Seq[String] =
+    try {
+      val ev = Tables.t(spark, dir, "events")
+      if (ev.schema("ts").dataType.simpleString != "bigint") Nil
+      else {
+        import org.apache.spark.sql.functions.{max, min}
+        val r = ev.agg(min("ts"), max("ts")).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        if (lo >= nsLo && hi <= nsHi) Nil
+        else {
+          def in(v: Long, lo: Long, hi: Long) = v >= lo && v <= hi
+          val guess =
+            if (in(hi, 1_000_000_000_000_000L, 2_800_000_000_000_000L))
+              "epoch-MICROSECONDS"
+            else if (in(hi, 1_000_000_000_000L, 2_800_000_000_000L))
+              "epoch-MILLISECONDS"
+            else "an unknown unit"
+          Seq(s"events.ts: bigint values [$lo, $hi] are outside the " +
+            s"plausible epoch-ns range [$nsLo, $nsHi] — looks like $guess " +
+            "shipped as int64; EventTime assumes bigint=ns, so every " +
+            "event-time would be mis-scaled. Extend EventTime's LongType " +
+            "branch (unit sniff) before running the battery")
+        }
+      }
+    } catch { case _: Throwable => Nil } // unreadable → reported above
+
   /** Every drift between `dir`'s tables and the engine-supported schema:
-    * missing tables, missing columns, and out-of-allowlist types, each as
-    * one human-readable line. Empty = safe to run the battery. */
+    * missing tables, missing columns, out-of-allowlist types, and the
+    * events.ts unit-magnitude check, each as one human-readable line.
+    * Empty = safe to run the battery. */
   def drift(spark: SparkSession, dir: String): Seq[String] =
     expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val schema =
@@ -80,7 +122,7 @@ object SchemaCheck {
             }
           }
       }
-    }
+    } ++ tsMagnitudeDrift(spark, dir)
 
   /** Print any drift as an unmissable stderr banner. Returns the drift so
     * callers can choose to fail hard (specs do; Verify warns and still

@@ -57,8 +57,11 @@ object Multimodal {
     val fixtures = s.read.format("binaryFile").load(mediaFixtureDir)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         col("content").as("payload"))
-      // stable 0-based index in filename order (5 rows — the window is
-      // metadata-scale; the oracle keys its VALUES list the same way)
+      // stable 0-based index in filename order. Unpartitioned window =
+      // single partition, but BOUNDED BY DESIGN: the input is the fixture
+      // file LISTING (5 rows, one per committed media file — never
+      // corpus-scale), and the oracle keys its VALUES list the same way.
+      // Same contract as t8/u10's bounded second-level scans.
       .withColumn("fixture_idx",
         (row_number().over(Window.orderBy("file")) - 1).cast("long"))
       .withColumn("media_type",

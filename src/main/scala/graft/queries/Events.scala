@@ -142,8 +142,8 @@ object Events {
       q.awaitTermination()
     }
     s.table(name)
-      .select(col("user_id"), col("start_ns").as("start_us"),
-        col("end_ns").as("end_us"), col("n_events"), col("sum_value"))
+      .select(col("user_id"), col("start_ts").as("start_us"),
+        col("end_ts").as("end_us"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
   }
 

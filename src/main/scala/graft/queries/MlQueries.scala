@@ -143,11 +143,36 @@ object MlQueries {
       .orderBy("o_custkey")
   }
 
+  /** M5 (distributional oracle for the RF path, round-9 VERDICT item 6):
+    * binned P(champion) histogram of the scored OOT frame. Tree-ensemble
+    * SCORES aren't SQL-recomputable, but the seed-42 fit is bit-
+    * deterministic (content-hash partitioned train, see [[model]]), so
+    * the DISTRIBUTION is a stable golden: the oracle carries the pinned
+    * histogram as a VALUES list per scale and DISPATCHES on the OOT row
+    * count — which DuckDB CAN recompute from the ABT — so one static SQL
+    * stays green at both the sf0.01 gate and the sf0.1 cross-scale
+    * sweep. `n_oot` rides along in the result to key the dispatch.
+    * This puts the whole ABT → split → impute → assemble → RF-score
+    * plumbing inside the driver's hash gate (m1's per-row frame stays
+    * rows-only + MlSpec golden-hash). */
+  val m5ScoreHistogram: Q = (s, dir) => {
+    val data = abt(s, dir)
+    val sp = AbtSplits.split(data, "o_custkey", "yr", 1998)
+    val scored = ChampionModel.score(model(s, dir), sp.oot)
+      .select(least(floor(round(col("p_champ"), 4) / 0.05), lit(19.0))
+        .cast("int").as("bin"))
+    val hist = scored.groupBy("bin").agg(count(lit(1)).as("n_custs"))
+    hist.join(broadcast(hist.agg(sum("n_custs").as("n_oot"))))
+      .select(col("n_oot"), col("bin"), col("n_custs"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
     "m3_top_trajectories" -> m3TopTrajectories,
     "m4_logistic_score" -> m4LogisticScore,
+    "m5_score_histogram" -> m5ScoreHistogram,
   )
 
   /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
@@ -169,8 +194,30 @@ object MlQueries {
            FROM orders GROUP BY 1, 2))"""
 
   /** m1-m3 are tree-ensemble outputs (not SQL-expressible — rows-only
-    * driver check); m4 is the oracle-gated deterministic scorer. */
+    * driver check); m4 is the oracle-gated deterministic scorer; m5 is
+    * the RF path's DISTRIBUTIONAL oracle: the seed-42 fit is
+    * bit-deterministic (see [[model]]'s content-hash partitioning), so
+    * its binned P(champion) histogram is a stable golden. DuckDB can't
+    * recompute RF scores, but it CAN recompute the ABT — the oracle
+    * pins the golden histogram per scale as VALUES and dispatches on
+    * the OOT row count, so one static SQL holds at both the sf0.01
+    * gate and the sf0.1 cross-scale sweep (goldens re-derived
+    * 2026-08-14 from two fresh-JVM runs each, byte-identical). */
   val oracle: Map[String, String] = Map(
+    "m5_score_histogram" ->
+      s"""WITH $abtSql
+          SELECT CAST(v.n_oot AS BIGINT) AS n_oot, v.bin,
+            CAST(v.n_custs AS BIGINT) AS n_custs
+          FROM (VALUES
+            (1146, 0, 1107), (1146, 4, 2), (1146, 5, 5), (1146, 6, 3),
+            (1146, 7, 7), (1146, 8, 4), (1146, 13, 6), (1146, 14, 6),
+            (1146, 15, 6),
+            (11708, 0, 11674), (11708, 1, 2), (11708, 2, 1),
+            (11708, 3, 9), (11708, 4, 5), (11708, 6, 7), (11708, 7, 4),
+            (11708, 8, 2), (11708, 9, 1), (11708, 10, 1), (11708, 11, 2))
+            v(n_oot, bin, n_custs)
+          WHERE v.n_oot = (SELECT count(*) FROM abt WHERE yr = 1998)
+          ORDER BY v.bin""",
     "m4_logistic_score" ->
       s"""WITH $abtSql
           SELECT yr, o_custkey, fl_champ,

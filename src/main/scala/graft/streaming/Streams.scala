@@ -66,8 +66,12 @@ object Streams {
   /** Open-session state carried between micro-batches. */
   case class SessState(start: Long, last: Long, n: Long, sum: Double)
 
-  /** A closed session. */
-  case class Session(user_id: Long, start_ns: Long, end_ns: Long,
+  /** A closed session. `start_ts`/`end_ts` are epoch counts in whatever
+    * unit the input [[Ev.ts]] carried (unit-neutral by design: ns from a
+    * legacy nanos-as-long read, µs via core.EventTime.tsMicros) — the
+    * names deliberately do NOT pin a unit, because the unit is the
+    * caller's normalization choice, not this operator's. */
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
                      n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the streaming

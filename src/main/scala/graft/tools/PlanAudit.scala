@@ -33,9 +33,14 @@ object PlanAudit {
     graft.core.SchemaCheck.warn(spark, dir)
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
+      // EXECUTE first: AQE only re-optimizes as stages complete, so an
+      // un-executed explain shows the initial adaptive plan
+      // (isFinalPlan=false) — broadcast decisions and Exchange counts
+      // can differ from what actually ran (round-9 ADVICE: 12 of 13
+      // committed PLANS_r9 sections were initial plans).
+      df.queryExecution.toRdd.count()
       println(s"\n## $name\n")
       println("```")
-      // executedPlan AFTER AQE re-optimization where applicable
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       println("```")

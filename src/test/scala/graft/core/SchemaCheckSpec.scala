@@ -43,4 +43,32 @@ class SchemaCheckSpec extends SparkSpec {
     val d = SchemaCheck.drift(spark, dir)
     assert(d.exists(l => l.startsWith("events.ts") && l.contains("MISSING")))
   }
+
+  // Round-9 ADVICE: the type allowlist admits plain `bigint` for
+  // events.ts, so a driver regen shipping epoch-µs (or ms) AS int64
+  // would pass the type check silently while EventTime mis-scales every
+  // event-time 1000× — the magnitude check names that drift too.
+  test("bigint events.ts holding epoch-MICROSECONDS trips the magnitude check") {
+    val dir = tmpDir("usdrift")
+    val us = 1722470400000000L // 2024-08-01 in epoch-µs — ns/1000
+    Seq((1L, us, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val d = SchemaCheck.drift(spark, dir)
+    val line = d.find(_.startsWith("events.ts"))
+    assert(line.isDefined, s"no magnitude drift line in:\n${d.mkString("\n")}")
+    assert(line.get.contains("epoch-MICROSECONDS"), line.get)
+    assert(line.get.contains("mis-scaled"), line.get)
+  }
+
+  test("bigint events.ts holding genuine epoch-ns passes the magnitude check") {
+    val dir = tmpDir("nsok")
+    val ns = 1722470400000000000L // 2024-08-01 in epoch-ns
+    Seq((1L, ns, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val d = SchemaCheck.drift(spark, dir)
+    assert(!d.exists(l => l.startsWith("events.ts")),
+      s"false-positive magnitude drift:\n${d.mkString("\n")}")
+  }
 }

@@ -113,6 +113,23 @@ class MlSpec extends SparkSpec {
       s"m1 prediction frame drifted (md5 $md5)")
   }
 
+  // m5's histogram must be the EXACT binning of m1's per-row frame — the
+  // distributional oracle and the rows-only frame can never drift apart.
+  test("m5 histogram == m1 frame binned (sum of counts = OOT rows)") {
+    val dir = "/root/testdata/sf0.001"
+    val m1 = graft.queries.MlQueries.queries("m1_rf_score")(spark, dir)
+      .select(least(floor(col("p_champ") / 0.05), lit(19.0))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_custs"))
+      .as[(Int, Long)].collect().toMap
+    val m5 = graft.queries.MlQueries.queries("m5_score_histogram")(spark, dir)
+      .as[(Long, Int, Long)].collect()
+    assert(m5.map { case (_, b, n) => b -> n }.toMap === m1)
+    val nOot = m5.head._1
+    assert(m5.forall(_._1 === nOot))
+    assert(m5.map(_._3).sum === nOot)
+  }
+
   test("raceTable: keep-last semantics + pivot + zero fill") {
     val df = Seq(
       (2024, "a", 0.1, 1), (2024, "a", 0.9, 2), // keep ord=2 → 0.9
