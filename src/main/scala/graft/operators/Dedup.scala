@@ -159,16 +159,30 @@ object Dedup {
     * replicates every row ×4 onto join sides, so any payload here
     * multiplies shuffle bytes by ~8× the corpus volume (PlanSpec asserts
     * no array-typed attribute crosses an Exchange). At 100 TB this is
-    * the corpus's persisted LSH INDEX, bucketed by (band, bh). */
-  private[graft] def banded(s: SparkSession, dir: String): DataFrame = {
-    val sig = withSig(shingled(s, dir)).select(col("doc_id") +: minhashCols: _*)
-    sig.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-            col(s"mh${3 * b + 2}"))).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-  }
+    * the corpus's persisted LSH INDEX, bucketed by (band, bh) —
+    * MATERIALIZED here too ([[Registry]], like [[shingled]]): its
+    * consumers reference it twice per plan (d3's self-join sides, d11's
+    * index + probe split), and without persistence each reference
+    * re-pays the 12-perm signature + band md5 over the whole corpus —
+    * the fixed overhead that held d11 at ~2.6× its gate in BENCH_r09.
+    * Scalar-only rows make it ~4 rows × 3 longs per doc — far smaller
+    * than the shingle stage it derives from. */
+  private val bandedReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[graft] def banded(s: SparkSession, dir: String): DataFrame =
+    bandedReg.getOrCompute(s, dir) {
+      val sig = withSig(shingled(s, dir)).select(col("doc_id") +: minhashCols: _*)
+      val df = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+              col(s"mh${3 * b + 2}"))).as("bh"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
 
   /** D3 candidate generation — self-join the banded index on
     * (band, bandHash). Shared by d3 (which joins the sets back for

@@ -134,20 +134,33 @@ object Sinks {
       return
     }
     recoverIfNeeded(spark, fs, root)
-    val incoming = collectPartValues(newSlices.select(partCol).distinct(), partCol)
-    require(incoming.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
-    val stale = collectPartValues(
-      spark.read.parquet(path)
-        .filter(col(sliceCol).isin(sliceValues: _*))
-        .select(partCol).distinct(), partCol)
-    val affected = (incoming ++ stale).distinct
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isin(affected.map(_.toString): _*))
-      .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
-    val merged = existing.unionByName(newSlices)
-    val staged = stagePath(path)
-    clustered(merged).write.partitionBy(partCol).parquet(staged)
-    commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
+    // The incoming frame is executed TWICE on this path: once for the
+    // affected-partition discovery (distinct partCol) and once inside the
+    // staged write. A backfill slice is typically an aggregation battery
+    // over the event history (Ingestor i1: exact percentiles over a PIT
+    // scan) — re-running it doubles the dominant cost of the per-date
+    // loop. Persist it for the duration of the call: slices are small by
+    // contract (one date's features), so this is bounded executor memory
+    // at any corpus scale, and at 100 TB the slice would be a staged
+    // table anyway.
+    val slices = newSlices.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incoming = collectPartValues(slices.select(partCol).distinct(), partCol)
+      require(incoming.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
+      val stale = collectPartValues(
+        spark.read.parquet(path)
+          .filter(col(sliceCol).isin(sliceValues: _*))
+          .select(partCol).distinct(), partCol)
+      val affected = (incoming ++ stale).distinct
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isin(affected.map(_.toString): _*))
+        .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
+      val merged = existing.unionByName(slices)
+      val staged = stagePath(path)
+      clustered(merged).write.partitionBy(partCol).parquet(staged)
+      commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
+    } finally slices.unpersist(false)
   }
 
   /** Keyed MERGE (upsert) emulation on plain Parquet — the Delta
@@ -184,20 +197,30 @@ object Sinks {
       return
     }
     recoverIfNeeded(spark, fs, root)
-    val incoming = collectPartValues(latest.select(partCol).distinct(), partCol)
-    val keys = latest.select(keyCols.map(col): _*)
-    val stale = collectPartValues(
-      spark.read.parquet(path)
-        .join(keys, keyCols, "left_semi")
-        .select(partCol).distinct(), partCol)
-    val affected = (incoming ++ stale).distinct
-    val kept = spark.read.parquet(path)
-      .filter(col(partCol).isin(affected.map(_.toString): _*))
-      .join(keys, keyCols, "left_anti")
-    val merged = kept.unionByName(latest)
-    val staged = stagePath(path)
-    clustered(merged).write.partitionBy(partCol).parquet(staged)
-    commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
+    // `latest` (the de-batched updates, a window over the raw batch) is
+    // referenced FOUR times below: incoming-partition discovery, the
+    // stale-key semi join, the anti join, and the staged write. Persist
+    // it for the call so the de-batch window runs once — a CDC batch is
+    // small relative to the table by definition, so this is bounded
+    // memory at any scale.
+    val latestP = latest.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incoming = collectPartValues(latestP.select(partCol).distinct(), partCol)
+      val keys = latestP.select(keyCols.map(col): _*)
+      val stale = collectPartValues(
+        spark.read.parquet(path)
+          .join(keys, keyCols, "left_semi")
+          .select(partCol).distinct(), partCol)
+      val affected = (incoming ++ stale).distinct
+      val kept = spark.read.parquet(path)
+        .filter(col(partCol).isin(affected.map(_.toString): _*))
+        .join(keys, keyCols, "left_anti")
+      val merged = kept.unionByName(latestP)
+      val staged = stagePath(path)
+      clustered(merged).write.partitionBy(partCol).parquet(staged)
+      commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
+    } finally latestP.unpersist(false)
   }
 
   /** Marker-aware table read: while a commit is in flight or crashed

@@ -3,15 +3,32 @@
 
 Policy (BASELINE.md): per-query committed value = elementwise MAX over
 the runs (each already min-of-passes), floored at 0.6 s noise floor;
-total_gate_sec = 2x the max observed run total; warmup ceiling is kept
-from the committed file (cross-host calibrated, not derivable locally).
+total_gate_sec = 2x the max observed run total; warmup ceiling =
+2x the worst warmup observed ON ANY HOST (cross-host — pass it with
+--warmup-worst when a remote host's observation exceeds the local runs,
+else the local max is used).
 
-Usage: python3 tools/recompute_gates.py out.json run1.json run2.json ...
+Calibration anchor (round-10): each Bench run emits `calib_sec`, the
+min-of-3 time of a FIXED CPU+shuffle micro-query whose plan never
+changes with engine code. The committed `calib_ref_sec` = median of the
+gate-setting runs' calib_sec; `warmup_ref_sec` = max of their warmups.
+Interpretation rule (BASELINE.md "Bench methodology"): for any later
+run, host_factor = calib_sec / calib_ref_sec; a per-query time that
+breaches its 2x gate but satisfies time / host_factor <= 2x gate is
+host contention, not a code regression — machine-adjudicable without
+re-running.
+
+Usage: python3 tools/recompute_gates.py [--warmup-worst SEC] out.json run1.json run2.json ...
 """
 import json
 import sys
 
-out_path, runs = sys.argv[1], sys.argv[2:]
+args = sys.argv[1:]
+warmup_worst = None
+if args[0] == "--warmup-worst":
+    warmup_worst = float(args[1])
+    args = args[2:]
+out_path, runs = args[0], args[1:]
 assert len(runs) >= 3, "need >=3 runs"
 datas = []
 for p in runs:
@@ -25,17 +42,24 @@ for d in datas[1:]:
 queries = {q: round(max(0.6, max(d["queries"][q] for d in datas)), 2)
            for q in sorted(keys)}
 total_gate = round(2 * max(d["value"] for d in datas), 1)
-prev = json.load(open(out_path))
+calibs = sorted(d["calib_sec"] for d in datas)
+calib_ref = round(calibs[len(calibs) // 2], 3)
+warmups = [d["warmup_sec"] for d in datas]
+worst_warmup = max(warmups + ([warmup_worst] if warmup_worst else []))
 gate = {
     "metric": "total",
     "value": round(sum(queries.values()), 2),
     "unit": "sec",
     "queries": queries,
     "total_gate_sec": total_gate,
-    "warmup_gate_sec": prev["warmup_gate_sec"],
+    "warmup_gate_sec": round(2 * worst_warmup, 1),
+    "warmup_ref_sec": round(max(warmups), 1),
+    "calib_ref_sec": calib_ref,
     "sf": datas[0]["sf"],
 }
 json.dump(gate, open(out_path, "w"), indent=2)
 print(f"wrote {out_path}: {len(queries)} queries, committed sum "
-      f"{gate['value']}, total_gate {total_gate}, "
-      f"observed totals {[d['value'] for d in datas]}")
+      f"{gate['value']}, total_gate {total_gate}, warmup_gate "
+      f"{gate['warmup_gate_sec']}, calib_ref {calib_ref}, "
+      f"observed totals {[d['value'] for d in datas]}, "
+      f"calibs {calibs}, warmups {[round(w,1) for w in warmups]}")
