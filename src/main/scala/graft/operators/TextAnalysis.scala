@@ -477,6 +477,47 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Number of top TF-IDF terms [[t13Tfidf]] keeps per document. */
+  private[operators] val tfidfTopK = 3
+
+  /** T13: TF-IDF TOP TERMS PER DOCUMENT — the classic keyword/topic
+    * signal every curation pipeline computes for domain tagging, near-
+    * topic sampling, and retrieval-corpus labeling: per (doc, token)
+    * term frequency × ln(N/df) inverse document frequency, keeping the
+    * top [[tfidfTopK]] terms per doc.
+    *
+    * Scale shape: the big side — (doc, token) TF pairs, corpus-sized —
+    * is joined to the DOCUMENT-FREQUENCY table on token with the DF
+    * side broadcast: vocab is orders of magnitude smaller than the
+    * corpus (t7's domain), so the corpus-sized TF frame is never
+    * shuffled for the join; N arrives as a broadcast 1-row frame, not a
+    * driver `.count()`, keeping the whole plan one job. The only wide
+    * exchanges are the two aggregations (tf, df), both map-side
+    * combined; the top-k window partitions by doc_id — never a global
+    * window. `tfidf` is rounded to 6 dp BEFORE ranking so the window
+    * order (tfidf desc, token) can't be flipped by a last-ulp ln()
+    * difference between engines. */
+  val t13Tfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), wsPat)).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= tfidfTopK)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+        col("df"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Per-source keep rates of the data-mixture sampler (u9): curated
     * strata kept whole, web-ish strata downweighted — the mixture-
     * weighting step of every training-data pipeline. Sources outside
@@ -744,6 +785,7 @@ object TextAnalysis {
     "t10_bpe_encode" -> t10BpeEncode,
     "t11_bigram_lm" -> t11BigramLm,
     "t12_chunk" -> t12Chunk,
+    "t13_tfidf" -> t13Tfidf,
     "u9_stratified_sample" -> u9StratifiedSample,
     "u10_temperature_sample" -> u10TemperatureSample,
     "u11_shuffle_shard" -> u11ShuffleShard,
@@ -1025,6 +1067,28 @@ object TextAnalysis {
           FROM n CROSS JOIN range(0, 16) AS r(i)
           WHERE i < n_chunks
           ORDER BY doc_id, chunk_idx""",
+    // t13: same token domain as t7; DuckDB row_number is BIGINT → cast
+    // to match Spark's IntegerType; tfidf rounded to 6 dp pre-ranking in
+    // both engines (see t13Tfidf scaladoc).
+    "t13_tfidf" ->
+      s"""WITH tok AS (
+            SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+            FROM documents),
+          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+          df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tok GROUP BY 1),
+          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+              round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n),
+          rk AS (SELECT *, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+                 FROM scored)
+          SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, df, tfidf
+          FROM rk WHERE rk <= $tfidfTopK ORDER BY doc_id, rk""",
     "t1_tokens" ->
       s"""SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,

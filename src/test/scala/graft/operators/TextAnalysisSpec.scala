@@ -199,6 +199,51 @@ class TextAnalysisSpec extends SparkSpec {
       "no doc repeated — multi-epoch path not exercised")
   }
 
+  test("t13 tf-idf: hand-computed scores on a planted corpus; top-k, " +
+    "ranking, and tiebreak order") {
+    // 4 docs; "common" appears in all 4 (idf = ln(1) = 0 → never a top
+    // term when any rarer token exists), "rare" in 1 (idf = ln 4).
+    val docs = Seq(
+      (0L, "rare common common"),
+      (1L, "common mid"),
+      (2L, "common mid"),
+      (3L, "common"),
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t13_planted")
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("tfidf", round(col("tf") * log(lit(4.0) / col("df")), 6))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"))
+        -> r.getAs[Double]("tfidf")).toMap
+    val ln = math.log _
+    assert(scored((0L, "rare")) === BigDecimal(1 * ln(4.0 / 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(scored((0L, "common")) === 0.0) // df = N → idf 0, even at tf 2
+    assert(scored((1L, "mid")) === BigDecimal(1 * ln(4.0 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // full operator on the synthetic corpus: exactly topK rows per doc
+    // (corpus docs all have >= topK distinct tokens), rk dense from 1,
+    // scores non-increasing in rk, ties broken by token ascending
+    val out = TextAnalysis.t13Tfidf(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to sorted.length))
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("tfidf"), b.getAs[Double]("tfidf"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[String]("token") < b.getAs[String]("token")))
+        case _ => ()
+      }
+    }
+  }
+
   test("u9 stratified sample: rate-1.0 strata keep every row; kept " +
     "fraction tracks the mixture rate") {
     val dir = "/root/testdata/sf0.001"
