@@ -24,6 +24,7 @@ object PlanAudit {
     "prof2_numeric_stats", // melt + single keyed ObjectHashAggregate
     "e2_hourly_agg",     // event-time window agg (batch dual of e5)
     "j7_asof",           // union+last-carry as-of join
+    "t13_tfidf",         // corpus-side TF never shuffled: broadcast DF join
   )
 
   def main(args: Array[String]): Unit = {
