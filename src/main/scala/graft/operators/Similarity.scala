@@ -217,6 +217,70 @@ object Similarity {
       .groupBy("bkt").agg(count(lit(1)).as("n_vectors"))
       .orderBy("bkt")
 
+  /** Cluster count / Lloyd iterations of [[s7Kmeans]]. */
+  private[operators] val kmeansK = 4
+  private[operators] val kmeansIters = 3
+
+  /** S7: K-MEANS EMBEDDING CLUSTERING — deterministic Lloyd's over the
+    * corpus embeddings: the semantic-domain grouping step training-data
+    * pipelines run for data mixing, per-domain sampling weights, and
+    * cluster-level dedup/curation. Init = the first [[kmeansK]] vectors
+    * (seed-free, oracle-reproducible); [[kmeansIters]] assign/recompute
+    * rounds; output = each vector's final cluster + squared L2 distance.
+    *
+    * Scale shape (the classic distributed-Lloyd layout): each
+    * ASSIGNMENT round is MAP-ONLY — the k centroids travel as ONE
+    * broadcast row holding an array of (cell, vec, |c|²) structs, and
+    * the per-vector argmin is `array_min` over a `transform` of that
+    * array (struct ordering = (distance, cell), so ties break by cell
+    * id with no window and NO per-iteration shuffle of the corpus).
+    * Each RECOMPUTE round is one map-side-combined aggregation
+    * (posexplode → avg per (cell,dim) → k×64 rows). Per iteration at
+    * 100 TB: one corpus scan + one combiner-output shuffle — never a
+    * window over the crossJoin (which would reshuffle k× the corpus
+    * per round). Distances use the fold-order-pinned FloatVecDot
+    * (d = |c|² − 2·v·c, the |v|² constant added only for the output),
+    * so engine and oracle rank by bit-identical doubles. */
+  val s7Kmeans: Q = (s, dir) => {
+    import org.apache.spark.sql.DataFrame
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def withN2(cent: DataFrame): DataFrame =
+      cent.withColumn("n2", dotD(col("vec"), col("vec")))
+    val init = withN2(e.filter(col("vec_id") < kmeansK)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")))
+    def assign(cent: DataFrame): DataFrame = {
+      val cents = cent.groupBy().agg(
+        array_sort(collect_list(struct(col("cell"), col("vec"), col("n2"))))
+          .as("cs"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("best", array_min(transform(col("cs"), c =>
+          struct(
+            (c.getField("n2") -
+              lit(2.0) * dotD(col("embedding"), c.getField("vec"))).as("d"),
+            c.getField("cell").as("cell")))))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cell").as("cluster"),
+          col("best").getField("d").as("pd"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      withN2(assigned
+        .select(col("cluster").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"),
+          transform(col("pc"), x => x.getField("c")).as("vec")))
+    var cent = init
+    (1 to kmeansIters).foreach { _ => cent = recompute(assign(cent)) }
+    assign(cent)
+      .select(col("vec_id"), col("cluster"),
+        round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
+          .as("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** Exact-rerank candidate count of [[s6Sq8Ann]]. */
   private val sq8Candidates = 20
 
@@ -339,6 +403,50 @@ object Similarity {
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
          FROM embeddings)"""
 
+  // s7 oracle building blocks: one assignment CTE (argmin by the SAME
+  // |c|^2 - 2*v.c formula and fold order the Spark side computes, ties
+  // by cell) and one recompute CTE (per-dim AVG, list re-assembled in
+  // pos order — the s4 pattern), chained kmeansIters times.
+  private def kmeansAssignSql(centCte: String, out: String): String =
+    s"""$out AS (
+        SELECT vec_id, embedding, cell, d FROM (
+          SELECT vec_id, embedding, cell, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
+              AS rk
+          FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+              list_sum(list_transform(range(1, ${dims + 1}),
+                i -> c.vec[i] * c.vec[i]))
+              - 2 * list_sum(list_transform(range(1, ${dims + 1}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i])) AS d
+            FROM e, $centCte c))
+        WHERE rk = 1)"""
+
+  private def kmeansRecomputeSql(assignCte: String, out: String): String =
+    s"""$out AS (
+        SELECT cell, list(c ORDER BY pos) AS vec FROM (
+          SELECT cell, r.i AS pos, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+          FROM $assignCte, range(1, ${dims + 1}) r(i) GROUP BY 1, 2)
+        GROUP BY 1)"""
+
+  private lazy val s7Sql: String = {
+    val iterCtes = (1 to kmeansIters).map { it =>
+      kmeansAssignSql(s"c${it - 1}", s"a$it") + ",\n" +
+        kmeansRecomputeSql(s"a$it", s"c$it")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (
+          SELECT CAST(vec_id AS INT) AS cell,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM e WHERE vec_id < $kmeansK),
+        $iterCtes,
+        ${kmeansAssignSql(s"c$kmeansIters", "af")}
+        SELECT vec_id, cell AS cluster,
+          round(d + list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS dist2
+        FROM af ORDER BY vec_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_ann" -> s2LshAnn,
@@ -346,6 +454,7 @@ object Similarity {
     "s4_ivf_ann" -> s4IvfAnn,
     "s5_knn_join" -> s5KnnJoin,
     "s6_sq8_ann" -> s6Sq8Ann,
+    "s7_kmeans" -> s7Kmeans,
   )
 
   val oracle: Map[String, String] = Map(
@@ -482,5 +591,6 @@ object Similarity {
             FROM scored)
           SELECT qid, cid, cosine, rk FROM ranked
           WHERE rk <= 3 ORDER BY qid, rk""",
+    "s7_kmeans" -> s7Sql,
   )
 }

@@ -132,12 +132,73 @@ object Profile {
       .orderBy("pair")
   }
 
+  /** PROF6 reference/current split date and numeric bin width. */
+  private[queries] val driftSplit = "1998-01-01"
+  private[queries] val driftBinWidth = 25000.0
+
+  /** Probability floor for empty-on-one-side buckets (the standard PSI
+    * epsilon — keeps ln() finite without dropping the bucket's drift
+    * contribution entirely). */
+  private[queries] val driftEps = 1e-6
+
+  /** PROF6: POPULATION-STABILITY drift profile — PSI (population
+    * stability index, Σ (q−p)·ln(q/p) over bucketed distributions)
+    * between a reference window (`o_orderdate` < [[driftSplit]]) and
+    * the current window, for one binned-numeric feature (o_totalprice,
+    * fixed [[driftBinWidth]] bins — deterministic edges, the prof3
+    * argument) and one categorical feature (o_orderpriority). The
+    * monitoring scan every production feature store runs per ingest to
+    * catch upstream distribution shift before it reaches training.
+    *
+    * Scale shape: ONE table scan melts both features to (feature,
+    * bucket, side) rows map-side; one map-side-combined aggregation
+    * produces per-(feature,bucket) counts — bounded output (bins are
+    * fixed-width over a bounded domain + a low-cardinality categorical,
+    * ~25 rows regardless of input volume), so the totals window and the
+    * final per-feature PSI reduction run on metadata-scale frames. Both
+    * probabilities are floored at [[driftEps]] (same in the oracle) so
+    * a bucket present on only one side contributes finitely. */
+  val prof6Drift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val src = t(s, dir, "orders")
+    val isRef = col("o_orderdate") < lit(driftSplit).cast("timestamp")
+    val melted = src.select(isRef.as("is_ref"), explode(array(
+        struct(lit("o_totalprice_b25k").as("feature"),
+          concat(lit("b"), floor(col("o_totalprice") / driftBinWidth)
+            .cast("int").cast("string")).as("bucket")),
+        struct(lit("o_orderpriority").as("feature"),
+          col("o_orderpriority").as("bucket")))).as("kv"))
+      .select(col("is_ref"), col("kv.feature").as("feature"),
+        col("kv.bucket").as("bucket"))
+    val bins = melted.groupBy("feature", "bucket").agg(
+      count(when(col("is_ref"), 1)).as("n_ref"),
+      count(when(!col("is_ref"), 1)).as("n_cur"))
+    // totals via a window over the BOUNDED bins frame (~25 rows by
+    // construction at any corpus size — never the input table)
+    val w = Window.partitionBy("feature")
+    bins
+      .withColumn("ref_tot", sum("n_ref").over(w))
+      .withColumn("cur_tot", sum("n_cur").over(w))
+      .withColumn("p",
+        greatest(col("n_ref").cast("double") / col("ref_tot"), lit(driftEps)))
+      .withColumn("q",
+        greatest(col("n_cur").cast("double") / col("cur_tot"), lit(driftEps)))
+      .groupBy("feature")
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        max("ref_tot").as("n_ref"),
+        max("cur_tot").as("n_cur"),
+        round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+          .as("psi"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, Q] = Map(
     "prof1_completeness" -> prof1Completeness,
     "prof2_numeric_stats" -> prof2NumericStats,
     "prof3_histogram" -> prof3Histogram,
     "prof4_token_dist" -> prof4TokenDist,
     "prof5_correlations" -> prof5Correlations,
+    "prof6_drift" -> prof6Drift,
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +260,40 @@ object Profile {
          CAST(COUNT(*) AS BIGINT) AS n,
          MIN(l_extendedprice) AS bin_min, MAX(l_extendedprice) AS bin_max
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // prof6: identical formula and eps floor; DuckDB SUM(BIGINT) widens
+    // to HUGEINT, so the window totals are cast back for the Spark
+    // long-typed schema.
+    "prof6_drift" ->
+      s"""WITH m AS (
+            SELECT (o_orderdate < TIMESTAMP '$driftSplit') AS is_ref,
+              'o_totalprice_b25k' AS feature,
+              'b' || CAST(CAST(FLOOR(o_totalprice / $driftBinWidth) AS INT)
+                AS VARCHAR) AS bucket
+            FROM orders
+            UNION ALL
+            SELECT (o_orderdate < TIMESTAMP '$driftSplit'),
+              'o_orderpriority', o_orderpriority
+            FROM orders),
+          b AS (
+            SELECT feature, bucket,
+              CAST(count_if(is_ref) AS BIGINT) AS n_ref,
+              CAST(count_if(NOT is_ref) AS BIGINT) AS n_cur
+            FROM m GROUP BY 1, 2),
+          p AS (
+            SELECT feature, n_ref, n_cur,
+              CAST(SUM(n_ref) OVER (PARTITION BY feature) AS BIGINT)
+                AS ref_tot,
+              CAST(SUM(n_cur) OVER (PARTITION BY feature) AS BIGINT)
+                AS cur_tot
+            FROM b),
+          x AS (
+            SELECT feature, ref_tot, cur_tot,
+              greatest(CAST(n_ref AS DOUBLE) / ref_tot, $driftEps) AS pp,
+              greatest(CAST(n_cur AS DOUBLE) / cur_tot, $driftEps) AS qq
+            FROM p)
+          SELECT feature, CAST(COUNT(*) AS INT) AS n_buckets,
+            MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,
+            round(SUM((qq - pp) * ln(qq / pp)), 6) AS psi
+          FROM x GROUP BY 1 ORDER BY 1""",
   )
 }

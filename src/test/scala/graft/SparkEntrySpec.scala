@@ -27,6 +27,26 @@ class SparkEntrySpec extends AnyFunSuite {
       s"un-oracled queries beyond the documented set: ${(q -- o) -- rowsOnlyByDesign}")
   }
 
+  test("every registry query has a committed perf gate (BASELINE_GATE.json)") {
+    // A query shipped without a gate is invisible to the per-query 2x
+    // regression check until the next full recompute — force the gap to
+    // surface at build time. Stale gate keys (renamed/removed queries)
+    // fail too: they would make a future recompute_gates.py run reject
+    // its input on the key-set assertion.
+    val path = java.nio.file.Paths.get("BASELINE_GATE.json")
+    assume(java.nio.file.Files.exists(path), "gate file not in cwd")
+    val json = java.nio.file.Files.readString(path)
+    // key extraction without a JSON lib: gate keys are exactly the
+    // quoted strings inside the "queries" object
+    val obj = json.substring(json.indexOf("\"queries\""))
+    val keys = "\"([a-z0-9_]+)\":".r.findAllMatchIn(
+      obj.substring(obj.indexOf('{') + 1, obj.indexOf('}')))
+      .map(_.group(1)).toSet
+    val q = SparkEntry.queries.keySet
+    assert((q -- keys).isEmpty, s"ungated queries: ${q -- keys}")
+    assert((keys -- q).isEmpty, s"stale gate keys: ${keys -- q}")
+  }
+
   test("registry names are unique across modules (no silent override)") {
     // Map ++ silently keeps the last binding on a key collision — the
     // merged sizes must equal the per-module sums.

@@ -107,4 +107,44 @@ class SimilaritySpec extends SparkSpec {
     assert(rTuned >= rCommitted, f"tuned P=$p recall $rTuned%.2f < " +
       f"committed $rCommitted%.2f")
   }
+
+  test("k-means (s7): matches an independent plain-Scala Lloyd's " +
+    "reimplementation (same init, same iteration count) exactly") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("dist2"))).toMap
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.size === emb.size)
+    // reference Lloyd's: loops and Arrays, no Spark — plain sum-of-
+    // squares distance (the operator ranks by the algebraically equal
+    // |c|^2 - 2*v.c)
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def nearest(v: Array[Double], cs: Map[Int, Array[Double]]): (Int, Double) =
+      cs.map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, d) => (d, c) }
+    var cents: Map[Int, Array[Double]] =
+      (0 until Similarity.kmeansK).map(c => c -> emb(c.toLong)).toMap
+    (1 to Similarity.kmeansIters).foreach { _ =>
+      val assign = emb.map { case (id, v) => id -> nearest(v, cents)._1 }
+      cents = assign.groupBy(_._2).map { case (c, m) =>
+        val vs = m.keys.map(emb).toArray
+        c -> Array.tabulate(64)(d => vs.map(_(d)).sum / vs.length)
+      }
+    }
+    assert(cents.size === Similarity.kmeansK,
+      s"expected ${Similarity.kmeansK} non-empty clusters")
+    emb.foreach { case (id, v) =>
+      val (cl, dist2) = out(id)
+      val (refCl, refD) = nearest(v, cents)
+      assert(refCl === cl,
+        s"vec $id: operator cluster $cl, reference $refCl")
+      assert(math.abs(refD - dist2) < 1e-4,
+        s"vec $id dist2 $dist2 vs reference $refD")
+    }
+  }
 }

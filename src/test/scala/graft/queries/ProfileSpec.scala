@@ -80,6 +80,42 @@ class ProfileSpec extends SparkSpec {
         s"near-zero corr is not 6-sig-fig comparable cross-engine: $r"))
   }
 
+  test("prof6: PSI matches an independent plain-Scala computation; " +
+    "non-negative; bucket counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("prof6_drift")(spark, dir)
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(out.keySet === Set("o_totalprice_b25k", "o_orderpriority"))
+    // independent reference: loops over the raw rows, no Spark agg
+    val rows = graft.core.Tables.t(spark, dir, "orders")
+      .select(col("o_orderdate").cast("string"), col("o_totalprice"),
+        col("o_orderpriority")).collect()
+      .map(r => (r.getString(0) < "1998-01-01", r.getDouble(1), r.getString(2)))
+    def psiOf(bucket: ((Boolean, Double, String)) => String): (Double, Int) = {
+      val byB = rows.groupBy(bucket)
+      val nRef = rows.count(_._1).toDouble
+      val nCur = rows.size - nRef
+      val psi = byB.values.map { g =>
+        val p = math.max(g.count(_._1) / nRef, 1e-6)
+        val q = math.max(g.count(!_._1) / nCur, 1e-6)
+        (q - p) * math.log(q / p)
+      }.sum
+      (psi, byB.size)
+    }
+    val (psiNum, nbNum) = psiOf(t => "b" + math.floor(t._2 / 25000).toInt)
+    val (psiCat, nbCat) = psiOf(_._3)
+    for ((feat, (psi, nb)) <- Seq(
+      "o_totalprice_b25k" -> ((psiNum, nbNum)),
+      "o_orderpriority" -> ((psiCat, nbCat)))) {
+      val r = out(feat)
+      assert(r.getAs[Int]("n_buckets") === nb, feat)
+      assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") === rows.size, feat)
+      val got = r.getAs[Double]("psi")
+      assert(got >= 0.0, s"$feat psi $got negative")
+      assert(math.abs(got - psi) < 1e-5, s"$feat psi $got vs reference $psi")
+    }
+  }
+
   test("profiling plans stay single-scan: no join, no cartesian, one shuffle") {
     for ((name, q) <- Profile.queries) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
