@@ -669,10 +669,21 @@ object Dedup {
     * internal duplicates are d1/d3's job on the batch alone. */
   val d11IncrementalDedup: Q = (s, dir) => {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
+    d11Probe(s, dir,
+      t(s, dir, "documents").filter(isBatch).select("doc_id"))
+  }
+
+  /** The d11 probe over an ARBITRARY frame of arriving doc ids — shared
+    * by the one-shot d11 form and d12's per-micro-batch streaming form.
+    * The index side is always the full non-batch corpus; `newIds`
+    * selects which of the arriving docs this invocation screens. */
+  private[operators] def d11Probe(s: SparkSession, dir: String,
+      newIds: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val b = banded(s, dir)
     val idx = b.filter(!isBatch)
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-    val probe = b.filter(isBatch)
+    val probe = b.join(maybeBroadcast(newIds), Seq("doc_id"))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
     val cand = idx.join(maybeBroadcast(probe), Seq("band", "bh"))
       .select("new_id", "old_id").distinct()
@@ -690,7 +701,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .groupBy("new_id").agg(count(lit(1)).as("n_dups"),
         max("jaccard").as("best_jaccard"))
-    t(s, dir, "documents").filter(isBatch).select("doc_id")
+    newIds
       .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
         "left")
       .select(col("doc_id"),
@@ -698,6 +709,45 @@ object Dedup {
         col("best_jaccard"),
         when(col("n_dups").isNull, "ingest").otherwise("drop").as("verdict"))
       .orderBy("doc_id")
+  }
+
+  /** D12: STREAMING INGEST GATE — the d11 screen as it actually runs in
+    * production: arriving documents come in as a STREAM, and each
+    * micro-batch probes the persisted corpus LSH index via
+    * `foreachBatch`, appending per-doc ingest/drop verdicts to a sink
+    * table. The staged batch docs are split across two files with
+    * `maxFilesPerTrigger = 1`, so the AvailableNow replay genuinely
+    * exercises MULTIPLE micro-batches — per-doc verdicts are
+    * independent, so the union over any batch split equals the one-shot
+    * d11 output, which is exactly what the shared oracle asserts.
+    *
+    * Scale shape: foreachBatch is the canonical stream-side pattern for
+    * joins too complex for stream-static row joins (the probe is a
+    * three-join + aggregate); state lives in the PERSISTED index, not
+    * the stream — zero streaming state rows, and each micro-batch costs
+    * O(batch × bucket occupancy), never a corpus rescan. */
+  val d12StreamIngestGate: Q = (s, dir) => {
+    val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
+    val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    val streamDir =
+      sys.props("java.io.tmpdir") + s"/graft-stream-docs-$fp"
+    if (!new java.io.File(streamDir).exists())
+      arriving.repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(streamDir)
+    val sinkDir = sys.props("java.io.tmpdir") + s"/graft-d12-sink-$fp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+    val q = s.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        d11Probe(s, dir, mb.select("doc_id"))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -714,6 +764,7 @@ object Dedup {
     "d9_decontaminate" -> d9Decontaminate,
     "d10_hot_spans" -> d10HotSpans,
     "d11_incremental_dedup" -> d11IncrementalDedup,
+    "d12_stream_ingest_gate" -> d12StreamIngestGate,
   )
 
   private lazy val d3OracleSql: String =
@@ -742,6 +793,44 @@ object Dedup {
           WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
               / len(list_distinct(list_concat(sa, sb))) >= 0.8
           ORDER BY a, b"""
+
+  private lazy val d11OracleSql: String =
+    s"""WITH $shingleCte,
+          sig AS (
+            SELECT doc_id, list_distinct(hs) AS shset,
+            $mhSelSql
+            FROM hsc),
+          banded AS (
+            SELECT doc_id, shset, u.band,
+              CASE u.band
+                WHEN 0 THEN md5(mh0 || ',' || mh1 || ',' || mh2)
+                WHEN 1 THEN md5(mh3 || ',' || mh4 || ',' || mh5)
+                WHEN 2 THEN md5(mh6 || ',' || mh7 || ',' || mh8)
+                ELSE md5(mh9 || ',' || mh10 || ',' || mh11) END AS bh
+            FROM sig, (SELECT unnest(range(4)) AS band) u),
+          cand AS (
+            SELECT DISTINCT r.doc_id AS new_id, l.doc_id AS old_id,
+              r.shset AS sa, l.shset AS sb
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bh = r.bh
+            WHERE l.doc_id % $d11Mod <> $d11Res
+              AND r.doc_id % $d11Mod = $d11Res),
+          m AS (
+            SELECT new_id, CAST(count(*) AS BIGINT) AS n_dups,
+              max(jacc) AS best_jaccard
+            FROM (
+              SELECT new_id, old_id,
+                CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa, sb))) AS jacc
+              FROM cand)
+            WHERE jacc >= 0.8 GROUP BY 1)
+          SELECT d.doc_id, COALESCE(m.n_dups, 0) AS n_dups,
+            m.best_jaccard,
+            CASE WHEN m.new_id IS NULL THEN 'ingest' ELSE 'drop' END
+              AS verdict
+          FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+          WHERE d.doc_id % $d11Mod = $d11Res
+          ORDER BY d.doc_id"""
 
   lazy val oracle: Map[String, String] = Map(
     // Same shingle CTE; the contamination join is a plain relational
@@ -785,43 +874,10 @@ object Dedup {
     // Batch-vs-index asymmetric band join + per-batch-doc verdict; the
     // Jaccard verify reuses d3's exact formulation so scores stay
     // hash-identical.
-    "d11_incremental_dedup" ->
-      s"""WITH $shingleCte,
-          sig AS (
-            SELECT doc_id, list_distinct(hs) AS shset,
-            $mhSelSql
-            FROM hsc),
-          banded AS (
-            SELECT doc_id, shset, u.band,
-              CASE u.band
-                WHEN 0 THEN md5(mh0 || ',' || mh1 || ',' || mh2)
-                WHEN 1 THEN md5(mh3 || ',' || mh4 || ',' || mh5)
-                WHEN 2 THEN md5(mh6 || ',' || mh7 || ',' || mh8)
-                ELSE md5(mh9 || ',' || mh10 || ',' || mh11) END AS bh
-            FROM sig, (SELECT unnest(range(4)) AS band) u),
-          cand AS (
-            SELECT DISTINCT r.doc_id AS new_id, l.doc_id AS old_id,
-              r.shset AS sa, l.shset AS sb
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.bh = r.bh
-            WHERE l.doc_id % $d11Mod <> $d11Res
-              AND r.doc_id % $d11Mod = $d11Res),
-          m AS (
-            SELECT new_id, CAST(count(*) AS BIGINT) AS n_dups,
-              max(jacc) AS best_jaccard
-            FROM (
-              SELECT new_id, old_id,
-                CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-                  / len(list_distinct(list_concat(sa, sb))) AS jacc
-              FROM cand)
-            WHERE jacc >= 0.8 GROUP BY 1)
-          SELECT d.doc_id, COALESCE(m.n_dups, 0) AS n_dups,
-            m.best_jaccard,
-            CASE WHEN m.new_id IS NULL THEN 'ingest' ELSE 'drop' END
-              AS verdict
-          FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
-          WHERE d.doc_id % $d11Mod = $d11Res
-          ORDER BY d.doc_id""",
+    "d11_incremental_dedup" -> d11OracleSql,
+    // d12 is d11's streaming form: per-doc verdicts are independent, so
+    // the union over micro-batches equals the one-shot output — same SQL.
+    "d12_stream_ingest_gate" -> d11OracleSql,
     // Transitive closure via recursive CTE — a genuinely different
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.
