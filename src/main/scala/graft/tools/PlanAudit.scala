@@ -25,6 +25,8 @@ object PlanAudit {
     "e2_hourly_agg",     // event-time window agg (batch dual of e5)
     "j7_asof",           // union+last-carry as-of join
     "t13_tfidf",         // corpus-side TF never shuffled: broadcast DF join
+    "s7_kmeans",         // map-only Lloyd assignment, broadcast centroid row
+    "prof6_drift",       // melt -> bounded bin counts -> metadata-scale PSI
   )
 
   def main(args: Array[String]): Unit = {
