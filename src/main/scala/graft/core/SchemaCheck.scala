@@ -68,33 +68,42 @@ object SchemaCheck {
 
   /** Magnitude check for the one column whose UNIT is a convention on
     * top of its type: bigint `events.ts` must hold epoch-ns (the legacy
-    * nanos-as-long read). One-column min/max scan — metadata-scale cost
-    * (parquet column stats), paid once per harness launch. */
+    * nanos-as-long read). Runs ONLY when ts is physically bigint (the
+    * current driver testdata ships timestamp[us], where the unit is
+    * carried by the type and this check short-circuits). The sniff reads
+    * a SINGLE row — a unit error scales every value by 1000×+, so one
+    * sample decides it; a min/max aggregate would scan the whole column
+    * (parquet aggregate pushdown is off by default). */
   private def tsMagnitudeDrift(spark: SparkSession, dir: String): Seq[String] =
     try {
       val ev = Tables.t(spark, dir, "events")
       if (ev.schema("ts").dataType.simpleString != "bigint") Nil
-      else {
-        import org.apache.spark.sql.functions.{max, min}
-        val r = ev.agg(min("ts"), max("ts")).head()
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        if (lo >= nsLo && hi <= nsHi) Nil
-        else {
-          def in(v: Long, lo: Long, hi: Long) = v >= lo && v <= hi
+      else ev.select("ts").take(1).headOption.map(_.getLong(0)) match {
+        case None => Nil // empty table: nothing to sniff
+        case Some(v) if v >= nsLo && v <= nsHi => Nil
+        case Some(v) =>
+          def in(x: Long, lo: Long, hi: Long) = x >= lo && x <= hi
           val guess =
-            if (in(hi, 1_000_000_000_000_000L, 2_800_000_000_000_000L))
+            if (in(v, 1_000_000_000_000_000L, 2_800_000_000_000_000L))
               "epoch-MICROSECONDS"
-            else if (in(hi, 1_000_000_000_000L, 2_800_000_000_000L))
+            else if (in(v, 1_000_000_000_000L, 2_800_000_000_000L))
               "epoch-MILLISECONDS"
             else "an unknown unit"
-          Seq(s"events.ts: bigint values [$lo, $hi] are outside the " +
+          Seq(s"events.ts: bigint sample value $v is outside the " +
             s"plausible epoch-ns range [$nsLo, $nsHi] — looks like $guess " +
             "shipped as int64; EventTime assumes bigint=ns, so every " +
             "event-time would be mis-scaled. Extend EventTime's LongType " +
             "branch (unit sniff) before running the battery")
-        }
       }
-    } catch { case _: Throwable => Nil } // unreadable → reported above
+    } catch {
+      // missing/unresolvable table → already reported by the table-level
+      // checks; but a DATA read failure (footer fine, pages corrupt)
+      // must not go silent — it is exactly a drift worth naming
+      case _: org.apache.spark.sql.AnalysisException => Nil
+      case e: Throwable =>
+        Seq(s"events.ts: magnitude check could not read data " +
+          s"(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)})")
+    }
 
   /** Every drift between `dir`'s tables and the engine-supported schema:
     * missing tables, missing columns, out-of-allowlist types, and the

@@ -669,21 +669,36 @@ object Dedup {
     * internal duplicates are d1/d3's job on the batch alone. */
   val d11IncrementalDedup: Q = (s, dir) => {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
-    d11Probe(s, dir,
+    // One-shot form: the arriving set is expressible as a PREDICATE, so
+    // both the probe side and the verdict frame stay narrow filters —
+    // no id join whose build side scales with the corpus (at 100 TB the
+    // full batch's id frame would blow the broadcast ceiling and
+    // degrade to shuffling the 4×-corpus banded index on doc_id).
+    d11ProbeFrames(s, dir,
+      banded(s, dir).filter(isBatch),
       t(s, dir, "documents").filter(isBatch).select("doc_id"))
   }
 
-  /** The d11 probe over an ARBITRARY frame of arriving doc ids — shared
-    * by the one-shot d11 form and d12's per-micro-batch streaming form.
-    * The index side is always the full non-batch corpus; `newIds`
-    * selects which of the arriving docs this invocation screens. */
+  /** The d11 probe over an ARBITRARY frame of arriving doc ids — d12's
+    * per-micro-batch streaming form. A micro-batch id frame is small by
+    * construction (one trigger's worth of arrivals), so joining it into
+    * the banded index broadcasts; the one-shot d11 uses the predicate
+    * overload above instead. */
   private[operators] def d11Probe(s: SparkSession, dir: String,
-      newIds: DataFrame): DataFrame = {
+      newIds: DataFrame): DataFrame =
+    d11ProbeFrames(s, dir,
+      banded(s, dir).join(maybeBroadcast(newIds), Seq("doc_id")), newIds)
+
+  /** Shared probe body: `probeBand` = banded rows of the arriving docs,
+    * `arriving` = their id frame (every arriving doc gets a verdict
+    * row). The index side is always the full non-batch corpus. */
+  private def d11ProbeFrames(s: SparkSession, dir: String,
+      probeBand: DataFrame, arriving: DataFrame): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val b = banded(s, dir)
     val idx = b.filter(!isBatch)
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-    val probe = b.join(maybeBroadcast(newIds), Seq("doc_id"))
+    val probe = probeBand
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
     val cand = idx.join(maybeBroadcast(probe), Seq("band", "bh"))
       .select("new_id", "old_id").distinct()
@@ -701,7 +716,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .groupBy("new_id").agg(count(lit(1)).as("n_dups"),
         max("jaccard").as("best_jaccard"))
-    newIds
+    arriving
       .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
         "left")
       .select(col("doc_id"),
@@ -729,10 +744,15 @@ object Dedup {
   val d12StreamIngestGate: Q = (s, dir) => {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
+    // Staging key includes the batch-selection constants (a changed
+    // mod/res must not replay an old split) and completeness is judged
+    // by Spark's _SUCCESS marker, not bare dir existence — a write
+    // killed mid-job leaves a partial dir that a later run must restage
+    // (mode=overwrite handles the leftovers).
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val streamDir =
-      sys.props("java.io.tmpdir") + s"/graft-stream-docs-$fp"
-    if (!new java.io.File(streamDir).exists())
+    val streamDir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-docs-$fp-${d11Mod}m$d11Res"
+    if (!new java.io.File(streamDir, "_SUCCESS").exists())
       arriving.repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(streamDir)
     val sinkDir = sys.props("java.io.tmpdir") + s"/graft-d12-sink-$fp"
@@ -740,14 +760,21 @@ object Dedup {
     val q = s.readStream.schema(arriving.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
       .writeStream
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      // foreachBatch is AT-LEAST-ONCE: a retried micro-batch must not
+      // duplicate verdict rows, so each batch OVERWRITES its own
+      // batch=<id> subdir (the canonical idempotent-foreachBatch sink
+      // pattern) instead of appending to a shared dir.
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         d11Probe(s, dir, mb.select("doc_id"))
-          .write.mode("append").parquet(sinkDir)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(sinkDir).orderBy("doc_id")
+    // partition discovery surfaces batch=<id> as a column — project it away
+    s.read.parquet(sinkDir)
+      .select("doc_id", "n_dups", "best_jaccard", "verdict")
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -238,9 +238,11 @@ object Similarity {
     * (posexplode → avg per (cell,dim) → k×64 rows). Per iteration at
     * 100 TB: one corpus scan + one combiner-output shuffle — never a
     * window over the crossJoin (which would reshuffle k× the corpus
-    * per round). Distances use the fold-order-pinned FloatVecDot
+    * per round). Determinism: centroid components are ROUNDED to 6 dp
+    * after each mean (raw avg() is merge-order dependent — see
+    * recompute) and distances use the fold-order-pinned FloatVecDot
     * (d = |c|² − 2·v·c, the |v|² constant added only for the output),
-    * so engine and oracle rank by bit-identical doubles. */
+    * so both engines rank over the same pinned centroid values. */
   val s7Kmeans: Q = (s, dir) => {
     import org.apache.spark.sql.DataFrame
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -263,11 +265,19 @@ object Similarity {
           col("best").getField("cell").as("cluster"),
           col("best").getField("d").as("pd"))
     }
+    // Centroid components are ROUNDED to 6 dp after each mean: avg()
+    // merge order is partition-dependent and differs from DuckDB's fold,
+    // so raw means can differ in the last ulp between runs/engines —
+    // across 3 chained iterations that ulp could flip a Voronoi-boundary
+    // assignment. Rounding pins both engines to the same centroid values
+    // (up to the measure-zero case of a mean within 1 ulp of a rounding
+    // boundary), making the distance ranking deterministic in practice.
     def recompute(assigned: DataFrame): DataFrame =
       withN2(assigned
         .select(col("cluster").as("cell"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
         .groupBy("cell").agg(
           array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cell"),
@@ -425,7 +435,8 @@ object Similarity {
   private def kmeansRecomputeSql(assignCte: String, out: String): String =
     s"""$out AS (
         SELECT cell, list(c ORDER BY pos) AS vec FROM (
-          SELECT cell, r.i AS pos, AVG(CAST(embedding[r.i] AS DOUBLE)) AS c
+          SELECT cell, r.i AS pos,
+            round(AVG(CAST(embedding[r.i] AS DOUBLE)), 6) AS c
           FROM $assignCte, range(1, ${dims + 1}) r(i) GROUP BY 1, 2)
         GROUP BY 1)"""
 

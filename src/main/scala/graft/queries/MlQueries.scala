@@ -209,6 +209,10 @@ object MlQueries {
           SELECT CAST(v.n_oot AS BIGINT) AS n_oot, v.bin,
             CAST(v.n_custs AS BIGINT) AS n_custs
           FROM (VALUES
+            (118, 0, 71), (118, 1, 15), (118, 2, 3), (118, 5, 2),
+            (118, 6, 3), (118, 7, 1), (118, 8, 1), (118, 11, 2),
+            (118, 12, 1), (118, 13, 1), (118, 14, 1), (118, 15, 4),
+            (118, 16, 6), (118, 17, 7),
             (1146, 0, 1107), (1146, 4, 2), (1146, 5, 5), (1146, 6, 3),
             (1146, 7, 7), (1146, 8, 4), (1146, 13, 6), (1146, 14, 6),
             (1146, 15, 6),

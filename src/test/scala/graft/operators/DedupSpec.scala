@@ -171,9 +171,11 @@ class DedupSpec extends SparkSpec {
     // >= 2 micro-batches — the per-batch independence the operator
     // documents is genuinely exercised, not a single-batch degenerate
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir") + s"/graft-stream-docs-$fp")
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    val stagedDir = new java.io.File(sys.props("java.io.tmpdir") +
+      s"/graft-stream-docs-$fp-${Dedup.d11Mod}m${Dedup.d11Res}")
+    val staged = stagedDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(staged === 2, s"expected 2 staged stream files, got $staged")
+    assert(new java.io.File(stagedDir, "_SUCCESS").exists(),
+      "staging completeness marker missing")
   }
 }

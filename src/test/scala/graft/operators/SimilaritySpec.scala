@@ -127,13 +127,16 @@ class SimilaritySpec extends SparkSpec {
     def nearest(v: Array[Double], cs: Map[Int, Array[Double]]): (Int, Double) =
       cs.map { case (c, cv) => (c, d2(v, cv)) }
         .minBy { case (c, d) => (d, c) }
+    // same 6-dp centroid rounding as the operator (Spark round = HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var cents: Map[Int, Array[Double]] =
       (0 until Similarity.kmeansK).map(c => c -> emb(c.toLong)).toMap
     (1 to Similarity.kmeansIters).foreach { _ =>
       val assign = emb.map { case (id, v) => id -> nearest(v, cents)._1 }
       cents = assign.groupBy(_._2).map { case (c, m) =>
         val vs = m.keys.map(emb).toArray
-        c -> Array.tabulate(64)(d => vs.map(_(d)).sum / vs.length)
+        c -> Array.tabulate(64)(d => r6(vs.map(_(d)).sum / vs.length))
       }
     }
     assert(cents.size === Similarity.kmeansK,
