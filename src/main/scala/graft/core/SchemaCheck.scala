@@ -73,13 +73,27 @@ object SchemaCheck {
     * carried by the type and this check short-circuits). The sniff reads
     * a SINGLE row — a unit error scales every value by 1000×+, so one
     * sample decides it; a min/max aggregate would scan the whole column
-    * (parquet aggregate pushdown is off by default). */
+    * (parquet aggregate pushdown is off by default). Known blind spot:
+    * one sampled row cannot see PARTIAL drift (e.g. one appended
+    * µs-unit file in a mostly-ns table) — catching that would need a
+    * per-file sample, which this pre-flight deliberately trades away
+    * for a zero-scan start; the oracle hash gate still catches the
+    * mixed case downstream, just less legibly. */
   private def tsMagnitudeDrift(spark: SparkSession, dir: String): Seq[String] =
     try {
       val ev = Tables.t(spark, dir, "events")
-      if (ev.schema("ts").dataType.simpleString != "bigint") Nil
-      else ev.select("ts").take(1).headOption.map(_.getLong(0)) match {
-        case None => Nil // empty table: nothing to sniff
+      // fieldNames guard: schema("ts") throws IllegalArgumentException on
+      // a missing column, which the catch-all would report as a
+      // misleading 'could not read data' line duplicating the table-level
+      // MISSING report — absent column means nothing to sniff here.
+      if (!ev.schema.fieldNames.contains("ts") ||
+          ev.schema("ts").dataType.simpleString != "bigint") Nil
+      // null-safe sample: getLong on a NULL ts would NPE into the
+      // catch-all with the same misleading line; a null first row
+      // simply decides nothing.
+      else ev.select("ts").take(1).headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)) match {
+        case None => Nil // empty table or null sample: nothing to sniff
         case Some(v) if v >= nsLo && v <= nsHi => Nil
         case Some(v) =>
           def in(x: Long, lo: Long, hi: Long) = x >= lo && x <= hi

@@ -741,7 +741,30 @@ object Dedup {
     * three-join + aggregate); state lives in the PERSISTED index, not
     * the stream — zero streaming state rows, and each micro-batch costs
     * O(batch × bucket occupancy), never a corpus rescan. */
-  val d12StreamIngestGate: Q = (s, dir) => {
+  val d12StreamIngestGate: Q = (s, dir) =>
+    streamVerdicts(s, dir, "d12",
+      (mb: DataFrame) => d11Probe(s, dir, mb.select("doc_id")))
+
+  /** Staging lock + per-call sink counter for the streaming-gate family.
+    * Staging dirs are shared within one JVM (stable, deterministic
+    * content — rewritten once per process, reused across bench passes)
+    * but keyed by PID so concurrent JVMs never write the same dir; the
+    * in-JVM check-then-write races instead on this lock. Sink dirs get a
+    * fresh per-CALL suffix: two concurrent invocations (any mix of
+    * threads/JVMs) each stream into their own dir, so neither can
+    * clobber the other's in-flight batch=<id> output. */
+  private val stagingLock = new Object
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared streaming-ingest harness behind d12/d13: stage the arriving
+    * (modular-slice) docs as a 2-file parquet dir, replay it as an
+    * AvailableNow stream with `maxFilesPerTrigger = 1` (genuinely
+    * multi-batch), run `probe` per micro-batch into an idempotent
+    * batch=<id> overwrite sink, and return the sink's union. Per-doc
+    * probe outputs are batch-split invariant, which is exactly what the
+    * shared one-shot oracles assert. */
+  private def streamVerdicts(s: SparkSession, dir: String, tag: String,
+      probe: DataFrame => DataFrame): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     // Staging key includes the batch-selection constants (a changed
@@ -750,13 +773,20 @@ object Dedup {
     // killed mid-job leaves a partial dir that a later run must restage
     // (mode=overwrite handles the leftovers).
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    val pid = ProcessHandle.current.pid
     val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-docs-$fp-${d11Mod}m$d11Res"
-    if (!new java.io.File(streamDir, "_SUCCESS").exists())
-      arriving.repartitionByRange(2, col("doc_id"))
-        .write.mode("overwrite").parquet(streamDir)
-    val sinkDir = sys.props("java.io.tmpdir") + s"/graft-d12-sink-$fp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+      s"/graft-stream-docs-$fp-${d11Mod}m$d11Res-p$pid"
+    stagingLock.synchronized {
+      if (!new java.io.File(streamDir, "_SUCCESS").exists())
+        arriving.repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(streamDir)
+    }
+    // Per-call sink: idempotency only needs stability within ONE
+    // streaming query (batch=<id> overwrite covers foreachBatch's
+    // at-least-once retries); rows are verdict-scale (tiny), so leaving
+    // the per-call dirs to tmp cleanup costs nothing.
+    val sinkDir = sys.props("java.io.tmpdir") +
+      s"/graft-$tag-sink-$fp-p$pid-c${sinkCounter.incrementAndGet()}"
     val q = s.readStream.schema(arriving.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
       .writeStream
@@ -765,15 +795,22 @@ object Dedup {
       // batch=<id> subdir (the canonical idempotent-foreachBatch sink
       // pattern) instead of appending to a shared dir.
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        d11Probe(s, dir, mb.select("doc_id"))
+        probe(mb)
           .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // partition discovery surfaces batch=<id> as a column — project it away
-    s.read.parquet(sinkDir)
-      .select("doc_id", "n_dups", "best_jaccard", "verdict")
+    // An empty arriving slice stages no data files, AvailableNow runs
+    // zero micro-batches, and the sink dir is never created — the
+    // one-shot form returns an empty frame there, so this must too
+    // (probe over the empty arrival yields exactly that schema).
+    val out =
+      if (new java.io.File(sinkDir).exists()) s.read.parquet(sinkDir)
+      else probe(arriving.limit(0))
+    // partition discovery surfaces batch=<id> as a column — project to
+    // the probe's own columns
+    out.select(probe(arriving.limit(0)).columns.toIndexedSeq.map(col): _*)
       .orderBy("doc_id")
   }
 
