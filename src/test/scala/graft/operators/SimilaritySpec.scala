@@ -150,4 +150,78 @@ class SimilaritySpec extends SparkSpec {
         s"vec $id dist2 $dist2 vs reference $refD")
     }
   }
+
+  test("semantic dedup (s8): verdicts match a plain-Scala within-cluster " +
+    "all-pairs rederivation; keepers are the lowest-id group members") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("s8_semdedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Long]("n_dups"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getAs[String]("verdict"))).toMap
+    val clusters = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("cluster")).toMap
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.size === emb.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    var prunes = 0
+    emb.keys.toSeq.sorted.foreach { id =>
+      val (cl, nDups, best, verdict) = out(id)
+      assert(cl === clusters(id), s"vec $id cluster $cl vs s7 ${clusters(id)}")
+      // lower-id same-cluster mates at/above tau (float slack: the spec's
+      // unordered zip-sum differs from the operator's pinned fold by ulps,
+      // so exclude pairs within 1e-9 of the threshold from the strict set)
+      val mates = emb.keys.filter(o => o < id && clusters(o) == cl)
+        .map(o => cos(emb(o), emb(id))).toSeq
+      val surely = mates.count(_ >= Similarity.s8Tau + 1e-9)
+      val maybe = mates.count(_ >= Similarity.s8Tau - 1e-9)
+      assert(nDups >= surely && nDups <= maybe,
+        s"vec $id n_dups $nDups outside [$surely, $maybe]")
+      assert((verdict == "prune") === (nDups > 0))
+      if (verdict == "prune") {
+        prunes += 1
+        assert(best.isDefined && math.abs(best.get - mates.max) < 1e-9,
+          s"vec $id best_cosine $best vs ${mates.max}")
+      } else assert(best.isEmpty, s"kept vec $id has best_cosine $best")
+    }
+    // the testdata plants near-dups: the prune side must be non-empty and
+    // a strict minority (sanity that tau isn't degenerate either way)
+    assert(prunes > 0 && prunes < emb.size / 2, s"prunes=$prunes")
+    // every near-dup GROUP keeps its lowest id: a pruned vector's group
+    // (it + its above-tau lower-id mates) contains at least one keeper
+    // with a smaller id
+    emb.keys.foreach { id =>
+      if (out(id)._4 == "prune") {
+        val keeperExists = emb.keys.exists(o => o < id &&
+          clusters(o) == out(id)._1 && out(o)._4 == "keep" &&
+          cos(emb(o), emb(id)) >= Similarity.s8Tau - 1e-9)
+        // the direct keeper may itself be pruned by an even lower id —
+        // walk is unnecessary: the LOWEST id of any chain has no lower
+        // mates, so it is kept; existence over the whole cluster suffices
+        val lowestInReach = emb.keys.filter(o =>
+          clusters(o) == out(id)._1 && o < id &&
+            cos(emb(o), emb(id)) >= Similarity.s8Tau - 1e-9)
+        assert(keeperExists || lowestInReach.exists(o => out(o)._2 > 0),
+          s"pruned vec $id has no kept (or chained) lower-id keeper")
+      }
+    }
+  }
+
+  test("kForCorpus: K tracks corpus size at fixed occupancy") {
+    assert(Similarity.kForCorpus(1000) === 1)
+    assert(Similarity.kForCorpus(4096) === 1)
+    assert(Similarity.kForCorpus(4097) === 2)
+    // 10^9 vectors: ~244k clusters of ~4k — the SemDeDup regime
+    assert(Similarity.kForCorpus(1_000_000_000L) === 244141)
+    // doubling the corpus doubles K (fixed occupancy => linear pair cost)
+    assert(Similarity.kForCorpus(1L << 24) === 2 * Similarity.kForCorpus(1L << 23))
+  }
 }
