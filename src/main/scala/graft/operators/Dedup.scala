@@ -745,6 +745,40 @@ object Dedup {
     streamVerdicts(s, dir, "d12",
       (mb: DataFrame) => d11Probe(s, dir, mb.select("doc_id")))
 
+  /** D13: CLUSTER-TAGGED STREAMING INGEST — the operational composition
+    * of the d12 gate with the PERSISTED k-means centroid artifact
+    * (Similarity.kmeansCentroids): each arriving micro-batch gets the
+    * d11 dedup verdict AND its semantic-cluster tag in the same
+    * foreachBatch pass, so documents land in the corpus already labeled
+    * for mixture weighting / per-domain sampling (the s7→u9 pipeline)
+    * without a later corpus-wide assignment job.
+    *
+    * Scale shape: both probed artifacts are SESSION-PERSISTED state —
+    * the LSH band index for the verdict, the k-row centroid frame for
+    * the tag (one broadcast row, map-only argmin over just the arriving
+    * docs' embeddings) — so the stream itself keeps ZERO state rows and
+    * each micro-batch costs O(batch × bucket occupancy) + O(batch × k).
+    * The embedding lookup joins the batch id frame into the embeddings
+    * table (broadcast — a trigger's worth of ids), standing in for the
+    * embed-on-arrival step a production ingest runs before the tag.
+    * LEFT join on the tag: a doc with no embedding still gets its
+    * dedup verdict (cluster null), never a dropped verdict row. */
+  val d13StreamClusterTag: Q = (s, dir) =>
+    streamVerdicts(s, dir, "d13", (mb: DataFrame) => {
+      val ids = mb.select("doc_id")
+      val verdicts = d11Probe(s, dir, ids)
+      val arriving = t(s, dir, "embeddings")
+        .join(maybeBroadcast(ids.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val tagged = Similarity
+        .kmeansAssign(arriving, Similarity.kmeansCentroids(s, dir))
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      verdicts.join(tagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
+          col("verdict"), col("cluster"))
+    })
+
   /** Staging lock + per-call sink counter for the streaming-gate family.
     * Staging dirs are shared within one JVM (stable, deterministic
     * content — rewritten once per process, reused across bench passes)
@@ -829,6 +863,7 @@ object Dedup {
     "d10_hot_spans" -> d10HotSpans,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d12_stream_ingest_gate" -> d12StreamIngestGate,
+    "d13_stream_cluster_tag" -> d13StreamClusterTag,
   )
 
   private lazy val d3OracleSql: String =
@@ -942,6 +977,17 @@ object Dedup {
     // d12 is d11's streaming form: per-doc verdicts are independent, so
     // the union over micro-batches equals the one-shot output — same SQL.
     "d12_stream_ingest_gate" -> d11OracleSql,
+    // d13 = d12's verdicts + the s7 final-assignment cluster of each
+    // arriving doc's embedding (vec_id ≡ doc_id in the synthetic
+    // testdata): the one-shot dual is the d11 SQL left-joined to the
+    // Lloyd chain's final assignment CTE.
+    "d13_stream_cluster_tag" ->
+      s"""WITH ${Similarity.s7ChainCtes},
+          v AS (SELECT * FROM ($d11OracleSql))
+          SELECT v.doc_id, v.n_dups, v.best_jaccard, v.verdict,
+            af.cell AS cluster
+          FROM v LEFT JOIN af ON af.vec_id = v.doc_id
+          ORDER BY v.doc_id""",
     // Transitive closure via recursive CTE — a genuinely different
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.

@@ -172,10 +172,57 @@ class DedupSpec extends SparkSpec {
     // documents is genuinely exercised, not a single-batch degenerate
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
     val stagedDir = new java.io.File(sys.props("java.io.tmpdir") +
-      s"/graft-stream-docs-$fp-${Dedup.d11Mod}m${Dedup.d11Res}")
+      s"/graft-stream-docs-$fp-${Dedup.d11Mod}m${Dedup.d11Res}" +
+      s"-p${ProcessHandle.current.pid}")
     val staged = stagedDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(staged === 2, s"expected 2 staged stream files, got $staged")
     assert(new java.io.File(stagedDir, "_SUCCESS").exists(),
       "staging completeness marker missing")
+  }
+
+  test("d12 sink isolation: two CONCURRENT streaming-gate runs both " +
+    "produce the exact one-shot output (per-call sink dirs, no clobber)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dups"),
+        Option(r.getAs[java.lang.Double]("best_jaccard"))
+          .map(_.doubleValue),
+        r.getAs[String]("verdict"))).toSeq.sortBy(_._1)
+    val expected = rows(
+      graft.SparkEntry.queries("d11_incremental_dedup")(spark, dir))
+    val runs = Seq.fill(2)(Future(rows(
+      graft.SparkEntry.queries("d12_stream_ingest_gate")(spark, dir))))
+    val results = Await.result(Future.sequence(runs), 10.minutes)
+    results.foreach(got => assert(got === expected))
+  }
+
+  test("d13 cluster tag: verdict columns equal d12's; cluster equals the " +
+    "s7 assignment of the arriving doc's embedding; no verdict row lost") {
+    val d13 = graft.SparkEntry.queries("d13_stream_cluster_tag")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dups"),
+          Option(r.getAs[java.lang.Double]("best_jaccard"))
+            .map(_.doubleValue),
+          r.getAs[String]("verdict"),
+          Option(r.get(4)).map(_.asInstanceOf[Int]))).toMap
+    val d11 = graft.SparkEntry.queries("d11_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dups"),
+          Option(r.getAs[java.lang.Double]("best_jaccard"))
+            .map(_.doubleValue),
+          r.getAs[String]("verdict"))).toMap
+    val clusters = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("cluster")).toMap
+    assert(d13.keySet === d11.keySet)
+    d13.foreach { case (id, (n, bj, v, cl)) =>
+      assert((n, bj, v) === d11(id), s"doc $id verdict drifted from d11")
+      // vec_id ≡ doc_id range in the synthetic testdata: the tag must be
+      // present and equal the corpus-wide s7 assignment
+      assert(cl === clusters.get(id).map(identity),
+        s"doc $id cluster $cl vs s7 ${clusters.get(id)}")
+    }
   }
 }
