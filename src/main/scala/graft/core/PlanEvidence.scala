@@ -1,0 +1,22 @@
+package graft.core
+
+/** Executed-plan snippets for operators whose registry frame HIDES the
+  * interesting plan behind a sink read: e8's frame is a memory-table
+  * scan and d12/d13's a parquet read of their verdict sink, so a plain
+  * `explain` on the returned frame would audit the wrong thing (the
+  * round-9 ADVICE lesson — audits must show what EXECUTED). Producers
+  * record the streaming/probe plan at run time (e8: the micro-batch
+  * `explainInternal`; d12/d13: the last micro-batch's probe plan);
+  * tools.PlanAudit prints the recorded evidence alongside the frame's
+  * own plan. Session-lifetime, last-write-wins — the audit runs the
+  * query immediately before reading this, so the entry is the plan of
+  * that very run.
+  */
+object PlanEvidence {
+
+  private val m = new scala.collection.concurrent.TrieMap[String, String]()
+
+  def record(name: String, plan: String): Unit = m.put(name, plan)
+
+  def get(name: String): Option[String] = m.get(name)
+}

@@ -742,7 +742,7 @@ object Dedup {
     * the stream — zero streaming state rows, and each micro-batch costs
     * O(batch × bucket occupancy), never a corpus rescan. */
   val d12StreamIngestGate: Q = (s, dir) =>
-    streamVerdicts(s, dir, "d12",
+    streamVerdicts(s, dir, "d12_stream_ingest_gate",
       (mb: DataFrame) => d11Probe(s, dir, mb.select("doc_id")))
 
   /** D13: CLUSTER-TAGGED STREAMING INGEST — the operational composition
@@ -764,7 +764,7 @@ object Dedup {
     * LEFT join on the tag: a doc with no embedding still gets its
     * dedup verdict (cluster null), never a dropped verdict row. */
   val d13StreamClusterTag: Q = (s, dir) =>
-    streamVerdicts(s, dir, "d13", (mb: DataFrame) => {
+    streamVerdicts(s, dir, "d13_stream_cluster_tag", (mb: DataFrame) => {
       val ids = mb.select("doc_id")
       val verdicts = d11Probe(s, dir, ids)
       val arriving = t(s, dir, "embeddings")
@@ -829,8 +829,12 @@ object Dedup {
       // batch=<id> subdir (the canonical idempotent-foreachBatch sink
       // pattern) instead of appending to a shared dir.
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        probe(mb)
-          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        val out = probe(mb)
+        out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        // audit evidence: the probe plan that EXECUTED for this batch —
+        // the returned frame is just the sink read (see PlanEvidence)
+        graft.core.PlanEvidence.record(tag, out.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -275,6 +275,36 @@ object Relational {
         approx_count_distinct(col("lang")).as("n_langs_approx"))
       .orderBy("source")
 
+  /** A19 (extension): t-digest APPROXIMATE percentiles — the 100 TB
+    * percentile path as a FIRST-CLASS registry entry (round-10 VERDICT
+    * item 3): the same melt + keyed-aggregate shape as prof2/prof4 but
+    * through `percentile_approx` (single-pass mergeable sketch, fixed
+    * state) at the committed [[graft.functions.Agg.ApproxAccuracy]] —
+    * the operator `spark.graft.approxPercentile=true` swaps into a6/
+    * prof2/prof4/w4, now driver-visible so a sketch-path regression
+    * surfaces in CORRECTNESS, not only in ScalaTest. Sketch outputs are
+    * engine-specific (DuckDB has no t-digest twin), so NO DuckDB oracle
+    * (rows-only driver check, the a17 pattern); the stronger gate is
+    * PropertiesSpec's rank-error bound: each reported quantile's true
+    * rank must sit within the sketch's documented 1/accuracy rank
+    * tolerance of p against the exact data — the actual contract
+    * GK/t-digest sketches make, tighter than any value tolerance. */
+  private val a19ApproxPercentile: Q = (s, dir) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val acc = graft.functions.Agg.ApproxAccuracy
+    t(s, dir, "lineitem")
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*))
+        .as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("kv.v").as("v"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50_approx"),
+        percentile_approx(col("v"), lit(0.9), lit(acc)).as("p90_approx"),
+        percentile_approx(col("v"), lit(0.99), lit(acc)).as("p99_approx"))
+      .orderBy("column_name")
+  }
+
   /** A18 (extension): explicit GROUPING SETS — the subset lattice a14/a16
     * can't express ((yr,status), (yr), (status): no grand total), via the
     * Spark 4 groupingSets API. */
@@ -598,6 +628,7 @@ object Relational {
     "a16_cube" -> a16Cube,
     "a17_approx_distinct" -> a17ApproxDistinct,
     "a18_grouping_sets" -> a18GroupingSets,
+    "a19_approx_percentile" -> a19ApproxPercentile,
     "w2_lag_lead" -> w2LagLead,
     "w3_running" -> w3Running,
     "w4_running_median" -> w4RunningMedian,

@@ -27,6 +27,10 @@ object PlanAudit {
     "t13_tfidf",         // corpus-side TF never shuffled: broadcast DF join
     "s7_kmeans",         // map-only Lloyd assignment, broadcast centroid row
     "prof6_drift",       // melt -> bounded bin counts -> metadata-scale PSI
+    "i4_upsert",         // partition-pruned CDC apply (bench top-5, r10 item 6)
+    "e8_stream_join",    // watermark+range-bounded stream-stream join state
+    "s8_semdedup",       // cluster-keyed prune join, no corpus cross join
+    "d13_stream_cluster_tag", // persisted-index probe + broadcast centroid tag
   )
 
   def main(args: Array[String]): Unit = {
@@ -47,6 +51,15 @@ object PlanAudit {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       println("```")
+      // streaming/foreachBatch operators: the frame above is only the
+      // sink read — print the EXECUTED micro-batch/probe plan the
+      // producer recorded during the run just forced
+      graft.core.PlanEvidence.get(name).foreach { p =>
+        println(s"\n### $name — executed streaming/probe plan\n")
+        println("```")
+        println(p)
+        println("```")
+      }
     }
     spark.stop()
   }

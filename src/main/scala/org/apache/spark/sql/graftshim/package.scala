@@ -20,4 +20,15 @@ package object graftshim {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+
+  /** EXECUTED micro-batch plan of a streaming query — the PlanAudit
+    * evidence for streaming operators whose registry frame is only the
+    * sink read (e8's memory table): `explainInternal` is `private[sql]`
+    * on the wrapper, reachable from this bridge package. */
+  def streamingExplain(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q match {
+      case w: execution.streaming.runtime.StreamingQueryWrapper =>
+        w.explainInternal(true)
+      case other => String.valueOf(other)
+    }
 }

@@ -14,10 +14,12 @@ class SparkEntrySpec extends AnyFunSuite {
     * replacement gate: m1/m3 (RF tree-ensemble outputs — golden
     * prediction-frame hash in MlSpec), m2 (feature importances — MlSpec
     * golden values), a17 (HLL sketch values are engine-specific —
-    * exact-twin bound asserted in spec). */
+    * exact-twin bound asserted in spec), a19 (t-digest quantile sketch,
+    * no DuckDB twin — rank-error bound vs the exact data asserted in
+    * PropertiesSpec). */
   private val rowsOnlyByDesign = Set(
     "m1_rf_score", "m2_feature_importance", "m3_top_trajectories",
-    "a17_approx_distinct")
+    "a17_approx_distinct", "a19_approx_percentile")
 
   test("every registry query has an oracle or is rows-only by design") {
     val q = SparkEntry.queries.keySet

@@ -151,4 +151,36 @@ class PropertiesSpec extends SparkSpec {
       assert(rel <= 0.15, s"source=$src approx=$ndA exact=$nd rel=$rel")
     }
   }
+
+  test("a19 approx percentiles satisfy the sketch's RANK-error contract " +
+    "against the exact data (the gate behind its rows-only driver row)") {
+    // a19 has NO DuckDB oracle by design (t-digest sketches are engine-
+    // specific); the contract percentile_approx documents is a RANK
+    // bound: the returned value's true rank is within n/accuracy of p·n.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.Relational.queries(
+      "a19_approx_percentile")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val li = graft.core.Tables.t(spark, dir, "lineitem")
+    cols.foreach { c =>
+      val vals = li.select(col(c).cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+      val n = vals.length
+      val (nRows, approxPs) = out(c)
+      assert(nRows === n.toLong)
+      // rank tolerance: the sketch's n/accuracy, floored at one element
+      val tol = math.max(n.toDouble / graft.functions.Agg.ApproxAccuracy, 1.0)
+      ps.zip(approxPs).foreach { case (p, v) =>
+        val atOrBelow = vals.count(_ <= v).toDouble
+        val below = vals.count(_ < v).toDouble
+        val target = p * n
+        assert(below - tol <= target && target <= atOrBelow + tol,
+          s"$c p=$p approx=$v rank window [${below}, ${atOrBelow}] " +
+            s"vs target $target (n=$n tol=$tol)")
+      }
+    }
+  }
 }
