@@ -16,6 +16,16 @@ object PlanEvidence {
 
   private val m = new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Producers that must EXECUTE a side frame purely to finalize its
+    * adaptive plan for the audit (d12/d13's probe: the sink write runs
+    * on a cloned execution, so the probe's own QueryExecution would
+    * explain as isFinalPlan=false) gate that extra work on this flag —
+    * set by tools.PlanAudit, absent in Bench/Verify so the evidence
+    * pass costs nothing in gated runs. */
+  val AuditProp = "graft.plan.audit"
+
+  def auditing: Boolean = sys.props.get(AuditProp).contains("true")
+
   def record(name: String, plan: String): Unit = m.put(name, plan)
 
   def get(name: String): Option[String] = m.get(name)

@@ -831,10 +831,14 @@ object Dedup {
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
         val out = probe(mb)
         out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        // audit evidence: the probe plan that EXECUTED for this batch —
-        // the returned frame is just the sink read (see PlanEvidence)
-        graft.core.PlanEvidence.record(tag, out.queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        // audit evidence: the probe plan as EXECUTED (the sink write ran
+        // on a cloned execution, so finalize this one explicitly) — only
+        // under PlanAudit, so gated runs never pay the extra execution
+        if (graft.core.PlanEvidence.auditing) {
+          out.queryExecution.toRdd.count()
+          graft.core.PlanEvidence.record(tag, out.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

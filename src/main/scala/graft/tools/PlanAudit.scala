@@ -36,6 +36,8 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq else defaults
+    // opt into producer-side executed-plan evidence (see PlanEvidence)
+    sys.props(graft.core.PlanEvidence.AuditProp) = "true"
     val spark = graft.core.Sessions.get()
     graft.core.SchemaCheck.warn(spark, dir)
     names.foreach { name =>
@@ -51,10 +53,12 @@ object PlanAudit {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       println("```")
-      // streaming/foreachBatch operators: the frame above is only the
-      // sink read — print the EXECUTED micro-batch/probe plan the
-      // producer recorded during the run just forced
-      graft.core.PlanEvidence.get(name).foreach { p =>
+      // streaming/foreachBatch/sink operators: the frame above is only
+      // the sink read — print the EXECUTED micro-batch/probe/apply plan
+      // the producer recorded during the run just forced
+      val evidenceKey = Map("i4_upsert" -> "sinks.upsert.apply")
+        .getOrElse(name, name)
+      graft.core.PlanEvidence.get(evidenceKey).foreach { p =>
         println(s"\n### $name — executed streaming/probe plan\n")
         println("```")
         println(p)
