@@ -403,6 +403,40 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** S9: CLUSTER-BALANCE PROFILE — the pre-flight the s8 skew guard
+    * runs before a semantic-dedup pass (s3's bucket histogram, cluster
+    * edition): per cluster, member count, occupancy share, and the
+    * dispersion stats (mean / max squared L2 to the centroid). Reads
+    * the SAME persisted artifacts as s7/s8 (one map-only assignment
+    * pass + one k-row aggregation — bounded output at any corpus
+    * size), and its n_vectors column is exactly the n_c of the
+    * Σ n_c² pair-volume bound: a cluster whose share breaches the
+    * ~4× [[targetClusterSize]] occupancy trigger is sub-partitioned
+    * (recursive Lloyd / d6 banding) BEFORE the s8 prune join is
+    * launched, and a high mean dist2 flags a cluster too diffuse for
+    * within-cluster cosine pruning to mean anything. Determinism:
+    * dist2 is rounded per-row to 6 dp (s7's output contract) before
+    * the stats; avg re-rounded (same-sign sum — merge order agrees far
+    * below 6 dp, the rounding pins the last ulp). */
+  val s9ClusterProfile: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.agg(count(lit(1)).as("n_total"))
+    kmeansAssign(e, kmeansCentroids(s, dir))
+      .select(col("cluster"),
+        round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
+          .as("dist2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg("dist2"), 6).as("avg_dist2"),
+        max("dist2").as("max_dist2"))
+      .crossJoin(broadcast(n))
+      .select(col("cluster"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("n_total"), 6)
+          .as("share"),
+        col("avg_dist2"), col("max_dist2"))
+      .orderBy("cluster")
+  }
+
   /** Exact-rerank candidate count of [[s6Sq8Ann]]. */
   private val sq8Candidates = 20
 
@@ -576,6 +610,19 @@ object Similarity {
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS dist2
         FROM af ORDER BY vec_id"""
 
+  private lazy val s9Sql: String =
+    s"""WITH $s7ChainCtes,
+        d AS (
+          SELECT cell,
+            round(d + list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS dist2
+          FROM af),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings)
+        SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+          round(CAST(count(*) AS DOUBLE) / n.n_total, 6) AS share,
+          round(avg(dist2), 6) AS avg_dist2, max(dist2) AS max_dist2
+        FROM d, n GROUP BY cell, n.n_total ORDER BY cluster"""
+
   private lazy val s8Sql: String =
     s"""WITH $s7ChainCtes,
         nn AS (
@@ -610,6 +657,7 @@ object Similarity {
     "s6_sq8_ann" -> s6Sq8Ann,
     "s7_kmeans" -> s7Kmeans,
     "s8_semdedup" -> s8Semdedup,
+    "s9_cluster_profile" -> s9ClusterProfile,
   )
 
   val oracle: Map[String, String] = Map(
@@ -748,5 +796,6 @@ object Similarity {
           WHERE rk <= 3 ORDER BY qid, rk""",
     "s7_kmeans" -> s7Sql,
     "s8_semdedup" -> s8Sql,
+    "s9_cluster_profile" -> s9Sql,
   )
 }

@@ -215,6 +215,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cluster profile (s9): counts/dispersion agree with the s7 " +
+    "assignment; shares partition the corpus") {
+    val s7 = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Double]("dist2")))
+    val byCluster = s7.groupBy(_._1)
+    val out = graft.SparkEntry.queries("s9_cluster_profile")(spark, dir)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("share"),
+          r.getAs[Double]("avg_dist2"), r.getAs[Double]("max_dist2"))).toMap
+    assert(out.keySet === byCluster.keySet)
+    val n = s7.length
+    out.foreach { case (cl, (nv, share, avgD, maxD)) =>
+      val members = byCluster(cl).map(_._2)
+      assert(nv === members.length.toLong)
+      assert(math.abs(share - members.length.toDouble / n) < 1e-6)
+      assert(math.abs(avgD - members.sum / members.length) < 1e-5,
+        s"cluster $cl avg_dist2 $avgD vs ${members.sum / members.length}")
+      assert(maxD === members.max)
+    }
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("kForCorpus: K tracks corpus size at fixed occupancy") {
     assert(Similarity.kForCorpus(1000) === 1)
     assert(Similarity.kForCorpus(4096) === 1)
