@@ -403,6 +403,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The s8 HOT-CLUSTER sub-partition path as code, not prose — the
+    * production variant the skew guard switches to when s9 reports a
+    * cluster over the occupancy trigger: candidates come from the
+    * (cluster, band, sig) join — d6's hyperplane banding APPLIED WITHIN
+    * clusters — so a pathological cluster's pair volume drops from
+    * n_c² to Σ_sig n_sig² per band, and the exact cosine rerank + the
+    * s8 keep rule run on the bounded candidate set only. Recall is
+    * probabilistic exactly as d6's (P(candidate | cos=τ) =
+    * 1−(1−p^r)^B), which is why the GATED s8 stays exact-within-cluster
+    * (its oracle demands determinism and k bounds its join): this
+    * entry point trades the guaranteed verdict for a bounded join on
+    * corpora where a cluster cannot be re-clustered first.
+    * SimilaritySpec measures the trade: banded prunes ⊆ exact prunes,
+    * recall reported and floored. */
+  private[graft] def s8Banded(s: SparkSession, dir: String,
+      bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val assigned = kmeansAssign(e, kmeansCentroids(s, dir))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        normD(col("embedding")).as("nrm"))
+    val bandRows = Dedup.d6Banded(e, bands, planesPerBand)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val cand = bandRows
+      .select(col("cluster"), col("band"), col("sig"), col("vec_id").as("a"))
+      .join(bandRows.select(col("cluster"), col("band"), col("sig"),
+        col("vec_id").as("b")), Seq("cluster", "band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sides = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
+    val prunes = cand
+      .join(sides.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(sides.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= s8Tau)
+      .groupBy("b").agg(count(lit(1)).as("n_dups"),
+        max("cosine").as("best_cosine"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(prunes.withColumnRenamed("b", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_cosine"),
+        when(col("n_dups").isNull, "keep").otherwise("prune").as("verdict"))
+      .orderBy("vec_id")
+  }
+
   /** S9: CLUSTER-BALANCE PROFILE — the pre-flight the s8 skew guard
     * runs before a semantic-dedup pass (s3's bucket histogram, cluster
     * edition): per cluster, member count, occupancy share, and the

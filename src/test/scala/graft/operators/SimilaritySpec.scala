@@ -237,6 +237,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("s8Banded (hot-cluster sub-partition path): pruned set ⊆ exact " +
+    "s8 prunes; recall on the planted near-dups measured and floored") {
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    val exact = verdicts(graft.SparkEntry.queries("s8_semdedup")(spark, dir))
+    val banded = verdicts(Similarity.s8Banded(spark, dir))
+    assert(banded.keySet === exact.keySet) // every vector gets a verdict
+    val exactPrunes = exact.collect { case (id, "prune") => id }.toSet
+    val bandedPrunes = banded.collect { case (id, "prune") => id }.toSet
+    // banded candidates are a subset of within-cluster pairs, so banded
+    // prunes can never exceed the exact verdict set
+    assert(bandedPrunes.subsetOf(exactPrunes),
+      s"banded pruned non-duplicates: ${bandedPrunes -- exactPrunes}")
+    val recall =
+      if (exactPrunes.isEmpty) 1.0
+      else bandedPrunes.size.toDouble / exactPrunes.size
+    info(f"banded within-cluster prune recall=$recall%.2f " +
+      s"(${bandedPrunes.size}/${exactPrunes.size})")
+    // planted near-dups sit at cosine ~0.9+ where the committed 8x4
+    // geometry's analytic collision probability is ~0.99 — a recall
+    // collapse means the banding or the cluster-conjunction broke
+    assert(recall >= 0.5, f"banded recall $recall%.2f")
+  }
+
   test("kForCorpus: K tracks corpus size at fixed occupancy") {
     assert(Similarity.kForCorpus(1000) === 1)
     assert(Similarity.kForCorpus(4096) === 1)
