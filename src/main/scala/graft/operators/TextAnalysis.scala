@@ -57,7 +57,7 @@ object TextAnalysis {
   private val annotReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
-  private[operators] def annotations(s: SparkSession, dir: String): DataFrame =
+  private[graft] def annotations(s: SparkSession, dir: String): DataFrame =
     annotReg.getOrCompute(s, dir) {
       val nPunct = regexp_count(col("text"), lit(punctPat))
       val nStop = regexp_count(lower(col("text")), lit(stopPat))
@@ -69,6 +69,7 @@ object TextAnalysis {
         .withColumn("n_words", size(toks(col("text"))))
         .select(
           col("doc_id"),
+          col("source"),
           length(col("text")).as("len_chars"),
           col("n_words"),
           regexp_count(col("text"), lit(tokPat)).as("n_regex_tokens"),
@@ -229,8 +230,10 @@ object TextAnalysis {
     * the naive single-window form. */
   val t8SequencePack: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val tok = t(s, dir, "documents").select(col("doc_id"),
-      size(toks(col("text"))).cast("long").as("n_tokens"),
+    // token counts off the persisted annotation stage (n_words ==
+    // size(toks(text)) by construction) — no per-query corpus re-split
+    val tok = annotations(s, dir).select(col("doc_id"),
+      col("n_words").cast("long").as("n_tokens"),
       floor(col("doc_id") / packBucket).as("bkt"))
     val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -689,11 +692,13 @@ object TextAnalysis {
   val u12TokenMix: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
-    val nTok = size(toks(col("text"))).as("n_tokens")
     val u = (Portable.h60(concat_ws("|", col("doc_id"), lit("budget42")))
       .cast("double") / lit(math.pow(2, 60))).as("u_b")
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), nTok, u)
+    // token counts off the persisted annotation stage (n_words ==
+    // size(toks(text)) by construction)
+    val docs = annotations(s, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_words").as("n_tokens"), u)
     val wRaw = mixWeights.foldLeft(lit(mixWeightDefault)) {
       case (acc, (k, w)) => when(col("source") === k, lit(w)).otherwise(acc)
     }

@@ -91,9 +91,11 @@ object Profile {
     * exact percentiles by default, t-digest via the a6 flag at 100 TB. */
   val prof4TokenDist: Q = (s, dir) => {
     import graft.operators.TextAnalysis
-    t(s, dir, "documents")
-      .select(col("source"),
-        TextAnalysis.regexTokenCount(col("text")).as("n_tokens"))
+    // token counts off the persisted annotation silver stage
+    // (n_regex_tokens == regexTokenCount(text) by construction) — the
+    // profile costs one cached-frame aggregation, not a regex pass
+    TextAnalysis.annotations(s, dir)
+      .select(col("source"), col("n_regex_tokens").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"),
