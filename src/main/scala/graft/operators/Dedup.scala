@@ -779,15 +779,11 @@ object Dedup {
           col("verdict"), col("cluster"))
     })
 
-  /** Staging lock + per-call sink counter for the streaming-gate family.
-    * Staging dirs are shared within one JVM (stable, deterministic
-    * content — rewritten once per process, reused across bench passes)
-    * but keyed by PID so concurrent JVMs never write the same dir; the
-    * in-JVM check-then-write races instead on this lock. Sink dirs get a
-    * fresh per-CALL suffix: two concurrent invocations (any mix of
-    * threads/JVMs) each stream into their own dir, so neither can
-    * clobber the other's in-flight batch=<id> output. */
-  private val stagingLock = new Object
+  /** Per-call sink counter for the streaming-gate family. Staging goes
+    * through Streams.stageForReplay (pid-keyed + _SUCCESS + lock);
+    * sink dirs get a fresh per-CALL suffix: two concurrent invocations
+    * (any mix of threads/JVMs) each stream into their own dir, so
+    * neither can clobber the other's in-flight batch=<id> output. */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Shared streaming-ingest harness behind d12/d13: stage the arriving
@@ -802,25 +798,23 @@ object Dedup {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     // Staging key includes the batch-selection constants (a changed
-    // mod/res must not replay an old split) and completeness is judged
-    // by Spark's _SUCCESS marker, not bare dir existence — a write
-    // killed mid-job leaves a partial dir that a later run must restage
-    // (mode=overwrite handles the leftovers).
+    // mod/res must not replay an old split); the helper adds the pid
+    // key, _SUCCESS completeness judgment and the in-JVM lock.
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val pid = ProcessHandle.current.pid
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-docs-$fp-${d11Mod}m$d11Res-p$pid"
-    stagingLock.synchronized {
-      if (!new java.io.File(streamDir, "_SUCCESS").exists())
-        arriving.repartitionByRange(2, col("doc_id"))
-          .write.mode("overwrite").parquet(streamDir)
-    }
+    val streamDir = graft.streaming.Streams.stageForReplay(
+      arriving.repartitionByRange(2, col("doc_id")),
+      s"docs-$fp-${d11Mod}m$d11Res")
     // Per-call sink: idempotency only needs stability within ONE
     // streaming query (batch=<id> overwrite covers foreachBatch's
     // at-least-once retries); rows are verdict-scale (tiny), so leaving
-    // the per-call dirs to tmp cleanup costs nothing.
+    // the per-call dirs to tmp cleanup costs nothing. Still DELETE any
+    // leftover at this exact path first: pid recycling across JVM
+    // restarts could otherwise union a killed run's stale batch=<id>
+    // subdirs into this run's output (round-11 review).
     val sinkDir = sys.props("java.io.tmpdir") +
-      s"/graft-$tag-sink-$fp-p$pid-c${sinkCounter.incrementAndGet()}"
+      s"/graft-$tag-sink-$fp-p${ProcessHandle.current.pid}" +
+      s"-c${sinkCounter.incrementAndGet()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
     val q = s.readStream.schema(arriving.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
       .writeStream
@@ -846,14 +840,19 @@ object Dedup {
     // An empty arriving slice stages no data files, AvailableNow runs
     // zero micro-batches, and the sink dir is never created — the
     // one-shot form returns an empty frame there, so this must too
-    // (probe over the empty arrival yields exactly that schema).
+    // (probe over the empty arrival yields exactly that schema). Built
+    // ONCE: it serves both the fallback and the column projection, and
+    // building it twice would pay the probe's registry side effects
+    // (banded index / centroid artifact construction) twice on the
+    // empty path (round-11 review).
+    lazy val emptyProbe = probe(arriving.limit(0))
     val out =
       if (new java.io.File(sinkDir).exists()) s.read.parquet(sinkDir)
-      else probe(arriving.limit(0))
-    // partition discovery surfaces batch=<id> as a column — project to
-    // the probe's own columns
-    out.select(probe(arriving.limit(0)).columns.toIndexedSeq.map(col): _*)
-      .orderBy("doc_id")
+        // partition discovery surfaces batch=<id> as a column — project
+        // to the probe's own columns
+        .select(emptyProbe.columns.toIndexedSeq.map(col): _*)
+      else emptyProbe
+    out.orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

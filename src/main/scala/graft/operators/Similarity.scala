@@ -316,14 +316,35 @@ object Similarity {
       df
     }
 
-  val s7Kmeans: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    kmeansAssign(e, kmeansCentroids(s, dir))
+  /** Per-corpus CLUSTER-ASSIGNMENT frame (vec_id, embedding, nrm,
+    * cluster, pd) — the second persisted clustering artifact: where
+    * [[kmeansCentroids]] is the k-row model, this is the per-vector
+    * assignment TABLE a production run writes next to the corpus (the
+    * SemDeDup layout stores both). Persisted because its consumers
+    * reference it several times per plan (s8's two pair-join sides +
+    * verdict frame, s9's profile, s8Banded's four references) — an
+    * un-persisted frame re-runs the corpus scan + argmin per
+    * reference (round-11 review). */
+  private val assignedReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def kmeansAssigned(s: SparkSession,
+                                        dir: String): DataFrame =
+    assignedReg.getOrCompute(s, dir) {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val df = kmeansAssign(e, kmeansCentroids(s, dir))
+        .withColumn("nrm", normD(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  val s7Kmeans: Q = (s, dir) =>
+    kmeansAssigned(s, dir)
       .select(col("vec_id"), col("cluster"),
         round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
           .as("dist2"))
       .orderBy("vec_id")
-  }
 
   /** Cosine prune threshold of [[s8Semdedup]] — d6's committed floor,
     * so the semantic-prune verdicts are directly comparable with the
@@ -378,19 +399,13 @@ object Similarity {
     * imbalance below that trigger. Exact cosine within clusters is the
     * SemDeDup contract (candidates are bounded by construction, unlike
     * d6's corpus-wide banding which must be probabilistic). */
-  val s8Semdedup: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val assigned = kmeansAssign(e, kmeansCentroids(s, dir))
-      .select(col("vec_id"), col("embedding"), col("cluster"),
-        normD(col("embedding")).as("nrm"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val prunes = a.join(b, Seq("cluster"))
-      .filter(col("a") < col("b"))
-      .select(col("b"),
-        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+  /** Shared s8-family verdict assembly over a scored (b, cosine) pair
+    * frame: threshold → per-b dup count/best score → every vector's
+    * keep/prune verdict row. Factored so the exact and banded paths
+    * cannot silently diverge on the keep rule or the output shape. */
+  private def pruneVerdicts(assigned: DataFrame,
+                            scored: DataFrame): DataFrame = {
+    val prunes = scored
       .filter(col("cosine") >= s8Tau)
       .groupBy("b").agg(count(lit(1)).as("n_dups"),
         max("cosine").as("best_cosine"))
@@ -401,6 +416,20 @@ object Similarity {
         col("best_cosine"),
         when(col("n_dups").isNull, "keep").otherwise("prune").as("verdict"))
       .orderBy("vec_id")
+  }
+
+  val s8Semdedup: Q = (s, dir) => {
+    val assigned = kmeansAssigned(s, dir)
+    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    pruneVerdicts(assigned,
+      a.join(b, Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .select(col("b"),
+          (dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cosine")))
   }
 
   /** The s8 HOT-CLUSTER sub-partition path as code, not prose — the
@@ -419,11 +448,10 @@ object Similarity {
     * recall reported and floored. */
   private[graft] def s8Banded(s: SparkSession, dir: String,
       bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val assigned = kmeansAssign(e, kmeansCentroids(s, dir))
-      .select(col("vec_id"), col("embedding"), col("cluster"),
-        normD(col("embedding")).as("nrm"))
-    val bandRows = Dedup.d6Banded(e, bands, planesPerBand)
+    val assigned = kmeansAssigned(s, dir)
+    val bandRows = Dedup
+      .d6Banded(assigned.select(col("vec_id"), col("embedding")),
+        bands, planesPerBand)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     val cand = bandRows
       .select(col("cluster"), col("band"), col("sig"), col("vec_id").as("a"))
@@ -432,23 +460,14 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sides = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
-    val prunes = cand
+    pruneVerdicts(assigned, cand
       .join(sides.select(col("vec_id").as("a"), col("embedding").as("ea"),
         col("nrm").as("na")), Seq("a"))
       .join(sides.select(col("vec_id").as("b"), col("embedding").as("eb"),
         col("nrm").as("nb")), Seq("b"))
       .select(col("b"),
-        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-      .filter(col("cosine") >= s8Tau)
-      .groupBy("b").agg(count(lit(1)).as("n_dups"),
-        max("cosine").as("best_cosine"))
-    assigned.select(col("vec_id"), col("cluster"))
-      .join(prunes.withColumnRenamed("b", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        col("best_cosine"),
-        when(col("n_dups").isNull, "keep").otherwise("prune").as("verdict"))
-      .orderBy("vec_id")
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine")))
   }
 
   /** S9: CLUSTER-BALANCE PROFILE — the pre-flight the s8 skew guard
@@ -467,9 +486,9 @@ object Similarity {
     * the stats; avg re-rounded (same-sign sum — merge order agrees far
     * below 6 dp, the rounding pins the last ulp). */
   val s9ClusterProfile: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val n = e.agg(count(lit(1)).as("n_total"))
-    kmeansAssign(e, kmeansCentroids(s, dir))
+    val assigned = kmeansAssigned(s, dir)
+    val n = assigned.agg(count(lit(1)).as("n_total"))
+    assigned
       .select(col("cluster"),
         round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
           .as("dist2"))

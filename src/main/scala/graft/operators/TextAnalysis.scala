@@ -72,7 +72,7 @@ object TextAnalysis {
           col("source"),
           length(col("text")).as("len_chars"),
           col("n_words"),
-          regexp_count(col("text"), lit(tokPat)).as("n_regex_tokens"),
+          regexTokenCount(col("text")).as("n_regex_tokens"),
           (nPunct.cast("double") / length(col("text"))).as("punct_ratio"),
           (nStop.cast("double") / col("n_words")).as("stop_ratio"),
           (lenNoWs.cast("double") / col("n_words")).as("avg_word_len"),
@@ -324,11 +324,13 @@ object TextAnalysis {
   }
 
   /** Shared merge-training loop behind t9/t10: returns the merge table
-    * and the word histogram after the trained merges. t9 skips the FINAL
-    * rewrite (its output is the merge table alone — the last generation
-    * would have no consumer); t10 needs it (the fully-encoded histogram
-    * is its word → token-count join side). */
-  private def bpeTrainLoop(s: SparkSession, dir: String, rewriteFinal: Boolean)
+    * and the FULLY-ENCODED word histogram (every trained merge applied,
+    * including the last — t10's word → token-count join side needs it,
+    * and the memoized artifact serves both consumers, so the loop
+    * always rewrites through the final merge). Called only through
+    * [[bpeArtifacts]]; a direct call would bypass the memoization and
+    * re-pay the full training per invocation. */
+  private def bpeTrainLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long)], DataFrame) = {
     var words = t(s, dir, "documents")
       .select(explode(toks(lower(col("text")))).as("w0"))
@@ -345,7 +347,7 @@ object TextAnalysis {
       else {
         val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
         merges += ((it, bp, bf))
-        if (it < bpeMerges || rewriteFinal) {
+        locally {
           val pat = " " + bp.replace(" ", "  ") + " "
           val rep = " " + bp.replace(" ", "") + " "
           val affected = words.filter(col("w").contains(pat))
@@ -392,17 +394,15 @@ object TextAnalysis {
     * training cost remains visible in Bench's warmup_sec (first use
     * pays it); steady-state t9 measures what a re-query of the artifact
     * costs, the same measurement contract d3/d11 moved to in round 10.
-    * Both loop variants pick IDENTICAL merges (rewriteFinal only
-    * controls whether the last histogram rewrite runs — it feeds no
-    * further merge decision), so memoizing the rewriteFinal=true result
-    * changes no output. */
+    * The final histogram rewrite feeds no merge decision, so applying
+    * it unconditionally (t10's requirement) changes no t9 output. */
   private val bpeReg =
     new graft.core.Registry[(Seq[(Int, String, Long)], DataFrame)](
       _._2.unpersist(false))
 
   private[operators] def bpeArtifacts(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long)], DataFrame) =
-    bpeReg.getOrCompute(s, dir)(bpeTrainLoop(s, dir, rewriteFinal = true))
+    bpeReg.getOrCompute(s, dir)(bpeTrainLoop(s, dir))
 
   private[operators] def bpeEncodeTable(s: SparkSession, dir: String): DataFrame =
     bpeArtifacts(s, dir)._2

@@ -89,12 +89,11 @@ object Events {
     * max-event-ms − 2 h; boundary pinned by StreamsSpec). */
   val e5StreamHourly: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    // deterministic staging path per source dir: repeated calls reuse one
-    // copy instead of leaking a temp dir per invocation
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(streamDir).exists())
-      src.write.mode("overwrite").parquet(streamDir)
+    // deterministic staging path per (source dir, JVM): repeated calls
+    // in one process reuse one copy; the helper adds the pid key +
+    // _SUCCESS completeness + lock (round-11 review hardening)
+    val streamDir = graft.streaming.Streams.stageForReplay(src,
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
     val name = "graft_e5_sink"
     graft.streaming.Streams.withStatePartitions(s) {
       val stream = EventTime.withTsTimestamp(
@@ -123,10 +122,8 @@ object Events {
   val e6StreamSessions: Q = (s, dir) => {
     import s.implicits._
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(streamDir).exists())
-      src.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
+      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
     val name = "graft_e6_sink"
     graft.streaming.Streams.withStatePartitions(s) {
       val raw = s.readStream.schema(src.schema).parquet(streamDir)
@@ -172,10 +169,8 @@ object Events {
     * output converges to the batch join — which is exactly the oracle. */
   val e8StreamJoin: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(streamDir).exists())
-      src.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
+      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
     val name = "graft_e8_sink"
     def stream = EventTime.withTsTimestamp(
       s.readStream.schema(src.schema).parquet(streamDir))
@@ -216,10 +211,8 @@ object Events {
     * oracle — is the distinct key set. */
   val e9StreamDedup: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(streamDir).exists())
-      src.write.mode("overwrite").parquet(streamDir)
+    val streamDir = graft.streaming.Streams.stageForReplay(src,
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
     val name = "graft_e9_sink"
     graft.streaming.Streams.withStatePartitions(s) {
       val deduped = EventTime.withTsTimestamp(
@@ -260,10 +253,8 @@ object Events {
     * AvailableNow the trailing ~3 hours of windows stay open. */
   val e10StreamEnrich: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}"
-    if (!new java.io.File(streamDir).exists())
-      src.write.mode("overwrite").parquet(streamDir)
+    val streamDir = graft.streaming.Streams.stageForReplay(src,
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
     val name = "graft_e10_sink"
     graft.streaming.Streams.withStatePartitions(s) {
       val dim = t(s, dir, "customer")

@@ -229,7 +229,8 @@ object PointInTime {
     // deterministic per-source path, wiped per call: repeated invocations
     // rebuild in place instead of leaking one temp store per call
     val store = sys.props("java.io.tmpdir") +
-      s"/graft-i1-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}/fs"
+      s"/graft-i1-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
+      s"-p${ProcessHandle.current.pid}/fs"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
@@ -253,7 +254,8 @@ object PointInTime {
     * per batch). */
   def backfillStoreBatched(s: SparkSession, dir: String): DataFrame = {
     val store = sys.props("java.io.tmpdir") +
-      s"/graft-i2-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}/fs"
+      s"/graft-i2-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
+      s"-p${ProcessHandle.current.pid}/fs"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val ing = new graft.etl.Ingestor(s, store)
@@ -284,8 +286,12 @@ object PointInTime {
     * point — a replayed micro-batch rewrites the same slices
     * idempotently. */
   def backfillStoreStreaming(s: SparkSession, dir: String): DataFrame = {
+    // pid-keyed root: the dir is deleted at entry, so a shared path
+    // would let one JVM delete another's in-flight store (the same
+    // concurrent-runs hazard the round-11 review closed for d12/e8)
     val root = sys.props("java.io.tmpdir") +
-      s"/graft-i3-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}"
+      s"/graft-i3-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
+      s"-p${ProcessHandle.current.pid}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val (src, store, ckpt) = (s"$root/src", s"$root/fs", s"$root/ckpt")
     backfillDates.map(d => singlePassCore(s, dir, d))
@@ -312,8 +318,10 @@ object PointInTime {
     * Oracle reconstructs the merge declaratively: NOT-IN keep set UNION
     * winners UNION inserts. */
   def upsertStore(s: SparkSession, dir: String): DataFrame = {
+    // pid-keyed for the same concurrent-JVM delete hazard as i3
     val store = sys.props("java.io.tmpdir") +
-      s"/graft-i4-store-${graft.core.Tables.sourceFingerprint(s"$dir/orders.parquet")}/orders"
+      s"/graft-i4-store-${graft.core.Tables.sourceFingerprint(s"$dir/orders.parquet")}" +
+      s"-p${ProcessHandle.current.pid}/orders"
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
     val base = graft.core.Tables.t(s, dir, "orders")

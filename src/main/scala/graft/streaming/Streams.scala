@@ -46,6 +46,30 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
+  private val stagingLock = new Object
+
+  /** Stage `df` as a parquet dir under java.io.tmpdir for stream
+    * replay, hardened against the check-then-write races the round-11
+    * review named: the dir is keyed by `key` AND the JVM pid (two
+    * JVMs never share a staging dir, so neither can observe the
+    * other's half-written files or poison a shared path by dying
+    * mid-write), completeness is judged by Spark's _SUCCESS marker
+    * rather than bare dir existence (a killed write restages —
+    * mode=overwrite clears the leftovers), and the in-JVM
+    * check-then-write races on a process-wide lock. Caller shapes the
+    * frame (coalesce / repartitionByRange) before passing it — file
+    * layout is part of the replay contract (file count ×
+    * maxFilesPerTrigger = micro-batch count). Returns the dir path. */
+  def stageForReplay(df: DataFrame, key: String): String = {
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft-stream-$key-p${ProcessHandle.current.pid}"
+    stagingLock.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        df.write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Hourly tumbling-window counts per event_type with a watermark —
     * streaming dual of queries.Events.e2HourlyAgg. `ts` is event-time
     * (TimestampType); late data beyond the watermark is dropped. */
