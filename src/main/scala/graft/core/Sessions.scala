@@ -69,6 +69,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
+    // reclaim dead JVMs' pid-keyed staging/store/sink dirs before any
+    // of this session's queries stage their own (see TmpHygiene)
+    TmpHygiene.sweepStaleOnce()
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

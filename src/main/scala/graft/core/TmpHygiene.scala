@@ -1,0 +1,45 @@
+package graft.core
+
+/** Cross-JVM tmp-dir hygiene for the pid-keyed staging/store/sink dirs
+  * (round-11 review): pid-keying made concurrent JVMs safe — each
+  * process stages its own copy — but delete-at-entry only ever touches
+  * the CURRENT pid's paths, so every fresh JVM would otherwise leak a
+  * full staged copy into java.io.tmpdir until the disk fills (a gate
+  * campaign runs 3+ fresh JVMs per set). The sweep runs ONCE per JVM
+  * (from Sessions.get, before any staging): every `graft-*-p<pid>` /
+  * `graft-*-p<pid>-c<n>` entry whose pid is NO LONGER ALIVE is
+  * deleted. Live pids are never touched — a genuinely concurrent JVM
+  * keeps its dirs; a recycled-but-alive foreign pid merely defers the
+  * cleanup to a later sweep (correctness never depends on it: every
+  * path is re-judged by _SUCCESS or deleted at entry by its owner).
+  */
+object TmpHygiene {
+
+  private val pat = "^graft-.*-p(\\d+)(-c\\d+)?$".r
+  @volatile private var swept = false
+
+  def sweepStaleOnce(): Unit = {
+    if (swept) return
+    synchronized {
+      if (swept) return
+      swept = true
+      sweepNow()
+    }
+  }
+
+  /** The sweep itself, once-guard bypassed — spec seam. */
+  private[core] def sweepNow(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val entries = Option(tmp.listFiles()).getOrElse(Array.empty)
+    entries.foreach { f =>
+      f.getName match {
+        case pat(pid, _) =>
+          val alive = ProcessHandle.of(pid.toLong)
+            .map[java.lang.Boolean](_.isAlive).orElse(false)
+          if (!alive)
+            org.apache.commons.io.FileUtils.deleteQuietly(f)
+        case _ => ()
+      }
+    }
+  }
+}

@@ -347,32 +347,30 @@ object TextAnalysis {
       else {
         val (bp, bf) = (best(0).getString(0), best(0).getLong(1))
         merges += ((it, bp, bf))
-        locally {
-          val pat = " " + bp.replace(" ", "  ") + " "
-          val rep = " " + bp.replace(" ", "") + " "
-          val affected = words.filter(col("w").contains(pat))
-          val rewritten = affected
-            .select(replace(col("w"), lit(pat), lit(rep)).as("w"), col("c"))
-          // Delta update: old pairs of affected types out, new pairs in.
-          // Both children scan only checkpointed blocks + the affected
-          // slice; eager localCheckpoint materializes each, after which
-          // the parent generation's blocks are GC-cleaned.
-          pc = pc
-            .union(bpePairCounts(rewritten))
-            .union(bpePairCounts(affected)
-              .select(col("pair"), (-col("freq")).as("freq")))
-            .groupBy("pair").agg(sum("freq").as("freq"))
-            .filter(col("freq") > 0)
-            .localCheckpoint()
-          // union CONCATENATES partition lists — without the coalesce the
-          // histogram doubles its partition count every merge (2^k empty
-          // tasks per job by merge k). pc needs none: its groupBy
-          // re-shuffles to the session partition count each iteration.
-          words = words.filter(!col("w").contains(pat))
-            .union(rewritten)
-            .coalesce(s.sparkContext.defaultParallelism)
-            .localCheckpoint()
-        }
+        val pat = " " + bp.replace(" ", "  ") + " "
+        val rep = " " + bp.replace(" ", "") + " "
+        val affected = words.filter(col("w").contains(pat))
+        val rewritten = affected
+          .select(replace(col("w"), lit(pat), lit(rep)).as("w"), col("c"))
+        // Delta update: old pairs of affected types out, new pairs in.
+        // Both children scan only checkpointed blocks + the affected
+        // slice; eager localCheckpoint materializes each, after which
+        // the parent generation's blocks are GC-cleaned.
+        pc = pc
+          .union(bpePairCounts(rewritten))
+          .union(bpePairCounts(affected)
+            .select(col("pair"), (-col("freq")).as("freq")))
+          .groupBy("pair").agg(sum("freq").as("freq"))
+          .filter(col("freq") > 0)
+          .localCheckpoint()
+        // union CONCATENATES partition lists — without the coalesce the
+        // histogram doubles its partition count every merge (2^k empty
+        // tasks per job by merge k). pc needs none: its groupBy
+        // re-shuffles to the session partition count each iteration.
+        words = words.filter(!col("w").contains(pat))
+          .union(rewritten)
+          .coalesce(s.sparkContext.defaultParallelism)
+          .localCheckpoint()
         it += 1
       }
     }

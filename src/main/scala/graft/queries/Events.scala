@@ -22,6 +22,15 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-call memory-sink name: a FIXED queryName would make a second
+    * concurrent same-session invocation throw ("query ... is already
+    * active") despite the hardened staging (round-11 review). The
+    * superseded per-call memory tables are verdict-scale result sets;
+    * they live until session end like any memory sink. */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def sinkName(tag: String): String =
+    s"graft_${tag}_sink_c${sinkCounter.incrementAndGet()}"
+
   /** E1: JSON property extraction — get_json_object over the `props` JSON
     * string column + aggregate by extracted value bucket. */
   val e1JsonProps: Q = (s, dir) =>
@@ -94,7 +103,7 @@ object Events {
     // _SUCCESS completeness + lock (round-11 review hardening)
     val streamDir = graft.streaming.Streams.stageForReplay(src,
       s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
-    val name = "graft_e5_sink"
+    val name = sinkName("e5")
     graft.streaming.Streams.withStatePartitions(s) {
       val stream = EventTime.withTsTimestamp(
         s.readStream.schema(src.schema).parquet(streamDir))
@@ -124,7 +133,7 @@ object Events {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
       s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
-    val name = "graft_e6_sink"
+    val name = sinkName("e6")
     graft.streaming.Streams.withStatePartitions(s) {
       val raw = s.readStream.schema(src.schema).parquet(streamDir)
       val stream = raw
@@ -171,7 +180,7 @@ object Events {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
       s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
-    val name = "graft_e8_sink"
+    val name = sinkName("e8")
     def stream = EventTime.withTsTimestamp(
       s.readStream.schema(src.schema).parquet(streamDir))
     val clicks = stream.filter(col("event_type") === "click")
@@ -213,7 +222,7 @@ object Events {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src,
       s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
-    val name = "graft_e9_sink"
+    val name = sinkName("e9")
     graft.streaming.Streams.withStatePartitions(s) {
       val deduped = EventTime.withTsTimestamp(
           s.readStream.schema(src.schema).parquet(streamDir))
@@ -255,7 +264,7 @@ object Events {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src,
       s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
-    val name = "graft_e10_sink"
+    val name = sinkName("e10")
     graft.streaming.Streams.withStatePartitions(s) {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))

@@ -36,17 +36,30 @@ object Streams {
   /** Build + start + drain a STATEFUL streaming query with
     * spark.sql.shuffle.partitions pinned to the state-partition count,
     * restoring the batch default afterwards. Must wrap the `.start()`
-    * (micro-batch planning captures the value then); harness queries
-    * run sequentially, so the temporary session-conf flip is safe. */
-  def withStatePartitions[T](s: SparkSession,
-                             n: Int = defaultStatePartitions)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+    * (micro-batch planning captures the value then). The conf flip is
+    * session-global, so two concurrent bodies would race set/restore
+    * and one stream could plan with the other's partition count — the
+    * flip is therefore SERIALIZED on a JVM-wide lock (round-11
+    * review): concurrent stateful streams in one JVM run one at a
+    * time, a deliberate harness semantic (do not nest this call —
+    * the lock is not reentrant-aware across bodies). */
+  private val statePartitionsLock = new Object
 
-  private val stagingLock = new Object
+  def withStatePartitions[T](s: SparkSession,
+                             n: Int = defaultStatePartitions)(body: => T): T =
+    statePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, n.toString)
+      try body finally s.conf.set(key, prev)
+    }
+
+  /** Per-KEY staging monitors: concurrent stagings of DIFFERENT dirs
+    * must not serialize behind each other's corpus-copy write (a
+    * process-wide lock would — round-11 review); same-key callers
+    * still race on one monitor for the check-then-write. */
+  private val stagingLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Stage `df` as a parquet dir under java.io.tmpdir for stream
     * replay, hardened against the check-then-write races the round-11
@@ -63,7 +76,7 @@ object Streams {
   def stageForReplay(df: DataFrame, key: String): String = {
     val dir = sys.props("java.io.tmpdir") +
       s"/graft-stream-$key-p${ProcessHandle.current.pid}"
-    stagingLock.synchronized {
+    stagingLocks.computeIfAbsent(key, _ => new Object).synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists())
         df.write.mode("overwrite").parquet(dir)
     }
