@@ -11,6 +11,19 @@ package graft.core
   * own plan. Session-lifetime, last-write-wins — the audit runs the
   * query immediately before reading this, so the entry is the plan of
   * that very run.
+  *
+  * Fidelity caveat (round-11 advice): d12/d13's audit-mode evidence
+  * RE-EXECUTES the probe (`toRdd.count()`) and records that second
+  * execution's finalized plan — under AQE it can legitimately differ
+  * in runtime choices (coalesced partition counts, a flipped
+  * broadcast) from the plan the sink write's cloned execution actually
+  * ran. The recorded plan is therefore REPRESENTATIVE of the shape
+  * (same logical plan, same session state, same data) rather than the
+  * literal write-side execution, and audit runs pay the probe twice
+  * per micro-batch — both acceptable because the audit path is opt-in
+  * (AuditProp) and never in gated runs. Capturing the write's own
+  * executedPlan would need a QueryExecutionListener; revisit if a
+  * shape-level divergence is ever observed in PLANS review.
   */
 object PlanEvidence {
 

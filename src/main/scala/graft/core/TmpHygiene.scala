@@ -16,6 +16,17 @@ package graft.core
 object TmpHygiene {
 
   private val pat = "^graft-.*-p(\\d+)(-c\\d+)?$".r
+
+  /** Age past which a LEGACY-format dir (graft-* with no -p<pid>
+    * suffix, written by pre-round-11 builds) is reclaimed. Those names
+    * carry no owner pid, so liveness can't be checked — age is the
+    * only safe signal, and nothing re-reads an hours-old legacy
+    * staging dir (every current build stages its own pid-keyed copy
+    * at entry). Without this branch the exact disk-fill hazard the
+    * sweep was added for persists for legacy leftovers forever
+    * (round-11 advice). */
+  private val legacyMaxAgeMs = 6L * 3600 * 1000
+
   @volatile private var swept = false
 
   def sweepStaleOnce(): Unit = {
@@ -37,6 +48,10 @@ object TmpHygiene {
           val alive = ProcessHandle.of(pid.toLong)
             .map[java.lang.Boolean](_.isAlive).orElse(false)
           if (!alive)
+            org.apache.commons.io.FileUtils.deleteQuietly(f)
+        case name if name.startsWith("graft-") =>
+          // legacy un-pid-keyed formats: reclaim by age (see above)
+          if (System.currentTimeMillis() - f.lastModified() > legacyMaxAgeMs)
             org.apache.commons.io.FileUtils.deleteQuietly(f)
         case _ => ()
       }

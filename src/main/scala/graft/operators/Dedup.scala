@@ -94,19 +94,26 @@ object Dedup {
   private val shingledReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
+  /** The shingle-stage BUILD over any (doc_id, text) frame — the
+    * un-persisted computation behind [[shingled]], factored out so
+    * planted-corpus specs (d14's boilerplate test) can run the
+    * stage-consuming operators on synthetic frames. */
+  private[graft] def buildShingleStage(docs: DataFrame): DataFrame = {
+    val base = withShingleCols(docs).select(col("doc_id"), col("hs"))
+    val ex = base.select(col("doc_id"),
+      explode(array_distinct(col("hs"))).as("shh"))
+    val docFreq = ex.groupBy("shh").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(docFreq, Seq("shh"))
+      .select(col("doc_id"),
+        (col("df") * lit(1L << 31) + col("shh")).as("rv"))
+      .groupBy("doc_id").agg(array_sort(collect_list("rv")).as("sh"))
+    base.join(ranked, Seq("doc_id"))
+      .withColumn("n", size(col("sh")))
+  }
+
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     shingledReg.getOrCompute(s, dir) {
-      val base = withShingleCols(t(s, dir, "documents"))
-        .select(col("doc_id"), col("hs"))
-      val ex = base.select(col("doc_id"),
-        explode(array_distinct(col("hs"))).as("shh"))
-      val docFreq = ex.groupBy("shh").agg(count(lit(1)).as("df"))
-      val ranked = ex.join(docFreq, Seq("shh"))
-        .select(col("doc_id"),
-          (col("df") * lit(1L << 31) + col("shh")).as("rv"))
-        .groupBy("doc_id").agg(array_sort(collect_list("rv")).as("sh"))
-      val df = base.join(ranked, Seq("doc_id"))
-        .withColumn("n", size(col("sh")))
+      val df = buildShingleStage(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
@@ -647,6 +654,92 @@ object Dedup {
         col("n_hot_shingles").cast("double") / col("n_distinct_shingles"))
       .orderBy("doc_id")
 
+  /** D14: SPAN-LEVEL DEDUP SURGERY — d10 reports each document's
+    * duplicated-span RATIO; this operator EMITS the spans themselves so
+    * curation can EXCISE boilerplate instead of dropping whole
+    * documents (the surgical variant of the RefinedWeb boilerplate
+    * rule; round-11 verdict item 4). Per document: every MAXIMAL run of
+    * consecutive HOT shingles (corpus df > [[d10HotDf]], same rule as
+    * d10) becomes one span row with token offsets, char offsets, and
+    * the span text, ready for `substring`-style removal.
+    *
+    * Offset contract: `start_tok`/`end_tok` are 0-based inclusive
+    * indexes into the dedup-canonical token sequence (trim → lower →
+    * split on whitespace — the domain the shingles were built from),
+    * and `start_char`/`end_char` ([start, end) exclusive) index the
+    * whitespace-NORMALIZED lowercase text (tokens joined by single
+    * spaces), i.e. the `norm` form d1 hashes — the canonical form a
+    * curation pipeline stores and edits. Raw-text offsets would be
+    * ill-defined across runs of whitespace; consumers excising from
+    * raw text should re-find `span_text` locally around the
+    * normalized offset.
+    *
+    * Scale shape: map-only over the shingle silver stage joined back
+    * to a tokens projection on doc_id (the only shuffle, co-keyed with
+    * the persisted stage). The hot-shingle test reads the df PACKED
+    * into the stage's `sh` ordering — the corpus-wide df aggregation
+    * was paid once, in the shared stage, so at 100 TB this adds one
+    * map pass + one doc_id join, never a new corpus-wide aggregation.
+    * Run detection is pure array logic (no window, no self-join): a
+    * shingle i starts a run iff hot(i) && !hot(i-1), ends one iff
+    * hot(i) && !hot(i+1); zipping the two equal-length index lists
+    * yields the maximal runs, and a run of shingles [s, e] covers
+    * tokens [s, e+2] (3-gram width, clamped for the <3-token
+    * whole-doc fallback shingle). Output is bounded by runs-per-doc
+    * (≤ shingles/2), emitted only for documents that HAVE hot spans. */
+  val d14SpanSurgery: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), wsPat).as("tk"))
+    spanSurgeryCore(
+      shingled(s, dir).select(col("doc_id"), col("hs"), col("sh")), toks)
+  }
+
+  /** d14's core over a pre-built shingle stage (doc_id, hs, sh) and a
+    * tokens projection (doc_id, tk) — factored so the planted-
+    * boilerplate spec can run it on a synthetic corpus via
+    * [[buildShingleStage]]. */
+  private[graft] def spanSurgeryCore(stage: DataFrame,
+                                     toks: DataFrame): DataFrame = {
+    stage
+      .join(toks, Seq("doc_id"))
+      // hot = this doc's distinct shingle hashes with corpus df above
+      // the d10 threshold, unpacked from the (df<<31)+hash encoding
+      .withColumn("hot",
+        transform(filter(col("sh"), rv => shiftright(rv, 31) > d10HotDf),
+          rv => rv % lit(1L << 31)))
+      // hf(i) = is the i-th positional shingle hot (1-based element_at)
+      .withColumn("hf",
+        transform(col("hs"), h => array_contains(col("hot"), h)))
+      .withColumn("m", size(col("hs")))
+      .withColumn("sts",
+        filter(sequence(lit(0), col("m") - 1), i =>
+          element_at(col("hf"), i + 1) &&
+            (i === 0 || !element_at(col("hf"), i))))
+      .withColumn("ens",
+        filter(sequence(lit(0), col("m") - 1), i =>
+          element_at(col("hf"), i + 1) &&
+            (i === col("m") - 1 || !element_at(col("hf"), i + 2))))
+      .select(col("doc_id"), col("tk"),
+        posexplode(zip_with(col("sts"), col("ens"),
+          (a, b) => struct(a.as("st"), b.as("en")))).as(Seq("span_idx", "r")))
+      .select(col("doc_id"), col("tk"),
+        col("span_idx").cast("int").as("span_idx"),
+        col("r.st").cast("int").as("start_tok"),
+        least(col("r.en") + 2, size(col("tk")) - 1).cast("int").as("end_tok"))
+      .withColumn("n_span_tokens", col("end_tok") - col("start_tok") + 1)
+      .withColumn("start_char",
+        aggregate(slice(col("tk"), lit(1), col("start_tok")), lit(0L),
+          (acc, x) => acc + length(x) + 1))
+      .withColumn("span_text",
+        array_join(slice(col("tk"), col("start_tok") + 1,
+          col("n_span_tokens")), " "))
+      .select(col("doc_id"), col("span_idx"), col("start_tok"),
+        col("end_tok"), col("n_span_tokens"), col("start_char"),
+        (col("start_char") + length(col("span_text"))).as("end_char"),
+        col("span_text"))
+      .orderBy("doc_id", "span_idx")
+  }
+
   /** Modulus and residue selecting the d11 incoming batch. Membership is
     * a PREDICATE parameter in spirit (an incremental pipeline passes
     * "ingest date = today"); the gated instance uses a modular slice
@@ -803,7 +896,7 @@ object Dedup {
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(
       arriving.repartitionByRange(2, col("doc_id")),
-      s"docs-$fp-${d11Mod}m$d11Res")
+      s"docs-$fp-${d11Mod}m$d11Res", shape = "r2")
     // Per-call sink: idempotency only needs stability within ONE
     // streaming query (batch=<id> overwrite covers foreachBatch's
     // at-least-once retries); rows are verdict-scale (tiny), so leaving
@@ -868,6 +961,7 @@ object Dedup {
     "d8_cluster_keep" -> d8ClusterKeep,
     "d9_decontaminate" -> d9Decontaminate,
     "d10_hot_spans" -> d10HotSpans,
+    "d14_span_surgery" -> d14SpanSurgery,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d12_stream_ingest_gate" -> d12StreamIngestGate,
     "d13_stream_cluster_tag" -> d13StreamClusterTag,
@@ -967,6 +1061,55 @@ object Dedup {
           SELECT doc_id, n_distinct_shingles, n_hot_shingles,
             CAST(n_hot_shingles AS DOUBLE) / n_distinct_shingles AS hot_ratio
           FROM per ORDER BY doc_id""",
+    // Independent plan for d14: recomputes the df table (like d10's
+    // oracle), builds the hot set per doc as a plain list, and derives
+    // the same run starts/ends with list logic. DuckDB list indexing is
+    // 1-based like element_at; range(0, m) is the 0-based index domain.
+    "d14_span_surgery" ->
+      s"""WITH $shingleCte,
+          ex AS (SELECT doc_id, unnest(list_distinct(hs)) AS shh FROM hsc),
+          dfreq AS (SELECT shh, CAST(count(*) AS BIGINT) AS df
+                    FROM ex GROUP BY 1),
+          hotl AS (SELECT doc_id, list(shh) AS hl
+                   FROM ex JOIN dfreq USING (shh)
+                   WHERE df > $d10HotDf GROUP BY 1),
+          hx AS (
+            SELECT h.doc_id, b.tk, len(h.hs) AS m,
+              list_transform(h.hs,
+                x -> coalesce(list_contains(hotl.hl, x), false)) AS hf
+            FROM hsc h JOIN b USING (doc_id)
+            LEFT JOIN hotl ON hotl.doc_id = h.doc_id),
+          runs AS (
+            SELECT doc_id, tk,
+              list_filter(range(0, m),
+                i -> hf[i+1] AND (i = 0 OR NOT hf[i])) AS sts,
+              list_filter(range(0, m),
+                i -> hf[i+1] AND (i = m-1 OR NOT hf[i+2])) AS ens
+            FROM hx),
+          sp AS (
+            SELECT doc_id, tk,
+              unnest(list_transform(range(0, len(sts)),
+                k -> {'si': k, 'st': sts[k+1], 'en': ens[k+1]})) AS r
+            FROM runs),
+          ofs AS (
+            SELECT doc_id,
+              CAST(r.si AS INT) AS span_idx,
+              CAST(r.st AS INT) AS start_tok,
+              CAST(least(r.en + 2, len(tk) - 1) AS INT) AS end_tok,
+              tk
+            FROM sp),
+          fin AS (
+            SELECT doc_id, span_idx, start_tok, end_tok,
+              end_tok - start_tok + 1 AS n_span_tokens,
+              CAST(coalesce(list_sum(list_transform(tk[1:start_tok],
+                x -> length(x) + 1)), 0) AS BIGINT) AS start_char,
+              array_to_string(tk[start_tok+1:end_tok+1], ' ') AS span_text
+            FROM ofs)
+          SELECT doc_id, span_idx, start_tok, end_tok, n_span_tokens,
+            start_char,
+            CAST(start_char + length(span_text) AS BIGINT) AS end_char,
+            span_text
+          FROM fin ORDER BY doc_id, span_idx""",
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies

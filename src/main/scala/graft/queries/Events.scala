@@ -24,9 +24,11 @@ object Events {
 
   /** Per-call memory-sink name: a FIXED queryName would make a second
     * concurrent same-session invocation throw ("query ... is already
-    * active") despite the hardened staging (round-11 review). The
-    * superseded per-call memory tables are verdict-scale result sets;
-    * they live until session end like any memory sink. */
+    * active") despite the hardened staging (round-11 review). Each
+    * sink's temp view is registered on the per-call ISOLATED session
+    * clone Streams.withStatePartitions hands the body, so superseded
+    * result sets die with their throwaway clone instead of
+    * accumulating in the parent catalog (round-11 advice). */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private def sinkName(tag: String): String =
     s"graft_${tag}_sink_c${sinkCounter.incrementAndGet()}"
@@ -102,21 +104,23 @@ object Events {
     // in one process reuse one copy; the helper adds the pid key +
     // _SUCCESS completeness + lock (round-11 review hardening)
     val streamDir = graft.streaming.Streams.stageForReplay(src,
-      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
+      shape = "nat")
     val name = sinkName("e5")
-    graft.streaming.Streams.withStatePartitions(s) {
+    graft.streaming.Streams.withStatePartitions(s) { iso =>
       val stream = EventTime.withTsTimestamp(
-        s.readStream.schema(src.schema).parquet(streamDir))
+        iso.readStream.schema(src.schema).parquet(streamDir))
       val q = graft.streaming.Streams.hourlyCounts(stream)
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      iso.table(name)
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .orderBy("hour", "event_type")
     }
-    s.table(name)
-      .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy("hour", "event_type")
   }
 
   /** E6: STREAMING sessionization inside the oracle gate — events staged
@@ -129,13 +133,14 @@ object Events {
     * emission produces. Timestamps flow in the µs domain end-to-end
     * (same truncation rationale as e3). */
   val e6StreamSessions: Q = (s, dir) => {
-    import s.implicits._
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
-      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
+      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
+      shape = "c1")
     val name = sinkName("e6")
-    graft.streaming.Streams.withStatePartitions(s) {
-      val raw = s.readStream.schema(src.schema).parquet(streamDir)
+    graft.streaming.Streams.withStatePartitions(s) { iso =>
+      import iso.implicits._
+      val raw = iso.readStream.schema(src.schema).parquet(streamDir)
       val stream = raw
         .select(col("user_id"), EventTime.tsMicros(raw).as("ts"), col("value"))
         .as[graft.streaming.Streams.Ev]
@@ -146,11 +151,11 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      iso.table(name)
+        .select(col("user_id"), col("start_ts").as("start_us"),
+          col("end_ts").as("end_us"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_us")
     }
-    s.table(name)
-      .select(col("user_id"), col("start_ts").as("start_us"),
-        col("end_ts").as("end_us"), col("n_events"), col("sum_value"))
-      .orderBy("user_id", "start_us")
   }
 
   /** E7: Spark's NATIVE session_window — the declarative form of e3's
@@ -179,24 +184,25 @@ object Events {
   val e8StreamJoin: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
-      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
+      s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
+      shape = "c1")
     val name = sinkName("e8")
-    def stream = EventTime.withTsTimestamp(
-      s.readStream.schema(src.schema).parquet(streamDir))
-    val clicks = stream.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = stream.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purch_ts"),
-        col("value").as("purch_val"))
-      .withWatermark("purch_ts", "2 hours")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purch_ts") >= col("click_ts") &&
-        col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("click_ts"), col("purch_ts"),
-        col("purch_val"))
-    graft.streaming.Streams.withStatePartitions(s) {
+    graft.streaming.Streams.withStatePartitions(s) { iso =>
+      def stream = EventTime.withTsTimestamp(
+        iso.readStream.schema(src.schema).parquet(streamDir))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purch_ts"),
+          col("value").as("purch_val"))
+        .withWatermark("purch_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_ts"), col("purch_ts"),
+          col("purch_val"))
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -207,8 +213,8 @@ object Events {
       // read, so a plain explain on it audits the wrong thing
       graft.core.PlanEvidence.record("e8_stream_join",
         org.apache.spark.sql.graftshim.streamingExplain(q))
+      iso.table(name).orderBy("user_id", "click_ts", "purch_ts")
     }
-    s.table(name).orderBy("user_id", "click_ts", "purch_ts")
   }
 
   /** E9: STREAMING deduplication — dropDuplicatesWithinWatermark on
@@ -221,11 +227,12 @@ object Events {
   val e9StreamDedup: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src,
-      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
+      shape = "nat")
     val name = sinkName("e9")
-    graft.streaming.Streams.withStatePartitions(s) {
+    graft.streaming.Streams.withStatePartitions(s) { iso =>
       val deduped = EventTime.withTsTimestamp(
-          s.readStream.schema(src.schema).parquet(streamDir))
+          iso.readStream.schema(src.schema).parquet(streamDir))
         .withWatermark("ts", "2 hours")
         .withColumn("hour", date_trunc("hour", col("ts")))
         .dropDuplicatesWithinWatermark("user_id", "hour")
@@ -235,8 +242,8 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      iso.table(name).orderBy("user_id", "hour")
     }
-    s.table(name).orderBy("user_id", "hour")
   }
 
   /** E10: STREAM-STATIC enrichment join — the third streaming join shape
@@ -263,13 +270,14 @@ object Events {
   val e10StreamEnrich: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
     val streamDir = graft.streaming.Streams.stageForReplay(src,
-      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}")
+      s"events-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
+      shape = "nat")
     val name = sinkName("e10")
-    graft.streaming.Streams.withStatePartitions(s) {
-      val dim = t(s, dir, "customer")
+    graft.streaming.Streams.withStatePartitions(s) { iso =>
+      val dim = t(iso, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = EventTime.withTsTimestamp(
-          s.readStream.schema(src.schema).parquet(streamDir))
+          iso.readStream.schema(src.schema).parquet(streamDir))
         .withWatermark("ts", "2 hours")
         .join(broadcast(dim), col("user_id") === col("c_custkey"))
       val agg = enriched
@@ -282,8 +290,8 @@ object Events {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      iso.table(name).orderBy("hour", "c_mktsegment")
     }
-    s.table(name).orderBy("hour", "c_mktsegment")
   }
 
   val queries: Map[String, Q] = Map(

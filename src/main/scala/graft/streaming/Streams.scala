@@ -33,26 +33,32 @@ object Streams {
   def defaultStatePartitions: Int =
     sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
 
-  /** Build + start + drain a STATEFUL streaming query with
-    * spark.sql.shuffle.partitions pinned to the state-partition count,
-    * restoring the batch default afterwards. Must wrap the `.start()`
-    * (micro-batch planning captures the value then). The conf flip is
-    * session-global, so two concurrent bodies would race set/restore
-    * and one stream could plan with the other's partition count — the
-    * flip is therefore SERIALIZED on a JVM-wide lock (round-11
-    * review): concurrent stateful streams in one JVM run one at a
-    * time, a deliberate harness semantic (do not nest this call —
-    * the lock is not reentrant-aware across bodies). */
-  private val statePartitionsLock = new Object
-
+  /** Run `body` against an ISOLATED CLONE of `s` whose
+    * spark.sql.shuffle.partitions is pinned to the state-partition
+    * count. `body` must build the whole stream — source, transforms,
+    * sink, AND any frame it joins or returns — from the session it
+    * receives (micro-batch planning captures the partition count from
+    * that session; mixing frames across sessions is unsupported).
+    *
+    * Why a clone (round-11 advice): the previous implementation
+    * flipped the conf on `s` itself under a JVM-wide lock, which
+    * serialized concurrent stateful streams AND still let any query
+    * planning concurrently on `s` OUTSIDE the lock (a d12/d13
+    * micro-batch probe, a batch query) pick up the e-family's state
+    * partition count. The clone shares the SparkContext/SharedState
+    * and snapshots the live conf + temp views, so the flip is invisible
+    * to the parent, no lock or restore is needed, concurrent stateful
+    * streams plan independently — and per-call memory-sink temp views
+    * registered inside `body` die with the throwaway clone instead of
+    * accumulating one result set per invocation in the parent catalog
+    * for the life of the session (the other round-11 advice item). */
   def withStatePartitions[T](s: SparkSession,
-                             n: Int = defaultStatePartitions)(body: => T): T =
-    statePartitionsLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, n.toString)
-      try body finally s.conf.set(key, prev)
-    }
+                             n: Int = defaultStatePartitions)
+                            (body: SparkSession => T): T = {
+    val iso = org.apache.spark.sql.graftshim.isolatedSession(s)
+    iso.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(iso)
+  }
 
   /** Per-KEY staging monitors: concurrent stagings of DIFFERENT dirs
     * must not serialize behind each other's corpus-copy write (a
@@ -72,11 +78,18 @@ object Streams {
     * check-then-write races on a process-wide lock. Caller shapes the
     * frame (coalesce / repartitionByRange) before passing it — file
     * layout is part of the replay contract (file count ×
-    * maxFilesPerTrigger = micro-batch count). Returns the dir path. */
-  def stageForReplay(df: DataFrame, key: String): String = {
+    * maxFilesPerTrigger = micro-batch count) — and DECLARES that
+    * layout via `shape`, which is folded into the staging key: two
+    * callers staging differently-shaped frames under the same logical
+    * key would otherwise silently share whichever layout was written
+    * first (round-11 advice; e5/e9/e10 stage the natural layout while
+    * e6/e8 stage coalesce(1), previously distinguished only by
+    * convention). Returns the dir path. */
+  def stageForReplay(df: DataFrame, key: String, shape: String): String = {
+    val fullKey = s"$key-$shape"
     val dir = sys.props("java.io.tmpdir") +
-      s"/graft-stream-$key-p${ProcessHandle.current.pid}"
-    stagingLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      s"/graft-stream-$fullKey-p${ProcessHandle.current.pid}"
+    stagingLocks.computeIfAbsent(fullKey, _ => new Object).synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists())
         df.write.mode("overwrite").parquet(dir)
     }

@@ -21,6 +21,22 @@ package object graftshim {
         name, builder, "built-in")
     }
 
+  /** Isolated twin of `s` for session-scoped conf flips (round-11
+    * advice on streaming.Streams.withStatePartitions): shares the
+    * SparkContext and SharedState and SNAPSHOTS the current session
+    * state (runtime conf, temp views, registered functions) but owns
+    * its own copies — a shuffle-partition flip on the clone can never
+    * leak into a query concurrently planning on the parent, and
+    * memory-sink temp views registered on the clone die with it
+    * instead of accumulating in the parent catalog. `cloneSession` is
+    * `private[sql]`, hence this bridge. `newSession` fallback for
+    * non-classic sessions starts from initial options instead of the
+    * live conf — acceptable: graft never builds such sessions. */
+  def isolatedSession(s: SparkSession): SparkSession = s match {
+    case c: classic.SparkSession => c.cloneSession()
+    case other => other.newSession()
+  }
+
   /** EXECUTED micro-batch plan of a streaming query — the PlanAudit
     * evidence for streaming operators whose registry frame is only the
     * sink read (e8's memory table): `explainInternal` is `private[sql]`

@@ -154,6 +154,53 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1L, 1.0 / 3)))
   }
 
+  test("d14 span surgery: planted boilerplate emitted as exact token/char " +
+    "spans; two blocks -> two spans; clean docs emit nothing") {
+    import spark.implicits._
+    // 200/201 share one mid-document boilerplate block with unique
+    // surroundings (boundary-straddling shingles are unique, so the
+    // emitted span must be EXACTLY the shared block); 203/204 share two
+    // disjoint blocks (multi-span per doc); 202 shares nothing.
+    val docs = Seq(
+      (200L, "alpha beta gamma this footer text is shared boilerplate " +
+        "everywhere delta epsilon"),
+      (201L, "one two three this footer text is shared boilerplate " +
+        "everywhere four five six"),
+      (202L, "totally unique content without any matching parts whatsoever"),
+      (203L, "common start sequence here aaa bbb ccc common ending " +
+        "sequence here"),
+      (204L, "common start sequence here xxx yyy zzz common ending " +
+        "sequence here"),
+    ).toDF("doc_id", "text")
+    val stage = Dedup.buildShingleStage(docs)
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("tk"))
+    val got = Dedup.spanSurgeryCore(stage, toks).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val boiler = "this footer text is shared boilerplate everywhere"
+    assert(got.filter(_._1 == 202L).isEmpty, "clean doc must emit no spans")
+    assert(got.filter(_._1 == 200L).toSeq ===
+      Seq((200L, 0, 3, 9, 7, 17L, 66L, boiler)))
+    assert(got.filter(_._1 == 201L).toSeq ===
+      Seq((201L, 0, 3, 9, 7, 14L, 63L, boiler)))
+    for (id <- Seq(203L, 204L)) {
+      val sp = got.filter(_._1 == id).sortBy(_._2)
+      assert(sp.map(x => (x._2, x._3, x._4, x._8)).toSeq === Seq(
+        (0, 0, 3, "common start sequence here"),
+        (1, 7, 10, "common ending sequence here")), s"doc $id spans")
+    }
+    // the documented offset contract: [start_char, end_char) indexes the
+    // ws-normalized lowercase text and round-trips to span_text
+    val normed = docs.select(col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, _, _, _, _, sc, ec, txt) =>
+      assert(normed(id).substring(sc.toInt, ec.toInt) === txt,
+        s"doc $id char-offset round-trip")
+    }
+  }
+
   test("d12 streaming ingest gate: union over micro-batches equals the " +
     "one-shot d11 output; replay is multi-batch by construction") {
     def rows(name: String) =
@@ -172,7 +219,7 @@ class DedupSpec extends SparkSpec {
     // documents is genuinely exercised, not a single-batch degenerate
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
     val stagedDir = new java.io.File(sys.props("java.io.tmpdir") +
-      s"/graft-stream-docs-$fp-${Dedup.d11Mod}m${Dedup.d11Res}" +
+      s"/graft-stream-docs-$fp-${Dedup.d11Mod}m${Dedup.d11Res}-r2" +
       s"-p${ProcessHandle.current.pid}")
     val staged = stagedDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(staged === 2, s"expected 2 staged stream files, got $staged")
