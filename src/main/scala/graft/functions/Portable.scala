@@ -72,6 +72,11 @@ object Portable {
   def simhash32(th: Column): Column =
     graftshim.column(graft.plans.SimHash32(graftshim.expression(th)))
 
+  /** mod-P token-hash array → dims-dimensional feature-hashing
+    * embedding (±1 per token on dimension h % dims; plans.HashEmbed). */
+  def hashEmbed(th: Column, dims: Int): Column =
+    graftshim.column(graft.plans.HashEmbed(graftshim.expression(th), dims))
+
   /** |a ∩ b| of two SORTED DISTINCT long arrays (zero-allocation merge
     * loop; see plans.SortedIntersectCount for why not array_intersect). */
   def sortedIntersectCount(a: Column, b: Column): Column =

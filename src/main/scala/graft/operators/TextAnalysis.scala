@@ -1092,7 +1092,7 @@ object TextAnalysis {
   /** C3 oracle: the c1 and t12 oracles composed with the same doc_id
     * join — chunks exist exactly for c1 survivors, with the survivor's
     * source/quality carried onto every chunk. */
-  private lazy val c3Sql: String =
+  private[operators] lazy val c3Sql: String =
     s"""WITH ch AS (SELECT * FROM (${oracle("t12_chunk")})),
         c1 AS (SELECT * FROM (${c1Sql}))
         SELECT ch.doc_id, ch.chunk_idx, ch.n_chunks, ch.start_tok,

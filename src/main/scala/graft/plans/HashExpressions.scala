@@ -150,6 +150,51 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], p: Long)
     copy(child = newChild)
 }
 
+/** th: array<long> of mod-P token hashes → array<double>(dims)
+  * FEATURE-HASHING embedding (the "hashing trick"): each token adds
+  * ±1.0 to dimension (h % dims), sign from the next hash bits
+  * ((h / dims) % 2 == 0 → +1). Deterministic, vocabulary-free, and
+  * SQL-expressible — the DuckDB oracle recomputes it with an
+  * unnest/GROUP BY plan — which is why the retrieval-serving gate can
+  * hash-match a learned-embedding-shaped pipeline end-to-end without a
+  * model in the container (the s10 scaladoc owns the rationale).
+  * Components are small-integer-valued doubles, so downstream dot
+  * products are EXACT (no fp-summation-order exposure) until the final
+  * norm/divide. Null token hashes contribute nothing. One tight O(n)
+  * loop per row vs O(n·dims) for the transform/aggregate formulation. */
+case class HashEmbed(child: Expression, dims: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if dims > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash_embed requires array<long> and dims > 0, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    val out = new Array[Double](dims)
+    var j = 0
+    while (j < n) {
+      if (!th.isNullAt(j)) {
+        val h = th.getLong(j)
+        val d = (h % dims).toInt
+        out(d) += (if ((h / dims) % 2 == 0) 1.0 else -1.0)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** th: array<long> → 32-bit SimHash: bit j set iff Σ_tokens (±1 on
   * token-hash bit j) > 0. Zero for empty input. */
 case class SimHash32(child: Expression)

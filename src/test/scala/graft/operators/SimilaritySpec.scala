@@ -261,6 +261,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"banded recall $recall%.2f")
   }
 
+  test("s10 retrieval serving: recall@5 vs the exact-cosine twin is " +
+    "measured; every query answered; ANN scores are a subset of the " +
+    "exact ranking's scores") {
+    def chunks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_idx"))).toSet
+      }
+    val ann = graft.SparkEntry.queries("s10_retrieve")(spark, dir).collect()
+    val exact = Similarity.s10ExactTwin(spark, dir).collect()
+    val annTop = chunks(ann)
+    val exactTop = chunks(exact)
+    assert(annTop.keySet === exactTop.keySet, "every query answered")
+    val per = exactTop.keys.toSeq.map { q =>
+      (annTop(q) intersect exactTop(q)).size.toDouble / exactTop(q).size
+    }
+    val recall = per.sum / per.size
+    info(f"s10 recall@5 vs exact twin: $recall%.2f")
+    // corpus-prefix queries: the query doc's own chunks share most
+    // tokens with the query, land in or near its bucket, and dominate
+    // the exact top-5 — multi-probe must keep recall well above chance
+    assert(recall >= 0.5, f"s10 recall $recall%.2f")
+    // the ANN rerank is exact within candidates: any chunk BOTH paths
+    // return must carry the same cosine in both
+    val exactCos = exact.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+      r.getAs[Double]("cosine")).toMap
+    ann.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"))
+      exactCos.get(k).foreach(c =>
+        assert(c === r.getAs[Double]("cosine"), s"cosine mismatch at $k"))
+    }
+    // the index artifact is registry-persisted: repeated serving calls
+    // must reuse the same frame, not rebuild the corpus index
+    assert(Similarity.retrievalIndex(spark, dir) eq
+      Similarity.retrievalIndex(spark, dir))
+  }
+
   test("kForCorpus: K tracks corpus size at fixed occupancy") {
     assert(Similarity.kForCorpus(1000) === 1)
     assert(Similarity.kForCorpus(4096) === 1)
