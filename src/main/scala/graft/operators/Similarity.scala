@@ -280,38 +280,48 @@ object Similarity {
   private val centroidReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
+  /** The full Lloyd loop over a (vec_id, embedding) frame with the
+    * init centroids = the rows whose vec_id is in `initIds` (cell
+    * label = that vec_id) — factored from the full-corpus artifact so
+    * the s11 refresh path can train the same way on the base slice.
+    * Centroid components are ROUNDED to 6 dp after each mean: avg()
+    * merge order is partition-dependent and differs from DuckDB's
+    * fold, so raw means can differ in the last ulp between runs/
+    * engines — across 3 chained iterations that ulp could flip a
+    * Voronoi-boundary assignment. Rounding pins both engines to the
+    * same centroid values (up to the measure-zero case of a mean
+    * within 1 ulp of a rounding boundary), making the distance
+    * ranking deterministic in practice. */
+  private def withN2(cent: DataFrame): DataFrame =
+    cent.withColumn("n2", dotD(col("vec"), col("vec")))
+
+  private[operators] def lloyd(e: DataFrame, initIds: Seq[Long]): DataFrame = {
+    val init = withN2(e.filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")))
+    def recompute(assigned: DataFrame): DataFrame =
+      withN2(assigned
+        .select(col("cluster").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"),
+          transform(col("pc"), x => x.getField("c")).as("vec")))
+    var cent = init
+    (1 to kmeansIters).foreach { _ =>
+      cent = recompute(kmeansAssign(e, cent))
+    }
+    cent
+  }
+
   private[operators] def kmeansCentroids(s: SparkSession,
                                          dir: String): DataFrame =
     centroidReg.getOrCompute(s, dir) {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      def withN2(cent: DataFrame): DataFrame =
-        cent.withColumn("n2", dotD(col("vec"), col("vec")))
-      val init = withN2(e.filter(col("vec_id") < kmeansK)
-        .select(col("vec_id").cast("int").as("cell"),
-          transform(col("embedding"), x => x.cast("double")).as("vec")))
-      // Centroid components are ROUNDED to 6 dp after each mean: avg()
-      // merge order is partition-dependent and differs from DuckDB's
-      // fold, so raw means can differ in the last ulp between runs/
-      // engines — across 3 chained iterations that ulp could flip a
-      // Voronoi-boundary assignment. Rounding pins both engines to the
-      // same centroid values (up to the measure-zero case of a mean
-      // within 1 ulp of a rounding boundary), making the distance
-      // ranking deterministic in practice.
-      def recompute(assigned: DataFrame): DataFrame =
-        withN2(assigned
-          .select(col("cluster").as("cell"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(round(avg(col("v").cast("double")), 6).as("c"))
-          .groupBy("cell").agg(
-            array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-          .select(col("cell"),
-            transform(col("pc"), x => x.getField("c")).as("vec")))
-      var cent = init
-      (1 to kmeansIters).foreach { _ =>
-        cent = recompute(kmeansAssign(e, cent))
-      }
-      val df = cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = lloyd(e, 0L until kmeansK.toLong)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     }
@@ -578,6 +588,118 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Arrival slice of the s11 refresh gate (d11's modular-slice
+    * rationale: planted duplicates sit at adjacent ids, so a modular
+    * cut — unlike an id range — puts real semantic mass in the batch). */
+  private[operators] val s11Mod = 7L
+  private[operators] val s11Res = 3L
+
+  /** Init ids of the BASE clustering: the lowest [[kmeansK]] vec_ids
+    * that are NOT in the arrival slice (the base-corpus analog of
+    * s7's first-K init — seed-free, oracle-reproducible). */
+  private[operators] val s11InitIds: Seq[Long] =
+    Iterator.iterate(0L)(_ + 1).filter(_ % s11Mod != s11Res)
+      .take(kmeansK).toSeq
+
+  /** Centroids trained on the BASE corpus only (the model d13-style
+    * serving would hold BEFORE the batch arrives) — same Lloyd loop,
+    * persisted per (session, dir) like [[kmeansCentroids]]. */
+  private val baseCentroidReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def baseCentroids(s: SparkSession,
+                                       dir: String): DataFrame =
+    baseCentroidReg.getOrCompute(s, dir) {
+      val base = t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(s11Mod)) =!= lit(s11Res))
+        .select(col("vec_id"), col("embedding"))
+      val df = lloyd(base, s11InitIds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** MINI-BATCH CENTROID UPDATE core — the online k-means rule
+    * (Bottou/Bengio; the web-scale form in Sculley's web-scale k-means):
+    * for each cluster c with n_c assigned base vectors and an arriving
+    * batch contributing m_c members with component sums S_c,
+    *   new_c = (n_c · old_c + S_c) / (n_c + m_c)
+    * — i.e. old_c moves toward the batch mean with learning rate
+    * m_c/(n_c+m_c), the count-weighted convex combination. Components
+    * round to 6 dp (the [[lloyd]] determinism contract: batch sums are
+    * merge-order-dependent in the last ulp; rounding pins both
+    * engines). Returns one row per cluster: old vec, new vec, counts. */
+  private[operators] def refreshCentroids(cent: DataFrame,
+      baseAssigned: DataFrame, batchAssigned: DataFrame): DataFrame = {
+    val nBase = baseAssigned.groupBy(col("cluster").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val mBatch = batchAssigned.groupBy(col("cluster").as("cell"))
+      .agg(count(lit(1)).as("n_batch"))
+    val batchSums = batchAssigned
+      .select(col("cluster").as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("v").cast("double")).as("sv"))
+    val newPos = cent
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "c")))
+      .join(nBase, Seq("cell"), "left")
+      .join(mBatch, Seq("cell"), "left")
+      .join(batchSums, Seq("cell", "pos"), "left")
+      .select(col("cell"), col("pos"),
+        coalesce(col("n_base"), lit(0L)).as("nb"),
+        coalesce(col("n_batch"), lit(0L)).as("mb"),
+        col("c"), coalesce(col("sv"), lit(0.0)).as("sv"))
+      .withColumn("nc",
+        when(col("nb") + col("mb") === 0, round(col("c"), 6))
+          .otherwise(round((col("nb") * col("c") + col("sv"))
+            / (col("nb") + col("mb")), 6)))
+    newPos
+      .groupBy("cell")
+      .agg(max("nb").as("n_base"), max("mb").as("n_batch"),
+        array_sort(collect_list(struct(col("pos"), col("c"), col("nc"))))
+          .as("pc"))
+      .select(col("cell"), col("n_base"), col("n_batch"),
+        transform(col("pc"), x => x.getField("c")).as("old_vec"),
+        transform(col("pc"), x => x.getField("nc")).as("new_vec"))
+  }
+
+  /** S11: ONLINE CENTROID REFRESH — the operational companion of the
+    * d13 streaming cluster tag (round-11 verdict item 3): d13 tags
+    * arriving documents against STATIC centroids, so cluster drift
+    * silently degrades the tags prof6 would flag; the production
+    * pipeline periodically folds the accepted batch into the model
+    * with one mini-batch update and re-persists the k-row artifact.
+    * The gated instance: centroids trained on the BASE slice
+    * (vec_id % [[s11Mod]] != [[s11Res]]), the arrival slice replayed
+    * as the batch, one [[refreshCentroids]] update; output per
+    * cluster: member counts and the 6-dp-pinned movement summary
+    * (shift = L2 distance old→new, n2_new = |new|²).
+    *
+    * Scale shape: both assignment passes are the map-only broadcast-
+    * argmin ([[kmeansAssign]] — no corpus shuffle); the update itself
+    * aggregates k×64 rows. Per refresh at 100 TB: one scan of the
+    * batch + one of the base (and the base pass's n_c is a k-row
+    * statistic a production run persists WITH the centroid artifact,
+    * making the refresh O(batch) — the gated form recomputes it for
+    * oracle independence). Refresh cadence contract in BASELINE.md.
+    * The movement column is exactly what an operator alerts on: shift
+    * >> within-cluster dispersion (s9's avg_dist2) means the tag
+    * model has drifted and d13 consumers should re-tag. */
+  val s11CentroidRefresh: Q = (s, dir) => {
+    val isBatch = pmod(col("vec_id"), lit(s11Mod)) === lit(s11Res)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = baseCentroids(s, dir)
+    val refreshed = refreshCentroids(cent,
+      kmeansAssign(e.filter(!isBatch), cent),
+      kmeansAssign(e.filter(isBatch), cent))
+    val diff = zip_with(col("new_vec"), col("old_vec"), (a, b) => a - b)
+    refreshed
+      .select(col("cell").as("cluster"), col("n_base"), col("n_batch"),
+        round(sqrt(dotD(diff, diff)), 6).as("shift"),
+        round(dotD(col("new_vec"), col("new_vec")), 6).as("n2_new"))
+      .orderBy("cluster")
+  }
+
   /** Top-k of [[s10Retrieve]]; query set = documents with
     * doc_id < [[s10QueryDocs]], query text = the document's first
     * [[s10QueryTokens]] whitespace tokens (a corpus-prefix query set:
@@ -764,7 +886,8 @@ object Similarity {
   // |c|^2 - 2*v.c formula and fold order the Spark side computes, ties
   // by cell) and one recompute CTE (per-dim AVG, list re-assembled in
   // pos order — the s4 pattern), chained kmeansIters times.
-  private def kmeansAssignSql(centCte: String, out: String): String =
+  private def kmeansAssignSql(centCte: String, out: String,
+                              src: String = "e"): String =
     s"""$out AS (
         SELECT vec_id, embedding, cell, d FROM (
           SELECT vec_id, embedding, cell, d,
@@ -776,7 +899,7 @@ object Similarity {
                 i -> c.vec[i] * c.vec[i]))
               - 2 * list_sum(list_transform(range(1, ${dims + 1}),
                   i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i])) AS d
-            FROM e, $centCte c))
+            FROM $src e, $centCte c))
         WHERE rk = 1)"""
 
   private def kmeansRecomputeSql(assignCte: String, out: String): String =
@@ -788,21 +911,29 @@ object Similarity {
         GROUP BY 1)"""
 
   /** The full Lloyd chain as CTEs ending in `af` (vec_id, embedding,
-    * cell, d — the FINAL assignment): shared by the s7 oracle, the s8
-    * within-cluster prune oracle, and d13's cluster-tag oracle. */
-  private[operators] lazy val s7ChainCtes: String = {
+    * cell, d — the FINAL assignment under the final centroids
+    * c$kmeansIters), parameterized by a WHERE clause on the embeddings
+    * scan and the init ids ([[lloyd]]'s SQL twin): shared by the s7/s8/
+    * s9 oracles and d13's cluster-tag oracle (full corpus, init
+    * 0..K-1) and the s11 refresh oracle (base slice, lowest K base
+    * ids). */
+  private[operators] def lloydChainCtes(where: String,
+                                        initIds: Seq[Long]): String = {
     val iterCtes = (1 to kmeansIters).map { it =>
       kmeansAssignSql(s"c${it - 1}", s"a$it") + ",\n" +
         kmeansRecomputeSql(s"a$it", s"c$it")
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings $where),
         c0 AS (
           SELECT CAST(vec_id AS INT) AS cell,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-          FROM e WHERE vec_id < $kmeansK),
+          FROM e WHERE vec_id IN (${initIds.mkString(", ")})),
         $iterCtes,
         ${kmeansAssignSql(s"c$kmeansIters", "af")}"""
   }
+
+  private[operators] lazy val s7ChainCtes: String =
+    lloydChainCtes("", 0L until kmeansK.toLong)
 
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes
@@ -848,6 +979,50 @@ object Similarity {
           CASE WHEN m.bid IS NULL THEN 'keep' ELSE 'prune' END AS verdict
         FROM af LEFT JOIN m ON m.bid = af.vec_id
         ORDER BY af.vec_id"""
+
+  /** S11 oracle: the base-slice Lloyd chain (same CTE generator as
+    * s7's, different WHERE + init ids), the batch assigned under the
+    * final base centroids, and the same count-weighted update —
+    * recomputed relationally end-to-end. */
+  private lazy val s11Sql: String = {
+    val D = dims + 1
+    s"""WITH ${lloydChainCtes(s"WHERE vec_id % $s11Mod != $s11Res",
+          s11InitIds)},
+        bb AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % $s11Mod = $s11Res),
+        ${kmeansAssignSql(s"c$kmeansIters", "ba", "bb")},
+        nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+               FROM af GROUP BY 1),
+        mb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+               FROM ba GROUP BY 1),
+        bs AS (SELECT cell, r.i AS pos,
+                 sum(CAST(embedding[r.i] AS DOUBLE)) AS sv
+               FROM ba, range(1, $D) r(i) GROUP BY 1, 2),
+        cf AS (SELECT cell, vec FROM c$kmeansIters),
+        np AS (
+          SELECT cf.cell, r.i AS pos,
+            coalesce(nb.n_base, 0) AS nbv, coalesce(mb.n_batch, 0) AS mbv,
+            cf.vec[r.i] AS c, coalesce(bs.sv, 0.0) AS sv
+          FROM cf CROSS JOIN range(1, $D) r(i)
+          LEFT JOIN nb ON nb.cell = cf.cell
+          LEFT JOIN mb ON mb.cell = cf.cell
+          LEFT JOIN bs ON bs.cell = cf.cell AND bs.pos = r.i),
+        ncte AS (
+          SELECT cell, pos, nbv, mbv,
+            CASE WHEN nbv + mbv = 0 THEN round(c, 6)
+                 ELSE round((nbv * c + sv) / (nbv + mbv), 6) END AS nc
+          FROM np),
+        nv AS (SELECT cell, max(nbv) AS n_base, max(mbv) AS n_batch,
+                 list(nc ORDER BY pos) AS nvec
+               FROM ncte GROUP BY 1)
+        SELECT nv.cell AS cluster, nv.n_base, nv.n_batch,
+          round(sqrt(list_sum(list_transform(range(1, $D),
+            i -> (nv.nvec[i] - cf.vec[i]) * (nv.nvec[i] - cf.vec[i])))), 6)
+            AS shift,
+          round(list_sum(list_transform(nv.nvec, x -> x * x)), 6) AS n2_new
+        FROM nv JOIN cf ON cf.cell = nv.cell
+        ORDER BY cluster"""
+  }
 
   /** S10 oracle: an INDEPENDENT plan for the same serving path — the
     * c3 oracle chain feeds an unnest/GROUP BY recomputation of the
@@ -932,6 +1107,7 @@ object Similarity {
     "s8_semdedup" -> s8Semdedup,
     "s9_cluster_profile" -> s9ClusterProfile,
     "s10_retrieve" -> s10Retrieve,
+    "s11_centroid_refresh" -> s11CentroidRefresh,
   )
 
   // lazy: s10's oracle composes TextAnalysis.c3Sql — a plain val here
@@ -939,6 +1115,7 @@ object Similarity {
   // oracle already forces this object from Dedup's (init-cycle guard).
   lazy val oracle: Map[String, String] = Map(
     "s10_retrieve" -> s10Sql,
+    "s11_centroid_refresh" -> s11Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e

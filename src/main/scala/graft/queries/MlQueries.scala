@@ -167,12 +167,128 @@ object MlQueries {
       .orderBy("bin")
   }
 
+  /** Deterministic LABEL RULE of the quality-classifier family
+    * (round-11 verdict item 2): a document is "good" iff its
+    * fixed-weight quality score clears the threshold AND the langid
+    * heuristic reads English. Deliberately NOT a pure function of the
+    * m7 feature vector (lang_pred is held out), so the fit has
+    * irreducible noise like a real labeling pass — and the rule itself
+    * is DuckDB-oracled through m6's label column. */
+  private val qLabelFloor = 0.55
+
+  private def qLabel =
+    when(col("quality_score") >= qLabelFloor &&
+      col("lang_pred") === "en", 1).otherwise(0)
+
+  /** Annotation-stage features + label — the training frame of the
+    * quality classifier. One projection of the persisted per-document
+    * annotation silver stage (TextAnalysis.annotations): the
+    * "annotate once, train many" layout — NO regex pass runs here. */
+  private def annotFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.annotations(s, dir)
+      .select(col("doc_id"), col("len_chars"), col("n_words"),
+        col("punct_ratio"), col("stop_ratio"), col("avg_word_len"),
+        col("quality_score"), col("lang_pred"))
+      .withColumn("label", qLabel)
+
+  /** M6 (deterministic half of the quality-classifier path, the m4
+    * pattern): fixed-coefficient logistic over the annotation features
+    * + the label rule, fully DuckDB-oracled — every feature, the label,
+    * and the sigmoid fold order sit inside the hash gate. The fitted
+    * path (m7) rides the same features and label. */
+  val m6QualityScore: Q = (s, dir) => {
+    val z = lit(-2.0) +
+      col("quality_score") * lit(3.0) +
+      col("stop_ratio") * lit(0.5) -
+      col("punct_ratio") * lit(2.0) +
+      col("avg_word_len") * lit(0.01) +
+      col("n_words") * lit(0.002)
+    annotFeatures(s, dir)
+      .select(col("doc_id"), col("label"),
+        (lit(1.0) / (lit(1.0) + exp(-z))).as("p_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Feature columns of the TRAINED quality classifier (m7). lang_pred
+    * is excluded — it is half the label rule (see [[qLabel]]). */
+  private val qFeatures =
+    Seq("len_chars", "n_words", "punct_ratio", "stop_ratio", "avg_word_len")
+
+  /** The TRAINED quality model: MLlib logistic regression fit on the
+    * annotation silver stage against the deterministic label rule —
+    * the production shape where t2's fixed weights are replaced by a
+    * classifier trained on labeled documents. Fit once per (session,
+    * dir) via the registry (the [[model]] lifecycle); determinism is
+    * pinned the m3 way: content-hash partitioning + in-partition sort
+    * + persist before the multi-pass LBFGS fit, so gradient
+    * aggregation order is content-deterministic and the fitted
+    * coefficients (and m7's golden histogram + MlSpec metrics)
+    * reproduce across hosts and input layouts. */
+  private val qualityFitted =
+    new graft.core.Registry[org.apache.spark.ml.PipelineModel](_ => ())
+
+  private[graft] def qualityModel(s: SparkSession,
+                                  dir: String): org.apache.spark.ml.PipelineModel =
+    qualityFitted.getOrCompute(s, dir) {
+      val train = annotFeatures(s, dir)
+        .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      train.count()
+      try {
+        val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(qFeatures.toArray).setOutputCol("features")
+        val lr = new org.apache.spark.ml.classification.LogisticRegression()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(50).setTol(1e-7).setRegParam(0.0)
+          .setStandardization(true)
+        new org.apache.spark.ml.Pipeline()
+          .setStages(Array(assembler, lr)).fit(train)
+      } finally train.unpersist(false)
+    }
+
+  /** Corpus scored by the trained quality model: doc_id, label,
+    * P(good). Spec-level surface (MlSpec pins accuracy/AUC goldens);
+    * the registry gate is m7's histogram. */
+  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame =
+    qualityModel(s, dir).transform(annotFeatures(s, dir))
+      .select(col("doc_id"), col("label"), col("prediction"),
+        col("rawPrediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("p_good"))
+
+  /** M7 (distributional oracle for the trained path, the m5 pattern):
+    * binned P(good) histogram of the corpus under the fitted model.
+    * LBFGS coefficients aren't SQL-recomputable, but the fit is
+    * content-deterministic (see [[qualityModel]]), so the histogram is
+    * a stable golden: the oracle pins it per scale as VALUES and
+    * dispatches on the corpus doc count — which DuckDB CAN recompute —
+    * putting the annotate → label → assemble → fit → score plumbing
+    * inside the driver's hash gate at every swept scale. */
+  val m7QualityHistogram: Q = (s, dir) => {
+    val scored = qualityScored(s, dir)
+    // dispatch key = (corpus count, positive-label count): BOTH DuckDB-
+    // recomputable through the m6 chain, and jointly distinct across
+    // the swept scales (n_docs alone collides: sf0.001 and sf0.01 both
+    // hold 500 documents)
+    val key = scored.agg(count(lit(1)).as("n_docs"),
+      sum("label").as("n_pos"))
+    val hist = scored
+      .select(least(floor(round(col("p_good"), 4) / 0.05), lit(19.0))
+        .cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs_bin"))
+    hist.join(broadcast(key))
+      .select(col("n_docs"), col("n_pos"), col("bin"), col("n_docs_bin"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
     "m3_top_trajectories" -> m3TopTrajectories,
     "m4_logistic_score" -> m4LogisticScore,
     "m5_score_histogram" -> m5ScoreHistogram,
+    "m6_quality_score" -> m6QualityScore,
+    "m7_quality_histogram" -> m7QualityHistogram,
   )
 
   /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
@@ -203,7 +319,24 @@ object MlQueries {
     * the OOT row count, so one static SQL holds at both the sf0.01
     * gate and the sf0.1 cross-scale sweep (goldens re-derived
     * 2026-08-14 from two fresh-JVM runs each, byte-identical). */
-  val oracle: Map[String, String] = Map(
+  private lazy val m6Sql: String =
+    s"""WITH q AS (SELECT * FROM
+          (${graft.operators.TextAnalysis.oracle("t2_quality")})),
+        l AS (SELECT doc_id, lang_pred FROM
+          (${graft.operators.TextAnalysis.oracle("t3_langid")}))
+        SELECT q.doc_id,
+          CASE WHEN q.quality_score >= $qLabelFloor
+                AND l.lang_pred = 'en' THEN 1 ELSE 0 END AS label,
+          1.0 / (1.0 + exp(-(-2.0
+            + q.quality_score * 3.0
+            + q.stop_ratio * 0.5
+            - q.punct_ratio * 2.0
+            + q.avg_word_len * 0.01
+            + q.n_words * 0.002))) AS p_quality
+        FROM q JOIN l ON l.doc_id = q.doc_id
+        ORDER BY q.doc_id"""
+
+  lazy val oracle: Map[String, String] = Map(
     "m5_score_histogram" ->
       s"""WITH $abtSql
           SELECT CAST(v.n_oot AS BIGINT) AS n_oot, v.bin,
@@ -221,6 +354,64 @@ object MlQueries {
             (11708, 8, 2), (11708, 9, 1), (11708, 10, 1), (11708, 11, 2))
             v(n_oot, bin, n_custs)
           WHERE v.n_oot = (SELECT count(*) FROM abt WHERE yr = 1998)
+          ORDER BY v.bin""",
+    // m6: the t2/t3 oracle queries composed exactly as annotFeatures
+    // composes the silver stage; label rule + sigmoid fold order mirror
+    // the Spark side term-for-term.
+    "m6_quality_score" -> m6Sql,
+    // m7: the trained path's DISTRIBUTIONAL oracle (the m5 pattern) —
+    // LBFGS coefficients aren't SQL-recomputable, but the fit is
+    // content-deterministic (qualityModel's pinned partitioning), so
+    // the binned P(good) histogram is a stable golden: pinned per
+    // scale as VALUES, dispatched on (corpus count, positive-label
+    // count) which DuckDB RECOMPUTES through the m6 label chain
+    // (goldens from two fresh-JVM runs per scale, byte-identical,
+    // 2026-08-14). The join against the recomputed key also re-gates
+    // the label rule at every scale.
+    "m7_quality_histogram" ->
+      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
+          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+          SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
+            CAST(v.n_pos AS BIGINT) AS n_pos, v.bin,
+            CAST(v.n AS BIGINT) AS n_docs_bin
+          FROM (VALUES
+            (500, 352, 0, 125),
+            (500, 352, 1, 13),
+            (500, 352, 2, 4),
+            (500, 352, 3, 3),
+            (500, 352, 4, 2),
+            (500, 352, 6, 1),
+            (500, 352, 10, 1),
+            (500, 352, 11, 1),
+            (500, 352, 12, 2),
+            (500, 352, 17, 3),
+            (500, 352, 18, 5),
+            (500, 352, 19, 340),
+            (500, 343, 0, 157),
+            (500, 343, 19, 343),
+            (5000, 3468, 0, 1362),
+            (5000, 3468, 1, 47),
+            (5000, 3468, 2, 30),
+            (5000, 3468, 3, 29),
+            (5000, 3468, 4, 29),
+            (5000, 3468, 5, 11),
+            (5000, 3468, 6, 8),
+            (5000, 3468, 7, 11),
+            (5000, 3468, 8, 9),
+            (5000, 3468, 9, 3),
+            (5000, 3468, 10, 12),
+            (5000, 3468, 11, 1),
+            (5000, 3468, 12, 10),
+            (5000, 3468, 13, 5),
+            (5000, 3468, 14, 13),
+            (5000, 3468, 15, 19),
+            (5000, 3468, 16, 1),
+            (5000, 3468, 17, 12),
+            (5000, 3468, 18, 35),
+            (5000, 3468, 19, 3353))
+            v(n_docs, n_pos, bin, n)
+          JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
           ORDER BY v.bin""",
     "m4_logistic_score" ->
       s"""WITH $abtSql

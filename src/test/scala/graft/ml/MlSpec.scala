@@ -95,6 +95,36 @@ class MlSpec extends SparkSpec {
     assert(math.abs(imp("avg_urgent_price") - 0.003641) < 1e-5, s"imp $imp")
   }
 
+  test("m7 quality model: trained on the annotation stage against the " +
+    "m6 label rule; accuracy/AUC goldens reproduce; fit beats the " +
+    "majority-class baseline") {
+    // Goldens recorded 2026-08-14 from two fresh-JVM runs (the m7
+    // histogram oracle pins the same fit cross-JVM at three scales);
+    // determinism contract = qualityModel's content-hash partitioning.
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.queries.MlQueries.qualityScored(spark, dir)
+    val n = scored.count().toDouble
+    val acc = new org.apache.spark.ml.evaluation
+      .MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(scored)
+    val auc = new org.apache.spark.ml.evaluation
+      .BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    val majority = math.max(
+      scored.filter(col("label") === 1).count() / n,
+      scored.filter(col("label") === 0).count() / n)
+    info(f"m7 acc=$acc%.12f auc=$auc%.12f majority=$majority%.4f")
+    // the label holds out lang_pred, so perfect separation is
+    // impossible — but the features carry most of the signal
+    assert(acc > majority, f"fit no better than majority $majority%.4f")
+    assert(auc >= 0.85, f"auc $auc%.4f")
+    assert(math.abs(acc - 0.996) < 1e-9, f"golden acc drifted: $acc%.12f")
+    assert(math.abs(auc - 0.998579545455) < 1e-9,
+      f"golden auc drifted: $auc%.12f")
+  }
+
   test("golden prediction frame: m1's full scored OOT frame at seed 42 " +
     "reproduces the recorded hash (Spark-version-scoped)") {
     // Upgrades m1_rf_score beyond the driver's rows-only check: the md5

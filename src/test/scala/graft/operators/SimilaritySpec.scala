@@ -300,6 +300,90 @@ class SimilaritySpec extends SparkSpec {
       Similarity.retrievalIndex(spark, dir))
   }
 
+  test("s11 centroid refresh: matches a plain-Scala mini-batch update " +
+    "exactly; refreshed model tracks the exact one-step union recompute " +
+    "(movement tolerance); assignment parity vs that recompute is high") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val isBatch = (id: Long) => id % Similarity.s11Mod == Similarity.s11Res
+    val base = emb.filter(kv => !isBatch(kv._1))
+    val batch = emb.filter(kv => isBatch(kv._1))
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def nearest(v: Array[Double], cs: Map[Int, Array[Double]]): Int =
+      cs.map { case (c, cv) => (c, d2(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference base Lloyd (the s7 test's reimplementation, base slice)
+    var cents: Map[Int, Array[Double]] =
+      Similarity.s11InitIds.map(id => id.toInt -> emb(id)).toMap
+    (1 to Similarity.kmeansIters).foreach { _ =>
+      val assign = base.map { case (id, v) => id -> nearest(v, cents) }
+      cents = cents.keys.map { c =>
+        val vs = assign.collect { case (id, cl) if cl == c => base(id) }
+        if (vs.isEmpty) c -> cents(c)
+        else c -> Array.tabulate(64)(d => r6(vs.map(_(d)).sum / vs.size))
+      }.toMap
+    }
+    val baseAssign = base.map { case (id, v) => id -> nearest(v, cents) }
+    val batchAssign = batch.map { case (id, v) => id -> nearest(v, cents) }
+    // reference mini-batch refresh: count-weighted convex combination
+    val refreshed = cents.map { case (c, old) =>
+      val n = baseAssign.count(_._2 == c)
+      val bs = batchAssign.collect { case (id, cl) if cl == c => batch(id) }
+      val m = bs.size
+      c -> (if (n + m == 0) old.map(r6)
+            else Array.tabulate(64)(d => r6((n * old(d) +
+              bs.map(_(d)).sum) / (n + m))), n.toLong, m.toLong)
+    }
+    // 1) the operator output equals the reference rule exactly
+    val got = graft.SparkEntry.queries("s11_centroid_refresh")(spark, dir)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_batch"),
+          r.getAs[Double]("shift"), r.getAs[Double]("n2_new"))).toMap
+    assert(got.keySet === refreshed.keySet)
+    refreshed.foreach { case (c, (nv, n, m)) =>
+      val (gn, gm, gShift, gN2) = got(c)
+      assert(gn === n, s"cluster $c n_base")
+      assert(gm === m, s"cluster $c n_batch")
+      val refShift = r6(math.sqrt(d2(nv, cents(c))))
+      assert(math.abs(gShift - refShift) < 1e-6, s"cluster $c shift")
+      val refN2 = r6(nv.map(x => x * x).sum)
+      assert(math.abs(gN2 - refN2) < 1e-6, s"cluster $c n2_new")
+    }
+    // 2) the refreshed model tracks the EXACT one-step recompute over
+    // the union (mean of all base+batch members per cell, assigned
+    // under the pre-refresh model) — the offline recompute an s7 rerun
+    // would take as its next iterate
+    val offline = cents.map { case (c, old) =>
+      val vs = (baseAssign.collect { case (id, cl) if cl == c => base(id) }
+        ++ batchAssign.collect { case (id, cl) if cl == c => batch(id) })
+        .toArray
+      c -> (if (vs.isEmpty) old.map(r6)
+            else Array.tabulate(64)(d => r6(vs.map(_(d)).sum / vs.size)))
+    }
+    val moves = refreshed.map { case (c, (nv, _, _)) =>
+      c -> math.sqrt(d2(nv, offline(c)))
+    }
+    info(s"refresh-vs-offline L2 per cluster: " +
+      moves.map { case (c, v) => f"$c:$v%.4f" }.mkString(" "))
+    // the two rules differ only by n·(old − current-base-mean)/(n+m) —
+    // small once the base Lloyd has converged
+    moves.values.foreach(v => assert(v < 0.05, f"drift $v%.4f"))
+    // 3) assignment parity at convergence: the refreshed and offline
+    // models must agree on (nearly) every vector's cluster
+    val parity = emb.count { case (_, v) =>
+      nearest(v, refreshed.map { case (c, (nv, _, _)) => c -> nv }) ==
+        nearest(v, offline)
+    }.toDouble / emb.size
+    info(f"assignment parity refreshed-vs-offline: $parity%.4f")
+    assert(parity >= 0.95, f"parity $parity%.4f")
+  }
+
   test("kForCorpus: K tracks corpus size at fixed occupancy") {
     assert(Similarity.kForCorpus(1000) === 1)
     assert(Similarity.kForCorpus(4096) === 1)
