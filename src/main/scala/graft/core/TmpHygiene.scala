@@ -24,7 +24,12 @@ object TmpHygiene {
     * staging dir (every current build stages its own pid-keyed copy
     * at entry). Without this branch the exact disk-fill hazard the
     * sweep was added for persists for legacy leftovers forever
-    * (round-11 advice). */
+    * (round-11 advice). Residual assumption (documented, not proven):
+    * a pre-round-11 PROCESS could in principle still be replaying a
+    * >6h-old legacy dir (reads don't bump mtime) — accepted because
+    * build rounds are shorter than the threshold and every current
+    * build restages at entry; this branch is a MIGRATION aid and can
+    * be deleted once legacy dirs are gone from the fleet's tmp. */
   private val legacyMaxAgeMs = 6L * 3600 * 1000
 
   @volatile private var swept = false

@@ -685,8 +685,20 @@ object Dedup {
     * hot(i) && !hot(i+1); zipping the two equal-length index lists
     * yields the maximal runs, and a run of shingles [s, e] covers
     * tokens [s, e+2] (3-gram width, clamped for the <3-token
-    * whole-doc fallback shingle). Output is bounded by runs-per-doc
-    * (≤ shingles/2), emitted only for documents that HAVE hot spans. */
+    * whole-doc fallback shingle).
+    *
+    * DISJOINTNESS: emitted spans never overlap — the contract
+    * sequential excision needs. Two hot runs separated by exactly ONE
+    * cold shingle would widen into token ranges sharing a token
+    * (run [s,e] reaches token e+2; a run starting at shingle e+2
+    * starts at token e+2), so single-cold-shingle gaps are BRIDGED
+    * before widening (hot'(i) = hot(i) ∨ (hot(i−1) ∧ hot(i+1))):
+    * the bridged shingle's tokens were already covered by the union
+    * of the two widened runs, so coverage is IDENTICAL and the rows
+    * become disjoint. Gaps of ≥2 cold shingles yield adjacent-or-
+    * separated spans and need no bridge. Output is bounded by
+    * runs-per-doc (≤ shingles/2), emitted only for documents that
+    * HAVE hot spans. */
   val d14SpanSurgery: Q = (s, dir) => {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(trim(lower(col("text"))), wsPat).as("tk"))
@@ -711,14 +723,20 @@ object Dedup {
       .withColumn("hf",
         transform(col("hs"), h => array_contains(col("hot"), h)))
       .withColumn("m", size(col("hs")))
+      // bridge single-cold-shingle gaps (see DISJOINTNESS above)
+      .withColumn("hf2",
+        transform(sequence(lit(0), col("m") - 1), i =>
+          element_at(col("hf"), i + 1) ||
+            (i > 0 && i < col("m") - 1 &&
+              element_at(col("hf"), i) && element_at(col("hf"), i + 2))))
       .withColumn("sts",
         filter(sequence(lit(0), col("m") - 1), i =>
-          element_at(col("hf"), i + 1) &&
-            (i === 0 || !element_at(col("hf"), i))))
+          element_at(col("hf2"), i + 1) &&
+            (i === 0 || !element_at(col("hf2"), i))))
       .withColumn("ens",
         filter(sequence(lit(0), col("m") - 1), i =>
-          element_at(col("hf"), i + 1) &&
-            (i === col("m") - 1 || !element_at(col("hf"), i + 2))))
+          element_at(col("hf2"), i + 1) &&
+            (i === col("m") - 1 || !element_at(col("hf2"), i + 2))))
       .select(col("doc_id"), col("tk"),
         posexplode(zip_with(col("sts"), col("ens"),
           (a, b) => struct(a.as("st"), b.as("en")))).as(Seq("span_idx", "r")))
@@ -1079,13 +1097,19 @@ object Dedup {
                 x -> coalesce(list_contains(hotl.hl, x), false)) AS hf
             FROM hsc h JOIN b USING (doc_id)
             LEFT JOIN hotl ON hotl.doc_id = h.doc_id),
+          hx2 AS (
+            SELECT doc_id, tk, m,
+              list_transform(range(0, m), i ->
+                hf[i+1] OR (i > 0 AND i < m-1 AND hf[i] AND hf[i+2]))
+                AS hf2
+            FROM hx),
           runs AS (
             SELECT doc_id, tk,
               list_filter(range(0, m),
-                i -> hf[i+1] AND (i = 0 OR NOT hf[i])) AS sts,
+                i -> hf2[i+1] AND (i = 0 OR NOT hf2[i])) AS sts,
               list_filter(range(0, m),
-                i -> hf[i+1] AND (i = m-1 OR NOT hf[i+2])) AS ens
-            FROM hx),
+                i -> hf2[i+1] AND (i = m-1 OR NOT hf2[i+2])) AS ens
+            FROM hx2),
           sp AS (
             SELECT doc_id, tk,
               unnest(list_transform(range(0, len(sts)),

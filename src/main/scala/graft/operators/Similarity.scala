@@ -764,9 +764,16 @@ object Similarity {
       .withColumn("qn", normD(col("qe")))
       .filter(col("qn") > 0)
 
-  /** Serving core: ANN candidates via the multi-probe bucket join
-    * (each query probes its own bucket + the `p` hamming-1 neighbors),
+  /** Serving core: ANN candidates via the multi-probe bucket join,
     * exact cosine rerank, top-k per query with chunk text + provenance.
+    * `indexPlanes` is the PLANE COUNT THE INDEX WAS BUCKETED WITH —
+    * query buckets are computed under the same geometry
+    * (bucketOf(qe, indexPlanes)), and the probe set is the query's own
+    * bucket plus its indexPlanes hamming-1 neighbors. Passing a value
+    * other than the index's own plane count would bucket the two sides
+    * in different keyspaces and silently collapse recall to ~0, so a
+    * production caller derives BOTH from one planesFor(n_chunks) call
+    * at index-build time and stores it with the artifact.
     *
     * Scale shape — the property the whole operator exists for: the
     * CORPUS SIDE NEVER RESHUFFLES PER QUERY BATCH. The index is read
@@ -781,11 +788,11 @@ object Similarity {
     * contract); recall vs the exact twin is measured in
     * SimilaritySpec, the s2-vs-s1 pattern. */
   private[graft] def retrieveTopK(q: DataFrame, idx: DataFrame,
-                                  p: Int, k: Int): DataFrame = {
+                                  indexPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val masks = lit(0L) +: (0 until p).map(i => lit(1L << i))
+    val masks = lit(0L) +: (0 until indexPlanes).map(i => lit(1L << i))
     val qp = q
-      .withColumn("bkt0", bucketOf(col("qe"), p))
+      .withColumn("bkt0", bucketOf(col("qe"), indexPlanes))
       .withColumn("bkt",
         explode(array(masks.map(m => col("bkt0").bitwiseXOR(m)): _*)))
       .select(col("qid"), col("qe"), col("qn"), col("bkt"))

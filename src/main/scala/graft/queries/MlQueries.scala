@@ -265,18 +265,27 @@ object MlQueries {
     * putting the annotate → label → assemble → fit → score plumbing
     * inside the driver's hash gate at every swept scale. */
   val m7QualityHistogram: Q = (s, dir) => {
-    val scored = qualityScored(s, dir)
     // dispatch key = (corpus count, positive-label count): BOTH DuckDB-
     // recomputable through the m6 chain, and jointly distinct across
     // the swept scales (n_docs alone collides: sf0.001 and sf0.01 both
-    // hold 500 documents)
-    val key = scored.agg(count(lit(1)).as("n_docs"),
-      sum("label").as("n_pos"))
-    val hist = scored
-      .select(least(floor(round(col("p_good"), 4) / 0.05), lit(19.0))
-        .cast("int").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n_docs_bin"))
-    hist.join(broadcast(key))
+    // hold 500 documents). ONE scoring pass: the (bin, label) cell
+    // counts are aggregated once and both the key and the histogram
+    // derive from that bounded (≤2×20-row) frame — key+hist as two
+    // independent aggs over the un-persisted scored frame would run
+    // the model transform over the corpus twice (round-12 review).
+    val cells = qualityScored(s, dir)
+      .select(col("label"),
+        least(floor(round(col("p_good"), 4) / 0.05), lit(19.0))
+          .cast("int").as("bin"))
+      .groupBy("bin", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(lit(0))
+    cells
+      .withColumn("n_docs", sum("n").over(w))
+      .withColumn("n_pos",
+        sum(when(col("label") === 1, col("n")).otherwise(lit(0L))).over(w))
+      .groupBy("bin")
+      .agg(max("n_docs").as("n_docs"), max("n_pos").as("n_pos"),
+        sum("n").as("n_docs_bin"))
       .select(col("n_docs"), col("n_pos"), col("bin"), col("n_docs_bin"))
       .orderBy("bin")
   }

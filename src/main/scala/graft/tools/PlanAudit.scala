@@ -31,6 +31,10 @@ object PlanAudit {
     "e8_stream_join",    // watermark+range-bounded stream-stream join state
     "s8_semdedup",       // cluster-keyed prune join, no corpus cross join
     "d13_stream_cluster_tag", // persisted-index probe + broadcast centroid tag
+    "s10_retrieve",      // serving: corpus streams in place, query probes broadcast
+    "s11_centroid_refresh", // map-only assigns + k-row update, no corpus shuffle
+    "d14_span_surgery",  // map-only span emission off the shingle silver stage
+    "m7_quality_histogram", // annotation-artifact scan -> model scoring, no regex
   )
 
   def main(args: Array[String]): Unit = {

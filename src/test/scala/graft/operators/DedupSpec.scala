@@ -171,6 +171,19 @@ class DedupSpec extends SparkSpec {
         "sequence here"),
       (204L, "common start sequence here xxx yyy zzz common ending " +
         "sequence here"),
+      // 205: hot shingles 0 ("pre amble one", via 206) and 3 ("two
+      // post lude", via 207) with TWO cold shingles between — no
+      // bridge, two ADJACENT disjoint spans (tokens 0-2 and 3-5)
+      (205L, "pre amble one two post lude"),
+      (206L, "pre amble one alpha1 beta1"),
+      (207L, "gamma1 delta1 two post lude"),
+      // 208: hot shingles 0 ("aa bb cc", via 209) and 2-4 ("cc dd ee"
+      // onward, via 210) with exactly ONE cold shingle ("bb cc dd")
+      // between — un-bridged the widened spans [0,2] and [2,6] would
+      // OVERLAP on token 2; the bridge must emit ONE span 0-6
+      (208L, "aa bb cc dd ee ff gg"),
+      (209L, "aa bb cc qq1"),
+      (210L, "rr1 cc dd ee ff gg"),
     ).toDF("doc_id", "text")
     val stage = Dedup.buildShingleStage(docs)
     val toks = docs.select(col("doc_id"),
@@ -189,6 +202,24 @@ class DedupSpec extends SparkSpec {
       assert(sp.map(x => (x._2, x._3, x._4, x._8)).toSeq === Seq(
         (0, 0, 3, "common start sequence here"),
         (1, 7, 10, "common ending sequence here")), s"doc $id spans")
+    }
+    // gap-2: adjacent but DISJOINT spans, no bridge
+    assert(got.filter(_._1 == 205L).sortBy(_._2)
+      .map(x => (x._3, x._4, x._8)).toSeq === Seq(
+        (0, 2, "pre amble one"), (3, 5, "two post lude")), "doc 205")
+    // gap-1: bridged into ONE span covering the union
+    assert(got.filter(_._1 == 208L)
+      .map(x => (x._3, x._4, x._8)).toSeq ===
+      Seq((0, 6, "aa bb cc dd ee ff gg")), "doc 208 bridge")
+    // the disjointness CONTRACT itself: within every doc, spans are
+    // non-overlapping in both token and char space, in order
+    got.groupBy(_._1).foreach { case (id, sp) =>
+      sp.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._3, s"doc $id token overlap: $a / $b")
+          assert(a._7 <= b._6, s"doc $id char overlap: $a / $b")
+        case _ => ()
+      }
     }
     // the documented offset contract: [start_char, end_char) indexes the
     // ws-normalized lowercase text and round-trips to span_text

@@ -323,10 +323,12 @@ class SimilaritySpec extends SparkSpec {
       Similarity.s11InitIds.map(id => id.toInt -> emb(id)).toMap
     (1 to Similarity.kmeansIters).foreach { _ =>
       val assign = base.map { case (id, v) => id -> nearest(v, cents) }
-      cents = cents.keys.map { c =>
-        val vs = assign.collect { case (id, cl) if cl == c => base(id) }
-        if (vs.isEmpty) c -> cents(c)
-        else c -> Array.tabulate(64)(d => r6(vs.map(_(d)).sum / vs.size))
+      // like the s7 reference: an emptied cell DROPS from the centroid
+      // map (the operator's recompute is a groupBy over assigned rows —
+      // keeping the stale centroid here would mask that divergence)
+      cents = assign.groupBy(_._2).map { case (c, m) =>
+        val vs = m.keys.map(base).toArray
+        c -> Array.tabulate(64)(d => r6(vs.map(_(d)).sum / vs.size))
       }.toMap
     }
     val baseAssign = base.map { case (id, v) => id -> nearest(v, cents) }
