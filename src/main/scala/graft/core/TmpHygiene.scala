@@ -29,7 +29,17 @@ object TmpHygiene {
     * >6h-old legacy dir (reads don't bump mtime) — accepted because
     * build rounds are shorter than the threshold and every current
     * build restages at entry; this branch is a MIGRATION aid and can
-    * be deleted once legacy dirs are gone from the fleet's tmp. */
+    * be deleted once legacy dirs are gone from the fleet's tmp.
+    *
+    * The match is restricted to the ENUMERATED legacy staging/sink/
+    * store families — a bare `graft-*` age rule deleted the
+    * long-lived GenScale data dir (/tmp/graft-sf1, deliberately
+    * persistent across rounds) the first time it ran. Derived
+    * DATASETS under tmp are out of scope for hygiene; only this
+    * library's own disposable dirs are. */
+  private val legacyPat =
+    "^graft-(stream-|i\\d+-store-|[a-z0-9_]+-sink-).*$".r
+
   private val legacyMaxAgeMs = 6L * 3600 * 1000
 
   @volatile private var swept = false
@@ -54,7 +64,7 @@ object TmpHygiene {
             .map[java.lang.Boolean](_.isAlive).orElse(false)
           if (!alive)
             org.apache.commons.io.FileUtils.deleteQuietly(f)
-        case name if name.startsWith("graft-") =>
+        case name if legacyPat.findFirstIn(name).isDefined =>
           // legacy un-pid-keyed formats: reclaim by age (see above)
           if (System.currentTimeMillis() - f.lastModified() > legacyMaxAgeMs)
             org.apache.commons.io.FileUtils.deleteQuietly(f)

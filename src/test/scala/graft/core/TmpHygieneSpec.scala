@@ -33,4 +33,28 @@ class TmpHygieneSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteQuietly)
     }
   }
+
+  test("legacy branch: aged staging/sink/store dirs reclaimed; data " +
+    "dirs (graft-sf1) and young legacy dirs survive") {
+    val oldMs = System.currentTimeMillis() - 7L * 3600 * 1000
+    def age(f: java.io.File): Unit = { f.setLastModified(oldMs); () }
+    val oldStream = mk("graft-stream-spec-legacy")
+    val oldSink = mk("graft-d12spec-sink-deadbeef")
+    val oldStore = mk("graft-i1-store-deadbeef")
+    val dataDir = mk("graft-sf1-spec") // GenScale-style dataset: NEVER swept
+    val young = mk("graft-stream-spec-young") // in-use window: kept
+    Seq(oldStream, oldSink, oldStore, dataDir).foreach(age)
+    try {
+      TmpHygiene.sweepNow()
+      assert(!oldStream.exists(), "aged legacy stream dir survived")
+      assert(!oldSink.exists(), "aged legacy sink dir survived")
+      assert(!oldStore.exists(), "aged legacy store dir survived")
+      assert(dataDir.exists(),
+        "dataset dir outside the enumerated legacy families was deleted")
+      assert(young.exists(), "young legacy-format dir was deleted")
+    } finally {
+      Seq(oldStream, oldSink, oldStore, dataDir, young).foreach(
+        org.apache.commons.io.FileUtils.deleteQuietly)
+    }
+  }
 }
