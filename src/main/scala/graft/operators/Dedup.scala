@@ -568,6 +568,105 @@ object Dedup {
         .select(col("doc_id").as("bench_id"), col("hs")))
   }
 
+  /** Bloom geometry of [[d15BloomDecontaminate]]: expected distinct
+    * benchmark grams (a safe upper bound for the committed
+    * [[benchCutoff]]-doc benchmark at any testdata scale) and the bit
+    * budget — 8 bits/key ≈ 2% false-positive rate. An FP costs one
+    * extra row through the confirm join; it can never change the
+    * answer, and Bloom false NEGATIVES are impossible by construction. */
+  private[operators] val d15EstGrams = 1L << 16
+  private[operators] val d15NumBits = 8L * d15EstGrams
+
+  /** Bloom bits over a gram frame's single `g` column — Spark's OWN
+    * runtime-filter aggregate (catalyst BloomFilterAggregate) reused
+    * as a user-level operator: executors build partial filters, the
+    * driver merges them into ONE bounded byte array (numBits/8 bytes,
+    * independent of input row count — this head() is the runtime-
+    * filter merge step, not a data collect), and probes take the bits
+    * as a literal, exactly like an injected bloom runtime filter. */
+  private[operators] def gramBloom(grams: DataFrame, estItems: Long,
+                                   numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.graftshim
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(graftshim.expression(col("g")),
+      Literal(estItems), Literal(numBits)).toAggregateExpression()
+    grams.select(graftshim.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** might_contain probe against driver-merged bloom bits (catalyst
+    * BloomFilterMightContain over a binary literal — codegen'd, no
+    * UDF). */
+  private[operators] def bloomMightContain(bits: Array[Byte],
+                                           g: Column): Column = {
+    import org.apache.spark.sql.graftshim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    graftshim.column(BloomFilterMightContain(
+      Literal(bits, org.apache.spark.sql.types.BinaryType),
+      graftshim.expression(g)))
+  }
+
+  /** D15 core over pre-shingled sides (d9's
+    * [[decontaminateGrams]] contract): Bloom-prescreen, then exact
+    * confirm. */
+  private def bloomDecontaminateGrams(train: DataFrame, bench: DataFrame,
+      estItems: Long, numBits: Long): DataFrame = {
+    val benchGrams = bench.select(col("bench_id"),
+      explode(array_distinct(col("hs"))).as("g"))
+    val bits = gramBloom(benchGrams.select("g"), estItems, numBits)
+    val trainGrams = train.select(col("doc_id"),
+      explode(array_distinct(col("hs"))).as("g"))
+    trainGrams
+      .filter(bloomMightContain(bits, col("g")))
+      .join(maybeBroadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** BLOOM-PRESCREENED DECONTAMINATION over arbitrary (doc_id, text)
+    * frames — [[decontaminate]]'s semantics for the regime where the
+    * benchmark no longer fits a raw broadcast set: d9's unconditional
+    * broadcast is structurally right for an eval SUITE (KBs–MBs), but
+    * a contamination BLOCKLIST (every past benchmark + held-out eval +
+    * customer-optout n-gram, easily 10⁹+ grams) outgrows it. Two
+    * phases:
+    *   1. PRESCREEN — a Bloom filter over the blocklist grams
+    *      (~1 byte/gram vs 8+ for raw longs) probes the corpus grams
+    *      MAP-SIDE: the non-hit corpus (the overwhelming majority)
+    *      never shuffles at all.
+    *   2. CONFIRM — only survivors (true hits + the ~2% FP sliver)
+    *      reach the exact gram-keyed join, where Bloom false
+    *      positives find no partner and die.
+    * The OUTPUT is therefore exactly d9's (same oracle SQL — shared
+    * semantics, different physical plan), and the 100 TB cost moves
+    * from `corpus-grams × shuffle` to `bloom-build + map-scan +
+    * sliver-join`. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      estItems: Long = d15EstGrams,
+      numBits: Long = d15NumBits): DataFrame =
+    bloomDecontaminateGrams(
+      withShingleCols(corpus).select(col("doc_id"), col("hs")),
+      withShingleCols(bench)
+        .select(col("doc_id").as("bench_id"), col("hs")),
+      estItems, numBits)
+
+  /** D15 gated query: [[bloomDecontaminateGrams]] on d9's exact split
+    * of the shingle silver stage — the oracle is d9's (the operators
+    * are output-equivalent by design; the spec pins the prescreen's
+    * survivor-set invariants). */
+  val d15BloomDecontaminate: Q = (s, dir) => {
+    val sh = shingled(s, dir)
+    bloomDecontaminateGrams(
+      sh.filter(col("doc_id") >= benchCutoff)
+        .select(col("doc_id"), col("hs")),
+      sh.filter(col("doc_id") < benchCutoff)
+        .select(col("doc_id").as("bench_id"), col("hs")),
+      d15EstGrams, d15NumBits)
+  }
+
   /** Round-1 exact all-pairs form — O(n²) nested loop, NOT in the query
     * registry: it is the spec-side recall oracle for [[d6EmbeddingCosine]]
     * (DedupSpec measures which exact pairs the banding recovers). */
@@ -978,12 +1077,24 @@ object Dedup {
       clusters(s, d).orderBy("cluster_rep", "doc_id")),
     "d8_cluster_keep" -> d8ClusterKeep,
     "d9_decontaminate" -> d9Decontaminate,
+    "d15_bloom_decontaminate" -> d15BloomDecontaminate,
     "d10_hot_spans" -> d10HotSpans,
     "d14_span_surgery" -> d14SpanSurgery,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d12_stream_ingest_gate" -> d12StreamIngestGate,
     "d13_stream_cluster_tag" -> d13StreamClusterTag,
   )
+
+  private lazy val d9OracleSql: String =
+    s"""WITH $shingleCte,
+        bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(hs) AS g
+               FROM hsc WHERE doc_id < $benchCutoff),
+        tg AS (SELECT DISTINCT doc_id, unnest(hs) AS g
+               FROM hsc WHERE doc_id >= $benchCutoff)
+        SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits,
+          CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+        FROM tg JOIN bg USING (g)
+        GROUP BY 1 ORDER BY 1"""
 
   private lazy val d3OracleSql: String =
       s"""WITH $shingleCte,
@@ -1053,16 +1164,12 @@ object Dedup {
   lazy val oracle: Map[String, String] = Map(
     // Same shingle CTE; the contamination join is a plain relational
     // join in the oracle (no broadcast semantics to mirror).
-    "d9_decontaminate" ->
-      s"""WITH $shingleCte,
-          bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(hs) AS g
-                 FROM hsc WHERE doc_id < $benchCutoff),
-          tg AS (SELECT DISTINCT doc_id, unnest(hs) AS g
-                 FROM hsc WHERE doc_id >= $benchCutoff)
-          SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits,
-            CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
-          FROM tg JOIN bg USING (g)
-          GROUP BY 1 ORDER BY 1""",
+    "d9_decontaminate" -> d9OracleSql,
+    // d15 is output-equivalent to d9 BY DESIGN (the bloom is a pure
+    // prefilter: FPs die in the exact confirm join, FNs are impossible)
+    // — same oracle, different physical plan; the prescreen invariants
+    // are spec-pinned in DedupSpec.
+    "d15_bloom_decontaminate" -> d9OracleSql,
     // Independent plan: recomputes the df join the Spark side reads out
     // of the silver stage's packed ordering.
     "d10_hot_spans" ->

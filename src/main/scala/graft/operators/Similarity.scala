@@ -588,6 +588,137 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** PQ geometry of [[s12PqAnn]]: [[pqM]] subspaces of [[pqSubDims]]
+    * contiguous dims each (M·sub = 64), [[pqK]] codes per subspace
+    * (k-means codebooks, [[kmeansIters]] Lloyd rounds, first-[[pqK]]
+    * init — the s7 determinism contract on each subspace), and
+    * [[pqCandidates]] ADC candidates reranked exactly. */
+  private[operators] val pqM = 4
+  private[operators] val pqSubDims = 16
+  private[operators] val pqK = 8
+  private val pqCandidates = 20
+
+  /** Subvector m of an embedding column (1-based contiguous slice —
+    * the oracle's `embedding[lo:hi]`). */
+  private def pqSub(m: Int, emb: Column = col("embedding")): Column =
+    slice(emb, m * pqSubDims + 1, pqSubDims)
+
+  /** Per-corpus PQ CODEBOOKS (m, cell, vec, n2; M·K rows) — the third
+    * persisted clustering artifact: one [[lloyd]] codebook per
+    * subspace, trained on the corpus subvectors ([[kmeansCentroids]]'
+    * lifecycle: computed once per (session, dir), probed by the encode
+    * pass and every query batch). */
+  private val pqBookReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def pqCodebooks(s: SparkSession,
+                                     dir: String): DataFrame =
+    pqBookReg.getOrCompute(s, dir) {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val df = (0 until pqM).map { m =>
+        lloyd(e.select(col("vec_id"), pqSub(m).as("embedding")),
+          0L until pqK.toLong)
+          .select(lit(m).as("m"), col("cell"), col("vec"), col("n2"))
+      }.reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** Per-corpus PQ CODES (vec_id, embedding, nrm, codes; codes =
+    * array of [[pqM]] codebook cells) — the compressed corpus copy a
+    * FAISS-style deployment stores next to (or instead of) the raw
+    * vectors: M bytes/vector here vs 64 B for the s6 SQ8 codes and
+    * 256 B raw. Encoding is MAP-ONLY: each subspace's k-row codebook
+    * collapses to one broadcast row and the per-vector argmin is the
+    * [[kmeansAssign]] array_min form — chained over subspaces, never
+    * a shuffle of the corpus. */
+  private val pqCodeReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodeReg.getOrCompute(s, dir) {
+      val cb = pqCodebooks(s, dir)
+      var enc = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      (0 until pqM).foreach { m =>
+        val one = cb.filter(col("m") === m).groupBy().agg(
+          array_sort(collect_list(struct(col("cell"), col("vec"),
+            col("n2")))).as(s"cs$m"))
+        enc = enc.crossJoin(broadcast(one))
+          .withColumn(s"code$m",
+            array_min(transform(col(s"cs$m"), c => struct(
+              (c.getField("n2")
+                - lit(2.0) * dotD(pqSub(m), c.getField("vec"))).as("d"),
+              c.getField("cell").as("cell")))).getField("cell"))
+          .drop(s"cs$m")
+      }
+      val df = enc.select(col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"),
+        array((0 until pqM).map(m => col(s"code$m")): _*).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** S12: PRODUCT-QUANTIZATION ANN with ADC (asymmetric distance
+    * computation) — the third compression leg of the ANN family and
+    * the billion-vector production layout (IVF-PQ): vectors are stored
+    * as [[pqM]] codebook cells (M bytes vs s6's 64 B vs 256 B raw),
+    * each query computes ONE M·K-entry distance table (subquery-to-
+    * centroid distances), candidate scan cost is M table lookups +
+    * M-term adds per vector — NO per-candidate float dot at all, the
+    * property that lets FAISS-style engines scan 10⁹ codes/query —
+    * and only the top-[[pqCandidates]] are reranked with exact float
+    * cosine.
+    *
+    * Scale shape: codebooks and codes are persisted artifacts (train/
+    * encode once per corpus snapshot — the encode is map-only); the
+    * query batch crossJoins one broadcast M·K-row codebook row to
+    * build its distance tables, then scans codes. At 100 TB the scan
+    * composes with s4's IVF cell restriction (probe only the query's
+    * coarse cells) — the gated form scans all codes so the oracle
+    * covers the full ADC ranking. Determinism: codebook components
+    * round to 6 dp per Lloyd round ([[lloyd]]), distance-table entries
+    * are |c|² − 2·q_m·c (fold-order-pinned FloatVecDot), the
+    * candidate ordering key is the M-term left-folded sum of table
+    * entries (same association as the oracle's explicit d0+d1+d2+d3),
+    * ties by cid, and the rerank reuses s1's pinned cosine. */
+  val s12PqAnn: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqCodes(s, dir)
+    val one = pqCodebooks(s, dir).groupBy().agg(
+      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
+        col("n2")))).as("cs"))
+    // Distance table as an int-keyed map m·K+cell -> d(q_m, centroid):
+    // M·K dots per QUERY, zero dots per candidate.
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(one))
+      .withColumn("dt", map_from_arrays(
+        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
+        transform(col("cs"), c => c.getField("n2") - lit(2.0)
+          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
+            lit(pqSubDims)), c.getField("vec")))))
+      .drop("cs")
+    val c = codes.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("codes"))
+    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
+        lit(0.0), (acc, mm) => acc
+          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= pqCandidates)
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Arrival slice of the s11 refresh gate (d11's modular-slice
     * rationale: planted duplicates sit at adjacent ids, so a modular
     * cut — unlike an id range — puts real semantic mass in the batch). */
@@ -942,6 +1073,104 @@ object Similarity {
   private[operators] lazy val s7ChainCtes: String =
     lloydChainCtes("", 0L until kmeansK.toLong)
 
+  // s12 oracle building blocks: the s7 Lloyd chain re-derived per PQ
+  // subspace (16-dim slices, CTE names suffixed by subspace), the
+  // final-codebook encode pass, per-query ADC distance tables, and the
+  // explicit left-associated d0+d1+d2+d3 candidate sum — relational
+  // end-to-end, independent of the Spark artifacts.
+  private def pqSubCte(m: Int): String = {
+    val lo = m * pqSubDims + 1
+    val hi = (m + 1) * pqSubDims
+    s"""em$m AS (
+        SELECT vec_id,
+          list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS sub
+        FROM embeddings)"""
+  }
+
+  private def pqAssignCte(m: Int, centCte: String, out: String): String =
+    s"""$out AS (
+        SELECT vec_id, sub, cell, d FROM (
+          SELECT vec_id, sub, cell, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
+              AS rk
+          FROM (
+            SELECT ee.vec_id, ee.sub, c.cell,
+              list_sum(list_transform(range(1, ${pqSubDims + 1}),
+                i -> c.vec[i] * c.vec[i]))
+              - 2 * list_sum(list_transform(range(1, ${pqSubDims + 1}),
+                  i -> ee.sub[i] * c.vec[i])) AS d
+            FROM em$m ee, $centCte c))
+        WHERE rk = 1)"""
+
+  private def pqRecomputeCte(assignCte: String, out: String): String =
+    s"""$out AS (
+        SELECT cell, list(c ORDER BY pos) AS vec FROM (
+          SELECT cell, r.i AS pos, round(AVG(sub[r.i]), 6) AS c
+          FROM $assignCte, range(1, ${pqSubDims + 1}) r(i) GROUP BY 1, 2)
+        GROUP BY 1)"""
+
+  /** Per-subspace chain ending in `enc\$m` (the final-codebook encode)
+    * and `dt\$m` (the query-side ADC distance table). */
+  private def pqChainCtes(m: Int): String = {
+    val iters = (1 to kmeansIters).map { it =>
+      pqAssignCte(m, s"cb$m${it - 1}", s"a$m$it") + ",\n" +
+        pqRecomputeCte(s"a$m$it", s"cb$m$it")
+    }.mkString(",\n")
+    s"""${pqSubCte(m)},
+        cb${m}0 AS (
+          SELECT CAST(vec_id AS INT) AS cell, sub AS vec
+          FROM em$m WHERE vec_id IN (${(0 until pqK).mkString(", ")})),
+        $iters,
+        ${pqAssignCte(m, s"cb$m$kmeansIters", s"enc$m")},
+        dt$m AS (
+          SELECT qq.vec_id AS qid, c.cell,
+            list_sum(list_transform(range(1, ${pqSubDims + 1}),
+              i -> c.vec[i] * c.vec[i]))
+            - 2 * list_sum(list_transform(range(1, ${pqSubDims + 1}),
+                i -> qq.sub[i] * c.vec[i])) AS d
+          FROM em$m qq, cb$m$kmeansIters c WHERE qq.vec_id < 10)"""
+  }
+
+  private lazy val s12Sql: String = {
+    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
+    val encJoin = (1 until pqM)
+      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
+    val dtJoins = (0 until pqM).map(m =>
+      s"JOIN dt$m d$m ON d$m.qid = q.qid AND d$m.cell = en.c$m")
+      .mkString("\n          ")
+    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
+    s"""WITH $chains,
+        $normCte,
+        enc AS (
+          SELECT e0.vec_id, $codeCols
+          FROM enc0 e0 $encJoin),
+        q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
+        cand AS (
+          SELECT q.qid, en.vec_id AS cid, $adist AS adist
+          FROM q JOIN enc en ON en.vec_id <> q.qid
+          $dtJoins),
+        top AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
+              AS crk
+          FROM cand),
+        rr AS (
+          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
+            a.nrm AS qn, b.nrm AS cn
+          FROM top t JOIN e a ON a.vec_id = t.qid
+            JOIN e b ON b.vec_id = t.cid
+          WHERE t.crk <= $pqCandidates),
+        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
+        ranked AS (
+          SELECT qid, cid, cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS INT) AS rk
+          FROM scored)
+        SELECT qid, cid, cosine, rk FROM ranked
+        WHERE rk <= 3 ORDER BY qid, rk"""
+  }
+
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes
         SELECT vec_id, cell AS cluster,
@@ -1115,6 +1344,7 @@ object Similarity {
     "s9_cluster_profile" -> s9ClusterProfile,
     "s10_retrieve" -> s10Retrieve,
     "s11_centroid_refresh" -> s11CentroidRefresh,
+    "s12_pq_ann" -> s12PqAnn,
   )
 
   // lazy: s10's oracle composes TextAnalysis.c3Sql — a plain val here
@@ -1123,6 +1353,7 @@ object Similarity {
   lazy val oracle: Map[String, String] = Map(
     "s10_retrieve" -> s10Sql,
     "s11_centroid_refresh" -> s11Sql,
+    "s12_pq_ann" -> s12Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e

@@ -129,6 +129,50 @@ class DedupSpec extends SparkSpec {
     assert(byId(102L) === ((102L, 1L, 1L)))
   }
 
+  test("d15 bloom decontaminate: output ≡ d9 exactly; prescreen keeps " +
+    "every true hit (no false negatives) and actually prunes") {
+    import spark.implicits._
+    // output equivalence on the gated split — same rows, same counts
+    val d9 = graft.SparkEntry.queries("d9_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d15 = graft.SparkEntry
+      .queries("d15_bloom_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d15.toSeq === d9.toSeq)
+    // prescreen invariants, measured on the planted d9 fixture
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated training text with no overlap at all"),
+      (102L, "quick brown fox appears here too but nothing else matches"),
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (7L, "watch the quick brown fox run"),
+      (8L, "zero common trigrams in this sentence whatsoever"),
+    ).toDF("doc_id", "text")
+    val wantExact = Dedup.decontaminate(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotBloom = Dedup.bloomDecontaminate(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotBloom === wantExact)
+    // no false negatives: every gram the exact join matches survives the
+    // bloom probe; and the probe prunes the non-matching majority
+    import org.apache.spark.sql.functions.{array_distinct, col, explode}
+    val benchGrams = Dedup.withShingleCols(bench)
+      .select(explode(array_distinct(col("hs"))).as("g"))
+    val bits = Dedup.gramBloom(benchGrams,
+      Dedup.d15EstGrams, Dedup.d15NumBits)
+    val trainGrams = Dedup.withShingleCols(corpus)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("g"))
+    val total = trainGrams.count()
+    val survivors = trainGrams
+      .filter(Dedup.bloomMightContain(bits, col("g"))).count()
+    val trueHits = trainGrams
+      .join(benchGrams.distinct(), Seq("g")).count()
+    info(s"grams: total=$total survivors=$survivors trueHits=$trueHits")
+    assert(survivors >= trueHits, "bloom dropped a true hit")
+    assert(survivors < total, "prescreen pruned nothing")
+  }
+
   test("d10 hot spans: duplicated docs score 1.0, unique docs 0.0, " +
     "partial overlap in between") {
     import spark.implicits._

@@ -81,6 +81,46 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("PQ ADC rerank (s12): recall@3 vs exact (s1) measured; rerank " +
+    "cosine never beats exact; codes are well-formed") {
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val pq = topMap("s12_pq_ann", 3)
+    assert(pq.keySet === exact3.keySet)
+    val r = recallAt3(pq, exact3)
+    info(f"recall@3: pq=$r%.2f")
+    // 4x16-dim subspaces at 8 codes each is a LOSSY 16-byte sketch of a
+    // 256-byte vector — the ADC pre-ranking is coarser than s6's SQ8, so
+    // the floor is the "much better than chance" bar (chance recall at a
+    // 20-candidate shortlist over 500 vectors is ~0.04), not s6's 0.8
+    assert(r >= 0.3, f"pq recall $r%.2f")
+    // the reranked best candidate can never exceed the true best cosine
+    val bestExact = graft.SparkEntry.queries("s1_cosine_topk")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Double]("cosine")).toMap
+    graft.SparkEntry.queries("s12_pq_ann")(spark, dir)
+      .filter("rk = 1").collect().foreach { x =>
+        assert(x.getAs[Double]("cosine")
+          <= bestExact(x.getAs[Long]("qid")) + 1e-12)
+      }
+    // codes: every vector encoded, M cells each, all from the trained
+    // codebook of that subspace (both reads hit the session-persisted
+    // artifacts)
+    val books = Similarity.pqCodebooks(spark, dir).collect()
+      .groupBy(_.getAs[Int]("m"))
+      .map { case (m, rows) => m -> rows.map(_.getAs[Int]("cell")).toSet }
+    val codes = Similarity.pqCodes(spark, dir)
+      .select("vec_id", "codes").collect()
+    val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+    assert(codes.length.toLong === n)
+    codes.foreach { row =>
+      val cs = row.getAs[scala.collection.Seq[Int]]("codes")
+      assert(cs.length === 4)
+      cs.zipWithIndex.foreach { case (c, m) =>
+        assert(books(m).contains(c), s"code $c not a subspace-$m cell")
+      }
+    }
+  }
+
   test("data-driven plane count: planesFor scales with n; the tuned " +
     "geometry's recall@3 vs exact (s1) is no worse than the committed one") {
     // the mechanism: +1 plane per corpus doubling, clamped
