@@ -719,6 +719,80 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Combined IVF-PQ INDEX artifact (vec_id, embedding, nrm, codes,
+    * cluster) — the single table a FAISS-style deployment ships: the
+    * coarse cell from the persisted k-means assignment
+    * ([[kmeansAssigned]]) and the PQ codes from the persisted encode
+    * ([[pqCodes]]), joined ONCE per corpus snapshot and persisted.
+    * Production writes exactly this layout (cluster-partitioned code
+    * lists); re-deriving it per query batch would pay the vec_id join
+    * every time. */
+  private val ivfpqReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def ivfpqIndex(s: SparkSession,
+                                    dir: String): DataFrame =
+    ivfpqReg.getOrCompute(s, dir) {
+      val df = pqCodes(s, dir)
+        .join(kmeansAssigned(s, dir).select("vec_id", "cluster"),
+          Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** S13: IVF-PQ ANN — the two compression layers composed into the
+    * billion-vector production config (what FAISS calls IVFx,PQy and
+    * every vector store runs at scale): the COARSE quantizer (s7's
+    * persisted k-means cells) restricts each query's scan to its own
+    * cell — candidate volume drops by ~|cells|× exactly as in s4 —
+    * and WITHIN the cell, candidates are ranked by s12's ADC table
+    * lookups over 16-byte PQ codes (zero per-candidate float dots),
+    * with only the top-[[pqCandidates]] reranked exactly.
+    *
+    * Scale shape: the [[ivfpqIndex]] artifact is cluster-keyed, so the
+    * candidate join shuffles on the CELL (broadcast for a small query
+    * batch), never corpus-wide; per query the scan cost is
+    * |cell|·(M lookups + M adds) + 20 exact dots. The cell
+    * restriction is the recall/cost dial (multi-probe = join on the
+    * query's p nearest cells; the gated form probes 1 — recall vs the
+    * unrestricted s12 measured in the spec). Determinism: coarse
+    * cells inherit s7's pinned Lloyd; everything else inherits s12's
+    * contract. */
+  val s13IvfpqAnn: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfpqIndex(s, dir)
+    val one = pqCodebooks(s, dir).groupBy().agg(
+      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
+        col("n2")))).as("cs"))
+    val q = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cluster"))
+      .crossJoin(broadcast(one))
+      .withColumn("dt", map_from_arrays(
+        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
+        transform(col("cs"), c => c.getField("n2") - lit(2.0)
+          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
+            lit(pqSubDims)), c.getField("vec")))))
+      .drop("cs")
+    val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("codes"), col("cluster"))
+    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
+        lit(0.0), (acc, mm) => acc
+          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= pqCandidates)
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Arrival slice of the s11 refresh gate (d11's modular-slice
     * rationale: planted duplicates sit at adjacent ids, so a modular
     * cut — unlike an id range — puts real semantic mass in the batch). */
@@ -828,6 +902,53 @@ object Similarity {
       .select(col("cell").as("cluster"), col("n_base"), col("n_batch"),
         round(sqrt(dotD(diff, diff)), 6).as("shift"),
         round(dotD(col("new_vec"), col("new_vec")), 6).as("n2_new"))
+      .orderBy("cluster")
+  }
+
+  /** PROF7: EMBEDDING-SPACE drift profile — prof6's PSI applied to the
+    * semantic dimension no raw-column monitor sees: the distribution
+    * of CLUSTER OCCUPANCY under the served centroid model, reference
+    * corpus (s11's base slice) vs arriving batch (its arrival slice).
+    * This is the alarm that tells the d13 tagger and s10 server their
+    * centroid model has gone stale — s11's `shift` column says the
+    * MODEL moved; prof7 says the DATA moved under the model, which is
+    * what triggers an s11 refresh (or full s7 retrain) in production.
+    * Lives here rather than queries/Profile because it consumes the
+    * persisted s11 base-centroid artifact and the shared map-only
+    * assignment pass (the d13 co-location argument).
+    *
+    * Scale shape: both sides assign MAP-ONLY under the broadcast k-row
+    * model ([[kmeansAssign]] — no corpus shuffle); the PSI reduction
+    * runs on the k-row occupancy frame. Output per cluster: counts,
+    * 6-dp shares, the PSI term, and the repeated total (prof6's
+    * eps-floor contract via [[graft.queries.Profile.driftEps]]). */
+  val prof7EmbeddingDrift: Q = (s, dir) => {
+    val eps = graft.queries.Profile.driftEps
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val assigned = kmeansAssign(e, baseCentroids(s, dir))
+      .select(col("cluster"),
+        (pmod(col("vec_id"), lit(s11Mod)) =!= lit(s11Res)).as("is_ref"))
+    val counts = assigned.groupBy("cluster").agg(
+      count(when(col("is_ref"), 1)).as("n_ref"),
+      count(when(!col("is_ref"), 1)).as("n_cur"))
+    val tot = counts.agg(sum("n_ref").as("ref_tot"),
+      sum("n_cur").as("cur_tot"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("p", greatest(
+        col("n_ref").cast("double") / col("ref_tot"), lit(eps)))
+      .withColumn("q", greatest(
+        col("n_cur").cast("double") / col("cur_tot"), lit(eps)))
+      .withColumn("term",
+        (col("q") - col("p")) * log(col("q") / col("p")))
+    val psi = terms.agg(round(sum("term"), 6).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("cluster"), col("n_ref"), col("n_cur"),
+        round(col("n_ref").cast("double") / col("ref_tot"), 6)
+          .as("ref_share"),
+        round(col("n_cur").cast("double") / col("cur_tot"), 6)
+          .as("cur_share"),
+        round(col("term"), 6).as("psi_term"),
+        col("psi"))
       .orderBy("cluster")
   }
 
@@ -1171,6 +1292,93 @@ object Similarity {
         WHERE rk <= 3 ORDER BY qid, rk"""
   }
 
+  /** prof7 oracle: the s11 base-slice Lloyd chain (af = base assigned
+    * under the final base centroids), the arrival slice assigned under
+    * the same model, then the prof6 PSI formula over the k-row
+    * occupancy frame — same eps floor, same 6-dp rounding. */
+  private lazy val prof7Sql: String = {
+    val eps = graft.queries.Profile.driftEps
+    s"""WITH ${lloydChainCtes(s"WHERE vec_id % $s11Mod != $s11Res",
+          s11InitIds)},
+        bb AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % $s11Mod = $s11Res),
+        ${kmeansAssignSql(s"c$kmeansIters", "ba", "bb")},
+        cr AS (SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_ref
+               FROM af GROUP BY 1),
+        cc AS (SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_cur
+               FROM ba GROUP BY 1),
+        occ AS (
+          SELECT COALESCE(cr.cluster, cc.cluster) AS cluster,
+            COALESCE(cr.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+          FROM cr FULL JOIN cc ON cr.cluster = cc.cluster),
+        tt AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS ref_tot,
+                      CAST(sum(n_cur) AS DOUBLE) AS cur_tot FROM occ),
+        terms AS (
+          SELECT cluster, n_ref, n_cur,
+            n_ref / ref_tot AS rs, n_cur / cur_tot AS cs,
+            greatest(n_ref / ref_tot, $eps) AS p,
+            greatest(n_cur / cur_tot, $eps) AS q
+          FROM occ, tt),
+        t2 AS (SELECT *, (q - p) * ln(q / p) AS term FROM terms),
+        ps AS (SELECT round(sum(term), 6) AS psi FROM t2)
+        SELECT cluster, n_ref, n_cur, round(rs, 6) AS ref_share,
+          round(cs, 6) AS cur_share, round(term, 6) AS psi_term, ps.psi
+        FROM t2, ps ORDER BY cluster"""
+  }
+
+  /** s13 oracle: the s7 coarse-cell chain (`af`) + the four PQ
+    * subspace chains, with the ADC candidate join RESTRICTED to the
+    * query's coarse cell. CTE namespaces are disjoint by construction
+    * (s7: e, c0.., a1.., af; PQ: em.., cb.., a01-style, enc.., dt..);
+    * norms come from `af` the s8Sql way since `e` is taken by the
+    * Lloyd chain. */
+  private lazy val s13Sql: String = {
+    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
+    val encJoin = (1 until pqM)
+      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
+    val dtJoins = (0 until pqM).map(m =>
+      s"JOIN dt$m d$m ON d$m.qid = q.vec_id AND d$m.cell = en.c$m")
+      .mkString("\n          ")
+    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
+    s"""WITH $s7ChainCtes,
+        $chains,
+        nn AS (
+          SELECT vec_id, embedding, cell AS coarse,
+            sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM af),
+        encx AS (
+          SELECT e0.vec_id, $codeCols
+          FROM enc0 e0 $encJoin),
+        cand AS (
+          SELECT q.vec_id AS qid, en.vec_id AS cid, $adist AS adist
+          FROM (SELECT vec_id, coarse FROM nn WHERE vec_id < 10) q
+          JOIN (SELECT x.vec_id, n.coarse, x.c0, x.c1, x.c2, x.c3
+                FROM encx x JOIN nn n USING (vec_id)) en
+            ON en.coarse = q.coarse AND en.vec_id <> q.vec_id
+          $dtJoins),
+        top AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
+              AS crk
+          FROM cand),
+        rr AS (
+          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
+            a.nrm AS qn, b.nrm AS cn
+          FROM top t JOIN nn a ON a.vec_id = t.qid
+            JOIN nn b ON b.vec_id = t.cid
+          WHERE t.crk <= $pqCandidates),
+        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
+        ranked AS (
+          SELECT qid, cid, cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS INT) AS rk
+          FROM scored)
+        SELECT qid, cid, cosine, rk FROM ranked
+        WHERE rk <= 3 ORDER BY qid, rk"""
+  }
+
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes
         SELECT vec_id, cell AS cluster,
@@ -1345,6 +1553,8 @@ object Similarity {
     "s10_retrieve" -> s10Retrieve,
     "s11_centroid_refresh" -> s11CentroidRefresh,
     "s12_pq_ann" -> s12PqAnn,
+    "s13_ivfpq_ann" -> s13IvfpqAnn,
+    "prof7_embedding_drift" -> prof7EmbeddingDrift,
   )
 
   // lazy: s10's oracle composes TextAnalysis.c3Sql — a plain val here
@@ -1354,6 +1564,8 @@ object Similarity {
     "s10_retrieve" -> s10Sql,
     "s11_centroid_refresh" -> s11Sql,
     "s12_pq_ann" -> s12Sql,
+    "s13_ivfpq_ann" -> s13Sql,
+    "prof7_embedding_drift" -> prof7Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e

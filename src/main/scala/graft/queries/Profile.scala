@@ -141,7 +141,7 @@ object Profile {
   /** Probability floor for empty-on-one-side buckets (the standard PSI
     * epsilon — keeps ln() finite without dropping the bucket's drift
     * contribution entirely). */
-  private[queries] val driftEps = 1e-6
+  private[graft] val driftEps = 1e-6
 
   /** PROF6: POPULATION-STABILITY drift profile — PSI (population
     * stability index, Σ (q−p)·ln(q/p) over bucketed distributions)

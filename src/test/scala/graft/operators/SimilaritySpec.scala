@@ -121,6 +121,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ (s13): every result pair shares the query's coarse cell; " +
+    "every query answered; recall@3 vs exact measured; rerank ≤ exact") {
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val ivfpq = topMap("s13_ivfpq_ann", 3)
+    assert(ivfpq.keySet === exact3.keySet)
+    val r = recallAt3(ivfpq, exact3)
+    info(f"recall@3: ivfpq=$r%.2f")
+    // two lossy layers stack (coarse cell restriction x ADC ranking) —
+    // the floor is chance-exclusion only; the measured value is the point
+    assert(r > 0.0 && r <= 1.0)
+    // the cell restriction invariant: candidate cells == query cells
+    val cells = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        x.getAs[Int]("cluster")).toMap
+    graft.SparkEntry.queries("s13_ivfpq_ann")(spark, dir)
+      .collect().foreach { x =>
+        val (q, c) = (x.getAs[Long]("qid"), x.getAs[Long]("cid"))
+        assert(cells(q) === cells(c), s"pair ($q,$c) crosses cells")
+      }
+    // the reranked best candidate can never exceed the true best cosine
+    val bestExact = graft.SparkEntry.queries("s1_cosine_topk")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Double]("cosine")).toMap
+    graft.SparkEntry.queries("s13_ivfpq_ann")(spark, dir)
+      .filter("rk = 1").collect().foreach { x =>
+        assert(x.getAs[Double]("cosine")
+          <= bestExact(x.getAs[Long]("qid")) + 1e-12)
+      }
+  }
+
+  test("prof7 embedding drift: PSI equals a plain-Scala recomputation " +
+    "from the occupancy counts; counts partition the corpus") {
+    val rows = graft.SparkEntry
+      .queries("prof7_embedding_drift")(spark, dir).collect()
+    val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+    assert(rows.map(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum === n)
+    val refTot = rows.map(_.getAs[Long]("n_ref")).sum.toDouble
+    val curTot = rows.map(_.getAs[Long]("n_cur")).sum.toDouble
+    val eps = 1e-6
+    val want = rows.map { r =>
+      val p = math.max(r.getAs[Long]("n_ref") / refTot, eps)
+      val q = math.max(r.getAs[Long]("n_cur") / curTot, eps)
+      (q - p) * math.log(q / p)
+    }.sum
+    val got = rows.head.getAs[Double]("psi")
+    info(f"psi=$got%.6f over ${rows.length} clusters")
+    assert(math.abs(got - want) < 2e-6, s"psi $got vs recomputed $want")
+    assert(rows.forall(r => r.getAs[Double]("psi") == got),
+      "psi total must repeat on every row")
+    assert(math.abs(rows.map(_.getAs[Double]("ref_share")).sum - 1.0)
+      < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("cur_share")).sum - 1.0)
+      < 1e-4)
+  }
+
   test("data-driven plane count: planesFor scales with n; the tuned " +
     "geometry's recall@3 vs exact (s1) is no worse than the committed one") {
     // the mechanism: +1 plane per corpus doubling, clamped
