@@ -290,6 +290,62 @@ object MlQueries {
       .orderBy("bin")
   }
 
+  /** u13 curriculum geometry: quality bands (fixed-width over [0,1] —
+    * prof3/prof6's deterministic-edges argument), training phases, and
+    * within-phase shards. */
+  private[queries] val u13Bands = 16
+  private[queries] val u13Phases = 4
+  private[queries] val u13Shards = 8
+
+  /** U13: QUALITY-CURRICULUM ORDERING — the corpus laid out for
+    * curriculum training (cleanest data first, annealing to the full
+    * mix): every document gets a global curriculum position ordered by
+    * the m6 quality score (desc, doc_id tiebreak), a training PHASE
+    * (which quarter of the curriculum it falls in) and a within-order
+    * SHARD. Consumes the trained-quality family's score the way u11
+    * consumes the shuffle hash — the last step between curation and
+    * the trainer's data loader.
+    *
+    * Scale shape: u11's two-level rank layout applied to a SCORE
+    * instead of a hash — band by fixed-width quality band (bounded
+    * band-count frame, broadcast cumulative offsets), rank locally
+    * within band, add the offset: no global sort of the corpus.
+    * Unlike u11's uniform hash, quality bands CAN skew (a one-band
+    * corpus degrades to a global sort) — band width is the knob and
+    * the s9-style pre-flight is one groupBy away; the gated geometry
+    * measures fine at all committed scales. Determinism: the sort key
+    * is the 6-dp-ROUNDED score (the lloyd rounding contract — raw
+    * sigmoid doubles could order differently across engines in the
+    * last ulp), ties by doc_id; phase arithmetic is integral. */
+  val u13QualityCurriculum: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = m6QualityScore(s, dir)
+      .select(col("doc_id"), round(col("p_quality"), 6).as("p6"))
+    val banded = scored.withColumn("band",
+      least(floor(col("p6") * u13Bands).cast("int"), lit(u13Bands - 1)))
+    val wLocal = Window.partitionBy("band")
+      .orderBy(desc("p6"), col("doc_id"))
+    val local = banded.withColumn("lrk", row_number().over(wLocal))
+    // cumulative offsets over the bounded band-count frame, highest
+    // quality band first (the u11 offsets pattern)
+    val wBand = Window.orderBy(desc("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("band_off", coalesce(sum("bn").over(wBand), lit(0L)))
+      .select("band", "band_off")
+    val n = scored.agg(count(lit(1)).as("nt"))
+    local.join(broadcast(offsets), Seq("band"))
+      .crossJoin(broadcast(n))
+      .withColumn("curriculum_pos", col("band_off") + col("lrk") - 1)
+      .select(col("doc_id"), col("p6").as("p_quality"),
+        col("curriculum_pos"),
+        expr(s"CAST((curriculum_pos * $u13Phases) div nt AS INT)")
+          .as("phase"),
+        pmod(col("curriculum_pos"), lit(u13Shards.toLong)).cast("int")
+          .as("shard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
@@ -298,6 +354,7 @@ object MlQueries {
     "m5_score_histogram" -> m5ScoreHistogram,
     "m6_quality_score" -> m6QualityScore,
     "m7_quality_histogram" -> m7QualityHistogram,
+    "u13_quality_curriculum" -> u13QualityCurriculum,
   )
 
   /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
@@ -368,6 +425,21 @@ object MlQueries {
     // composes the silver stage; label rule + sigmoid fold order mirror
     // the Spark side term-for-term.
     "m6_quality_score" -> m6Sql,
+    // u13: the global-rank form of the same semantics (the oracle pins
+    // MEANING, not the two-level plan): rank by the 6-dp-rounded score,
+    // integral phase/shard arithmetic.
+    "u13_quality_curriculum" ->
+      s"""WITH sc AS (SELECT doc_id, round(p_quality, 6) AS p6
+                      FROM ($m6Sql)),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM sc),
+          r AS (SELECT doc_id, p6,
+                  CAST(ROW_NUMBER() OVER (ORDER BY p6 DESC, doc_id)
+                    AS BIGINT) - 1 AS curriculum_pos
+                FROM sc)
+          SELECT doc_id, p6 AS p_quality, curriculum_pos,
+            CAST((curriculum_pos * $u13Phases) // nt AS INT) AS phase,
+            CAST(curriculum_pos % $u13Shards AS INT) AS shard
+          FROM r, nn ORDER BY doc_id""",
     // m7: the trained path's DISTRIBUTIONAL oracle (the m5 pattern) —
     // LBFGS coefficients aren't SQL-recomputable, but the fit is
     // content-deterministic (qualityModel's pinned partitioning), so

@@ -125,6 +125,32 @@ class MlSpec extends SparkSpec {
       f"golden auc drifted: $auc%.12f")
   }
 
+  test("u13 curriculum: positions are a permutation of 0..N-1, " +
+    "monotone nonincreasing in quality; phase/shard arithmetic exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.MlQueries
+      .queries("u13_quality_curriculum")(spark, dir).collect()
+    val n = rows.length
+    val byPos = rows.sortBy(_.getAs[Long]("curriculum_pos"))
+    assert(byPos.map(_.getAs[Long]("curriculum_pos")).toSeq
+      === (0L until n).toSeq, "positions not a permutation")
+    // curriculum order: quality never increases along the positions
+    byPos.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("p_quality") >= b.getAs[Double]("p_quality"),
+        s"quality rises at pos ${b.getAs[Long]("curriculum_pos")}")
+    }
+    rows.foreach { r =>
+      val pos = r.getAs[Long]("curriculum_pos")
+      assert(r.getAs[Int]("phase") === (pos * 4 / n).toInt)
+      assert(r.getAs[Int]("shard") === (pos % 8).toInt)
+    }
+    // phases partition the corpus into near-equal quarters
+    val phaseSizes = rows.groupBy(_.getAs[Int]("phase"))
+      .view.mapValues(_.length).toMap
+    assert(phaseSizes.keySet === Set(0, 1, 2, 3))
+    assert(phaseSizes.values.max - phaseSizes.values.min <= 1)
+  }
+
   test("golden prediction frame: m1's full scored OOT frame at seed 42 " +
     "reproduces the recorded hash (Spark-version-scoped)") {
     // Upgrades m1_rf_score beyond the driver's rows-only check: the md5
