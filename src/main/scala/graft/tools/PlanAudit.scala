@@ -35,6 +35,11 @@ object PlanAudit {
     "s11_centroid_refresh", // map-only assigns + k-row update, no corpus shuffle
     "d14_span_surgery",  // map-only span emission off the shingle silver stage
     "m7_quality_histogram", // annotation-artifact scan -> model scoring, no regex
+    "s12_pq_ann",        // ADC: codes artifact streamed, M*K distance table broadcast
+    "s13_ivfpq_ann",     // coarse-cell restriction + ADC over the combined artifact
+    "d15_bloom_decontaminate", // map-side Bloom prescreen, exact confirm on survivors
+    "prof7_embedding_drift", // two map-only assigns, k-row occupancy PSI
+    "u13_quality_curriculum", // banded two-level rank, bounded offsets broadcast
   )
 
   def main(args: Array[String]): Unit = {
