@@ -755,10 +755,18 @@ object Similarity {
     * batch), never corpus-wide; per query the scan cost is
     * |cell|·(M lookups + M adds) + 20 exact dots. The cell
     * restriction is the recall/cost dial (multi-probe = join on the
-    * query's p nearest cells; the gated form probes 1 — recall vs the
-    * unrestricted s12 measured in the spec). Determinism: coarse
-    * cells inherit s7's pinned Lloyd; everything else inherits s12's
-    * contract. */
+    * query's p nearest cells — that is [[s14MultiprobeIvfpq]]; this
+    * gated form probes 1 — recall vs the unrestricted s12 measured in
+    * the spec). Degenerate case (round-12 ADVICE): a query whose
+    * coarse cell holds no OTHER vector gets ZERO output rows here —
+    * the inner cluster join plus `qid =!= cid` leaves nothing to rank.
+    * That is the single-probe dial at its floor, exactly the case
+    * multi-probe exists for: s14 answers such a query from its 2nd
+    * cell. Committed data has no singleton cells (s9's occupancy
+    * pre-flight is the guard); a production consumer needing
+    * every-query-answered runs s14 (or left-marks the miss).
+    * Determinism: coarse cells inherit s7's pinned Lloyd; everything
+    * else inherits s12's contract. */
   val s13IvfpqAnn: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val idx = ivfpqIndex(s, dir)
@@ -775,6 +783,81 @@ object Similarity {
           * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
             lit(pqSubDims)), c.getField("vec")))))
       .drop("cs")
+    val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("codes"), col("cluster"))
+    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
+        lit(0.0), (acc, mm) => acc
+          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
+      .withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= pqCandidates)
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Probe count of [[s14MultiprobeIvfpq]] — FAISS's `nprobe`: each
+    * query scans its [[ivfProbes]] nearest coarse cells instead of
+    * only its own. Candidate volume scales linearly with p (p·|cell|
+    * ADC terms per query) and buys the recall mass sitting just across
+    * the query's Voronoi boundary — the standard IVF recall/cost
+    * trade, and the dial whose p=1 floor is s13's documented
+    * singleton-cell degenerate case. */
+  private[operators] val ivfProbes = 2
+
+  /** S14: MULTI-PROBE IVF-PQ ANN — s13's recall dial as code (round-12
+    * verdict item 2): rank the query against ALL [[kmeansK]] coarse
+    * centroids (a k-row broadcast, k map-side dots per query — the
+    * same |c|²−2·q·c form and (d, cell) tie order as assignment, so
+    * probe #1 IS the query's own cell), explode to the [[ivfProbes]]
+    * nearest cells, and run s13's ADC + exact-rerank pipeline over the
+    * UNION of the probed cells. Voronoi cells are disjoint, so the
+    * union needs no candidate dedup — each corpus vector joins through
+    * exactly one probe row.
+    *
+    * Scale shape: identical to s13 — the [[ivfpqIndex]] artifact is
+    * cluster-keyed and the candidate join stays on the CELL (query
+    * side = batch × p probe rows, broadcast); per-query scan cost is
+    * p·|cell|·(M lookups + M adds) + [[pqCandidates]] exact dots.
+    * Recall@3 vs exact is spec-measured ≥ the single-probe s13 on the
+    * same corpus (a superset candidate pool can only help the exact
+    * rerank; the ADC shortlist keeps [[pqCandidates]] slots either
+    * way). Determinism: probe ranking reuses the pinned centroid
+    * values and fold order (ties by cell id); everything downstream
+    * inherits s13's contract. */
+  val s14MultiprobeIvfpq: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfpqIndex(s, dir)
+    val cents = kmeansCentroids(s, dir).groupBy().agg(
+      array_sort(collect_list(struct(col("cell"), col("vec"), col("n2"))))
+        .as("kc"))
+    val one = pqCodebooks(s, dir).groupBy().agg(
+      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
+        col("n2")))).as("cs"))
+    val q = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("probe", slice(array_sort(transform(col("kc"), c =>
+        struct((c.getField("n2") - lit(2.0)
+          * dotD(col("qe"), c.getField("vec"))).as("d"),
+          c.getField("cell").as("cell")))), 1, ivfProbes))
+      .drop("kc")
+      .crossJoin(broadcast(one))
+      .withColumn("dt", map_from_arrays(
+        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
+        transform(col("cs"), c => c.getField("n2") - lit(2.0)
+          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
+            lit(pqSubDims)), c.getField("vec")))))
+      .drop("cs")
+      .withColumn("cluster",
+        explode(transform(col("probe"), p => p.getField("cell"))))
+      .drop("probe")
     val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("codes"), col("cluster"))
     val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
@@ -988,17 +1071,26 @@ object Similarity {
   private val retrievalReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
+  /** The index ENCODE step — embed, norm-filter, bucket, project — as
+    * a per-chunk map over any chunk frame. Factored out so the
+    * incremental refresh (s15) encodes ONLY the arriving batch: unlike
+    * centroids (s11), nothing here depends on corpus statistics, so
+    * fold-in is a pure per-row encode + append and the refreshed index
+    * is row-identical to a full rebuild (the spec asserts it). */
+  private def encodeChunks(chunks: DataFrame): DataFrame =
+    chunks
+      .withColumn("ce", embedTokens(split(col("chunk_text"), " ")))
+      .withColumn("cn", normD(col("ce")))
+      .filter(col("cn") > 0)
+      .withColumn("bkt", bucketOf(col("ce"), planes))
+      .select(col("doc_id"), col("chunk_idx"), col("source"),
+        col("quality_score"), col("chunk_text"), col("ce"), col("cn"),
+        col("bkt"))
+
   private[operators] def retrievalIndex(s: SparkSession,
                                         dir: String): DataFrame =
     retrievalReg.getOrCompute(s, dir) {
-      val df = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .withColumn("ce", embedTokens(split(col("chunk_text"), " ")))
-        .withColumn("cn", normD(col("ce")))
-        .filter(col("cn") > 0)
-        .withColumn("bkt", bucketOf(col("ce"), planes))
-        .select(col("doc_id"), col("chunk_idx"), col("source"),
-          col("quality_score"), col("chunk_text"), col("ce"), col("cn"),
-          col("bkt"))
+      val df = encodeChunks(TextAnalysis.queries("c3_chunk_corpus")(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
@@ -1090,6 +1182,169 @@ object Similarity {
       .filter(col("rk") <= s10K)
       .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
         col("cosine"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Base-corpus slice of the s15 index-refresh gate (doc domain;
+    * d11's modular-slice rationale — a modular cut puts semantically
+    * real chunks in the arriving batch, unlike an id range). */
+  private[operators] val s15Mod = 5L
+  private[operators] val s15Res = 2L
+
+  /** Retrieval index over the BASE doc slice only — the artifact a
+    * serving deployment holds BEFORE the batch lands; persisted per
+    * (session, dir) with the [[retrievalIndex]] lifecycle. */
+  private val baseIdxReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def baseRetrievalIndex(s: SparkSession,
+                                            dir: String): DataFrame =
+    baseIdxReg.getOrCompute(s, dir) {
+      val df = encodeChunks(
+        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+          .filter(pmod(col("doc_id"), lit(s15Mod)) =!= lit(s15Res)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** The refreshed index: fold the arriving batch's chunks into the
+    * persisted base index. LSH buckets don't drift with the corpus the
+    * way centroids do (the plane geometry is literal, the embedding is
+    * corpus-independent), so — unlike the s11 centroid fold — refresh
+    * is a PURE per-row encode + append: no base row is touched, no
+    * statistic recomputed, and the result is row-identical to a full
+    * rebuild (SimilaritySpec asserts set equality). Production appends
+    * the encoded batch to the bucket-partitioned artifact; the
+    * re-bucketing trigger is planesFor(n_chunks) crossing a power of
+    * two — the cadence contract in BASELINE.md pairs this with s11's. */
+  private[graft] def refreshedIndex(s: SparkSession, dir: String): DataFrame =
+    baseRetrievalIndex(s, dir).unionByName(encodeChunks(
+      TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+        .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res))))
+
+  /** Query frame of the s15 gate: the NEXT [[s10QueryDocs]] corpus-
+    * prefix queries (doc_id in [8, 16)) — disjoint from s10's so the
+    * two gated entries exercise different probes. */
+  private[graft] def s15QueryFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") >= s10QueryDocs
+        && col("doc_id") < 2 * s10QueryDocs)
+      .select(col("doc_id").as("qid"),
+        embedTokens(slice(split(trim(col("text")), "\\s+"), 1,
+          s10QueryTokens)).as("qe"))
+      .withColumn("qn", normD(col("qe")))
+      .filter(col("qn") > 0)
+
+  /** S15: INCREMENTAL RETRIEVAL-INDEX REFRESH (round-12 verdict item
+    * 4) — the operational leg s10 names: accept a batch of new
+    * documents, fold their chunks into the persisted bucket-keyed
+    * index WITHOUT a rebuild, and serve from the refreshed index. The
+    * gated query serves the [8,16) query set through
+    * [[refreshedIndex]]; its oracle is the full-corpus serving SQL
+    * (the refreshed index ≡ full rebuild — the equality the spec pins
+    * row-for-row), so the gate verifies the fold-in path end-to-end.
+    * Scale shape: the fold costs O(batch) encode (map-only) + the
+    * union read; the base artifact never reshuffles. */
+  val s15IndexRefresh: Q = (s, dir) =>
+    retrieveTopK(s15QueryFrame(s, dir), refreshedIndex(s, dir),
+      planes, s10K)
+
+  /** RRF constant (Cormack et al.'s k=60 — the published default). */
+  private[operators] val rrfK = 60
+
+  /** Sparse POSTINGS artifact over the c3 chunk corpus — the inverted
+    * index of the hybrid-retrieval pair: (token, doc_id, chunk_idx,
+    * tf, idf6), persisted per (session, dir) like [[retrievalIndex]].
+    * idf6 = round(ln(n_chunks/df)·10⁶) as INTEGER micro-nats, so a
+    * chunk's query score Σ tf·idf6 is an exact integer sum —
+    * order-independent across partitions and engines (the t13
+    * rounding contract, hardened from round-to-6dp to integer
+    * arithmetic because this score SUMS across query tokens where
+    * t13's ranks a single product). */
+  private val postingsReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def sparsePostings(s: SparkSession,
+                                        dir: String): DataFrame =
+    postingsReg.getOrCompute(s, dir) {
+      val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      val tf = chunks
+        .select(col("doc_id"), col("chunk_idx"),
+          explode(split(col("chunk_text"), " ")).as("token"))
+        .groupBy("token", "doc_id", "chunk_idx")
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = chunks.agg(count(lit(1)).cast("double").as("n_chunks"))
+      val post = tf.join(dfq, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf6",
+          round(log(col("n_chunks") / col("df")) * lit(1e6)).cast("long"))
+        .select(col("token"), col("doc_id"), col("chunk_idx"), col("tf"),
+          col("idf6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      post.count()
+      post
+    }
+
+  /** S16: HYBRID RETRIEVAL WITH RRF (round-12 verdict item 5) — the
+    * standard production retrieval shape neither leg covers alone:
+    * the DENSE leg is s10's serving path (persisted bucket-keyed
+    * index, broadcast probes, exact rerank) and the SPARSE leg is a
+    * TF-IDF inverted-index probe of the [[sparsePostings]] artifact
+    * (t13's scoring domain at chunk granularity); reciprocal-rank
+    * fusion (Σ 1/(k+rank), k=[[rrfK]]) merges the two top-k lists.
+    * Fusion is pure rank arithmetic — the oracle recomputes it exactly
+    * — and surfaces results either leg alone would miss-rank: lexical
+    * matches the hash embedding cancels, semantic matches with no
+    * token overlap.
+    *
+    * Scale shape: dense leg unchanged from s10 (corpus never
+    * reshuffles per batch); sparse leg joins the postings artifact on
+    * TOKEN against a broadcast query-token frame (batch×≤12 rows) —
+    * candidate volume = Σ posting-list lengths of the query's tokens,
+    * the classic inverted-index bound; fusion joins two
+    * batch×[[s10K]]-row frames. Determinism: sparse scores are exact
+    * integer sums (see [[sparsePostings]]); RRF terms are the same two
+    * IEEE divisions + one add in both engines, rounded to 6 dp; all
+    * ranks tie-break (doc_id, chunk_idx). */
+  /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
+    * the spec can compute the dense∩sparse intersection independently
+    * of the fused output. */
+  private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(trim(col("text")), "\\s+"), 1,
+          s10QueryTokens))).as("token"))
+    val wS = Window.partitionBy("qid")
+      .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
+    sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
+      .groupBy("qid", "doc_id", "chunk_idx")
+      .agg(sum(col("tf") * col("idf6")).as("ssc"))
+      .withColumn("sparse_rk", row_number().over(wS))
+      .filter(col("sparse_rk") <= s10K)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"), col("sparse_rk"))
+  }
+
+  val s16HybridRrf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dense = retrieveTopK(s10QueryFrame(s, dir),
+      retrievalIndex(s, dir), planes, s10K)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"),
+        col("rk").as("dense_rk"))
+    val sparse = s16SparseLeg(s, dir)
+    val wF = Window.partitionBy("qid")
+      .orderBy(desc("rrf"), col("doc_id"), col("chunk_idx"))
+    dense.join(sparse, Seq("qid", "doc_id", "chunk_idx"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rk")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= s10K)
+      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("rrf"), col("dense_rk"), col("sparse_rk"))
       .orderBy("qid", "rk")
   }
 
@@ -1379,6 +1634,74 @@ object Similarity {
         WHERE rk <= 3 ORDER BY qid, rk"""
   }
 
+  /** s14 oracle: the s13 chain with the candidate restriction widened
+    * to the query's [[ivfProbes]] nearest FINAL centroids — the
+    * `qprobe` CTE ranks each query against c\$kmeansIters by the same
+    * |c|²−2·q·c distance and (d, cell) tie order the assignment uses,
+    * so prk=1 is the query's own cell and s13's oracle is exactly the
+    * p=1 special case of this one. */
+  private lazy val s14Sql: String = {
+    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
+    val encJoin = (1 until pqM)
+      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
+    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
+    val encxCols = (0 until pqM).map(m => s"x.c$m").mkString(", ")
+    val dtJoins = (0 until pqM).map(m =>
+      s"JOIN dt$m d$m ON d$m.qid = q.vec_id AND d$m.cell = en.c$m")
+      .mkString("\n          ")
+    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
+    s"""WITH $s7ChainCtes,
+        $chains,
+        nn AS (
+          SELECT vec_id, embedding, cell AS coarse,
+            sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM af),
+        encx AS (
+          SELECT e0.vec_id, $codeCols
+          FROM enc0 e0 $encJoin),
+        qprobe AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
+                AS prk
+            FROM (
+              SELECT qq.vec_id, c.cell,
+                list_sum(list_transform(range(1, ${dims + 1}),
+                  i -> c.vec[i] * c.vec[i]))
+                - 2 * list_sum(list_transform(range(1, ${dims + 1}),
+                    i -> CAST(qq.embedding[i] AS DOUBLE) * c.vec[i])) AS d
+              FROM (SELECT vec_id, embedding FROM nn WHERE vec_id < 10) qq,
+                c$kmeansIters c))
+          WHERE prk <= $ivfProbes),
+        cand AS (
+          SELECT q.vec_id AS qid, en.vec_id AS cid, $adist AS adist
+          FROM qprobe q
+          JOIN (SELECT x.vec_id, n.coarse, $encxCols
+                FROM encx x JOIN nn n USING (vec_id)) en
+            ON en.coarse = q.cell AND en.vec_id <> q.vec_id
+          $dtJoins),
+        top AS (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
+              AS crk
+          FROM cand),
+        rr AS (
+          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
+            a.nrm AS qn, b.nrm AS cn
+          FROM top t JOIN nn a ON a.vec_id = t.qid
+            JOIN nn b ON b.vec_id = t.cid
+          WHERE t.crk <= $pqCandidates),
+        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
+        ranked AS (
+          SELECT qid, cid, cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS INT) AS rk
+          FROM scored)
+        SELECT qid, cid, cosine, rk FROM ranked
+        WHERE rk <= 3 ORDER BY qid, rk"""
+  }
+
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes
         SELECT vec_id, cell AS cluster,
@@ -1474,7 +1797,7 @@ object Similarity {
     * loop), the same plane geometry buckets both sides, and the same
     * multi-probe + exact-rerank join ranks. Embedding components are
     * integer sums, so every cosine compares exactly. */
-  private lazy val s10Sql: String = {
+  private def s10SqlFor(qdWhere: String): String = {
     val signSum =
       "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
         .replace("$D", dims.toString)
@@ -1505,7 +1828,7 @@ object Similarity {
           SELECT doc_id AS qid,
             list_slice(string_split_regex(trim(text), '\\s+'), 1,
               $s10QueryTokens) AS qtk
-          FROM documents WHERE doc_id < $s10QueryDocs),
+          FROM documents WHERE $qdWhere),
         qtok AS (SELECT qid, unnest(qtk) AS w FROM qd),
         qsum AS (
           SELECT qid, h % $dims AS d, $signSum AS v
@@ -1540,6 +1863,74 @@ object Similarity {
         FROM ranked WHERE rk <= $s10K ORDER BY qid, rk"""
   }
 
+  private lazy val s10Sql: String =
+    s10SqlFor(s"doc_id < $s10QueryDocs")
+
+  /** s15 oracle: the SAME full-corpus serving SQL over the [8,16)
+    * query window — the refreshed index is row-identical to a full
+    * rebuild (encode is corpus-independent; spec pins the set
+    * equality), so the fold-in path must reproduce exactly what a
+    * rebuild would serve. */
+  private lazy val s15Sql: String =
+    s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}")
+
+  /** s16 oracle: the s10 serving SQL as the dense leg, a relational
+    * TF-IDF inverted-index recompute as the sparse leg (tf per
+    * (token, chunk), df per token, idf in integer micro-nats — the
+    * exact-integer-sum contract), and the RRF arithmetic verbatim
+    * (CAST(1 AS DOUBLE) so DuckDB divides in DOUBLE, not DECIMAL). */
+  private lazy val s16Sql: String =
+    s"""WITH den AS (
+          SELECT qid, doc_id, chunk_idx, rk AS dense_rk FROM ($s10Sql)),
+        c3s AS (SELECT * FROM (${TextAnalysis.c3Sql})),
+        st AS (SELECT doc_id, chunk_idx,
+                 unnest(string_split(chunk_text, ' ')) AS token
+               FROM c3s),
+        tf AS (SELECT token, doc_id, chunk_idx,
+                 CAST(count(*) AS BIGINT) AS tf
+               FROM st GROUP BY 1, 2, 3),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        nch AS (SELECT CAST(count(*) AS DOUBLE) AS n_chunks FROM c3s),
+        post AS (
+          SELECT tf.token, tf.doc_id, tf.chunk_idx, tf.tf,
+            CAST(round(ln(n.n_chunks / dfq.df) * 1e6) AS BIGINT) AS idf6
+          FROM tf JOIN dfq USING (token), nch n),
+        qt0 AS (
+          SELECT doc_id AS qid,
+            unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+              $s10QueryTokens)) AS token
+          FROM documents WHERE doc_id < $s10QueryDocs),
+        qt AS (SELECT DISTINCT qid, token FROM qt0),
+        ssc AS (
+          SELECT q.qid, p.doc_id, p.chunk_idx, sum(p.tf * p.idf6) AS ssc
+          FROM qt q JOIN post p USING (token) GROUP BY 1, 2, 3),
+        sp AS (
+          SELECT qid, doc_id, chunk_idx, sparse_rk FROM (
+            SELECT qid, doc_id, chunk_idx,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ssc DESC, doc_id, chunk_idx) AS INT) AS sparse_rk
+            FROM ssc)
+          WHERE sparse_rk <= $s10K),
+        fu AS (
+          SELECT COALESCE(d.qid, s.qid) AS qid,
+            COALESCE(d.doc_id, s.doc_id) AS doc_id,
+            COALESCE(d.chunk_idx, s.chunk_idx) AS chunk_idx,
+            d.dense_rk, s.sparse_rk,
+            round(COALESCE(CAST(1 AS DOUBLE) / ($rrfK + d.dense_rk), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + s.sparse_rk), 0), 6)
+              AS rrf
+          FROM den d FULL JOIN sp s
+            ON d.qid = s.qid AND d.doc_id = s.doc_id
+              AND d.chunk_idx = s.chunk_idx),
+        rankedf AS (
+          SELECT qid, doc_id, chunk_idx, rrf, dense_rk, sparse_rk,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY rrf DESC, doc_id, chunk_idx) AS INT) AS rk
+          FROM fu)
+        SELECT qid, rk, doc_id, chunk_idx, rrf, dense_rk, sparse_rk
+        FROM rankedf WHERE rk <= $s10K ORDER BY qid, rk"""
+
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_ann" -> s2LshAnn,
@@ -1554,6 +1945,9 @@ object Similarity {
     "s11_centroid_refresh" -> s11CentroidRefresh,
     "s12_pq_ann" -> s12PqAnn,
     "s13_ivfpq_ann" -> s13IvfpqAnn,
+    "s14_multiprobe_ivfpq" -> s14MultiprobeIvfpq,
+    "s15_index_refresh" -> s15IndexRefresh,
+    "s16_hybrid_rrf" -> s16HybridRrf,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
   )
 
@@ -1565,6 +1959,9 @@ object Similarity {
     "s11_centroid_refresh" -> s11Sql,
     "s12_pq_ann" -> s12Sql,
     "s13_ivfpq_ann" -> s13Sql,
+    "s14_multiprobe_ivfpq" -> s14Sql,
+    "s15_index_refresh" -> s15Sql,
+    "s16_hybrid_rrf" -> s16Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,

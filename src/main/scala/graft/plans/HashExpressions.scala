@@ -183,8 +183,15 @@ case class HashEmbed(child: Expression, dims: Int)
     while (j < n) {
       if (!th.isNullAt(j)) {
         val h = th.getLong(j)
-        val d = (h % dims).toInt
-        out(d) += (if ((h / dims) % 2 == 0) 1.0 else -1.0)
+        // floorMod/floorDiv: total over the declared array<long> input.
+        // Every committed caller feeds mod-P (nonnegative) hashes, where
+        // floor and truncated semantics coincide (and match the oracle's
+        // `h % dims` / `(h // dims) % 2` on the same values) — but a
+        // caller passing a negative hash must get a wrapped index, not
+        // an ArrayIndexOutOfBoundsException (round-12 ADVICE).
+        val d = java.lang.Math.floorMod(h, dims.toLong).toInt
+        out(d) += (if (java.lang.Math.floorMod(
+          java.lang.Math.floorDiv(h, dims.toLong), 2L) == 0L) 1.0 else -1.0)
       }
       j += 1
     }

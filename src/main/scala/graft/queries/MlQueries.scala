@@ -297,30 +297,15 @@ object MlQueries {
   private[queries] val u13Phases = 4
   private[queries] val u13Shards = 8
 
-  /** U13: QUALITY-CURRICULUM ORDERING — the corpus laid out for
-    * curriculum training (cleanest data first, annealing to the full
-    * mix): every document gets a global curriculum position ordered by
-    * the m6 quality score (desc, doc_id tiebreak), a training PHASE
-    * (which quarter of the curriculum it falls in) and a within-order
-    * SHARD. Consumes the trained-quality family's score the way u11
-    * consumes the shuffle hash — the last step between curation and
-    * the trainer's data loader.
-    *
-    * Scale shape: u11's two-level rank layout applied to a SCORE
-    * instead of a hash — band by fixed-width quality band (bounded
-    * band-count frame, broadcast cumulative offsets), rank locally
-    * within band, add the offset: no global sort of the corpus.
-    * Unlike u11's uniform hash, quality bands CAN skew (a one-band
-    * corpus degrades to a global sort) — band width is the knob and
-    * the s9-style pre-flight is one groupBy away; the gated geometry
-    * measures fine at all committed scales. Determinism: the sort key
-    * is the 6-dp-ROUNDED score (the lloyd rounding contract — raw
-    * sigmoid doubles could order differently across engines in the
-    * last ulp), ties by doc_id; phase arithmetic is integral. */
-  val u13QualityCurriculum: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val scored = m6QualityScore(s, dir)
-      .select(col("doc_id"), round(col("p_quality"), 6).as("p6"))
+  /** The banded two-level curriculum layout over any per-document
+    * 6-dp-rounded score frame (`doc_id`, `p6`, pass-through columns):
+    * band by fixed-width quality band, rank locally within band
+    * (p6 desc, doc_id), add broadcast cumulative band offsets — no
+    * global sort. Band is a monotone function of p6, so the resulting
+    * positions EQUAL the global (p6 desc, doc_id) rank (MlSpec asserts
+    * this on the trained path). Shared by u13 (m6 fixed-weight score)
+    * and u14 (trained m7 score). */
+  private def bandedCurriculum(scored: DataFrame): DataFrame = {
     val banded = scored.withColumn("band",
       least(floor(col("p6") * u13Bands).cast("int"), lit(u13Bands - 1)))
     val wLocal = Window.partitionBy("band")
@@ -337,13 +322,87 @@ object MlQueries {
     local.join(broadcast(offsets), Seq("band"))
       .crossJoin(broadcast(n))
       .withColumn("curriculum_pos", col("band_off") + col("lrk") - 1)
+      .withColumn("phase",
+        expr(s"CAST((curriculum_pos * $u13Phases) div nt AS INT)"))
+      .withColumn("shard",
+        pmod(col("curriculum_pos"), lit(u13Shards.toLong)).cast("int"))
+      .drop("lrk", "band_off", "nt")
+  }
+
+  /** U13: QUALITY-CURRICULUM ORDERING — the corpus laid out for
+    * curriculum training (cleanest data first, annealing to the full
+    * mix): every document gets a global curriculum position ordered by
+    * the m6 quality score (desc, doc_id tiebreak), a training PHASE
+    * (which quarter of the curriculum it falls in) and a within-order
+    * SHARD. Consumes the trained-quality family's score the way u11
+    * consumes the shuffle hash — the last step between curation and
+    * the trainer's data loader.
+    *
+    * Scale shape: u11's two-level rank layout applied to a SCORE
+    * instead of a hash — [[bandedCurriculum]]: band by fixed-width
+    * quality band (bounded band-count frame, broadcast cumulative
+    * offsets), rank locally within band, add the offset: no global
+    * sort of the corpus. Unlike u11's uniform hash, quality bands CAN
+    * skew (a one-band corpus degrades to a global sort) — band width
+    * is the knob and the s9-style pre-flight is one groupBy away; the
+    * gated geometry measures fine at all committed scales.
+    * Determinism: the sort key is the 6-dp-ROUNDED score (the lloyd
+    * rounding contract — raw sigmoid doubles could order differently
+    * across engines in the last ulp), ties by doc_id; phase
+    * arithmetic is integral. */
+  val u13QualityCurriculum: Q = (s, dir) => {
+    val scored = m6QualityScore(s, dir)
+      .select(col("doc_id"), round(col("p_quality"), 6).as("p6"))
+    bandedCurriculum(scored)
       .select(col("doc_id"), col("p6").as("p_quality"),
-        col("curriculum_pos"),
-        expr(s"CAST((curriculum_pos * $u13Phases) div nt AS INT)")
-          .as("phase"),
-        pmod(col("curriculum_pos"), lit(u13Shards.toLong)).cast("int")
-          .as("shard"))
+        col("curriculum_pos"), col("phase"), col("shard"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document curriculum layout under the TRAINED m7 score — the
+    * frame u14 summarizes and MlSpec invariant-checks: [[bandedCurriculum]]
+    * over round(p_good, 6), label riding along for the dispatch key. */
+  private[graft] def trainedCurriculum(s: SparkSession,
+                                       dir: String): DataFrame =
+    bandedCurriculum(qualityScored(s, dir)
+      .select(col("doc_id"), col("label"), round(col("p_good"), 6).as("p6")))
+
+  /** U14: TRAINED-QUALITY CURRICULUM (round-12 verdict item 3 — the
+    * consumption leg m7 exists for): u13's banded curriculum layout
+    * ordered by the TRAINED classifier's P(good) instead of m6's fixed
+    * coefficients — the production shape where the curriculum follows
+    * the learned quality model. The gated output is the BOUNDED
+    * (phase × band) cross-tab of the layout plus the (n_docs, n_pos)
+    * dispatch key — the m7 oracle pattern: per-document p_good isn't
+    * SQL-recomputable, but the fit is content-deterministic (see
+    * [[qualityModel]]; BLAS caveat noted at the m7 oracle), so the
+    * cross-tab is a stable golden dispatched on a key DuckDB
+    * recomputes through the m6 label chain. The cross-tab gates the
+    * whole composition — score binning AND phase arithmetic over the
+    * curriculum positions; per-document invariants (permutation,
+    * monotone nonincreasing p_good, equality with the global-sort
+    * rank, phase/shard arithmetic) live in MlSpec.
+    *
+    * Scale shape: inherits u13's (banded rank, no global sort;
+    * ≤ phases×bands output rows); the single extra cost is the one
+    * scoring pass the m7 family shares. ONE pass: cells are
+    * aggregated once and key + cross-tab both derive from that
+    * bounded (≤ 2·phases·bands row) frame. */
+  val u14TrainedCurriculum: Q = (s, dir) => {
+    val cells = trainedCurriculum(s, dir)
+      .select(col("label"), col("band"), col("phase"))
+      .groupBy("phase", "band", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(lit(0))
+    cells
+      .withColumn("n_docs", sum("n").over(w))
+      .withColumn("n_pos",
+        sum(when(col("label") === 1, col("n")).otherwise(lit(0L))).over(w))
+      .groupBy("phase", "band")
+      .agg(max("n_docs").as("n_docs"), max("n_pos").as("n_pos"),
+        sum("n").as("n_docs_cell"))
+      .select(col("n_docs"), col("n_pos"), col("phase"), col("band"),
+        col("n_docs_cell"))
+      .orderBy("phase", "band")
   }
 
   val queries: Map[String, Q] = Map(
@@ -355,6 +414,7 @@ object MlQueries {
     "m6_quality_score" -> m6QualityScore,
     "m7_quality_histogram" -> m7QualityHistogram,
     "u13_quality_curriculum" -> u13QualityCurriculum,
+    "u14_trained_curriculum" -> u14TrainedCurriculum,
   )
 
   /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
@@ -402,6 +462,50 @@ object MlQueries {
         FROM q JOIN l ON l.doc_id = q.doc_id
         ORDER BY q.doc_id"""
 
+  /** u14 golden VALUES rows — (n_docs, n_pos, phase, band, n) per
+    * committed scale; harvested from fresh-JVM runs (see the u14
+    * oracle comment). Kept as a named constant so the harvest tool can
+    * regenerate it in one place. */
+  private val u14Goldens: String =
+    """(500, 352, 0, 15, 125),
+            (500, 352, 1, 15, 125),
+            (500, 352, 2, 0, 6),
+            (500, 352, 2, 1, 9),
+            (500, 352, 2, 2, 5),
+            (500, 352, 2, 3, 2),
+            (500, 352, 2, 5, 1),
+            (500, 352, 2, 8, 2),
+            (500, 352, 2, 9, 1),
+            (500, 352, 2, 10, 1),
+            (500, 352, 2, 13, 2),
+            (500, 352, 2, 14, 4),
+            (500, 352, 2, 15, 92),
+            (500, 352, 3, 0, 125),
+            (500, 343, 0, 15, 125),
+            (500, 343, 1, 15, 125),
+            (500, 343, 2, 0, 32),
+            (500, 343, 2, 15, 93),
+            (500, 343, 3, 0, 125),
+            (5000, 3468, 0, 15, 1250),
+            (5000, 3468, 1, 15, 1250),
+            (5000, 3468, 2, 0, 132),
+            (5000, 3468, 2, 1, 51),
+            (5000, 3468, 2, 2, 35),
+            (5000, 3468, 2, 3, 29),
+            (5000, 3468, 2, 4, 16),
+            (5000, 3468, 2, 5, 5),
+            (5000, 3468, 2, 6, 17),
+            (5000, 3468, 2, 7, 4),
+            (5000, 3468, 2, 8, 12),
+            (5000, 3468, 2, 9, 6),
+            (5000, 3468, 2, 10, 8),
+            (5000, 3468, 2, 11, 15),
+            (5000, 3468, 2, 12, 19),
+            (5000, 3468, 2, 13, 12),
+            (5000, 3468, 2, 14, 19),
+            (5000, 3468, 2, 15, 870),
+            (5000, 3468, 3, 0, 1250)"""
+
   lazy val oracle: Map[String, String] = Map(
     "m5_score_histogram" ->
       s"""WITH $abtSql
@@ -448,7 +552,13 @@ object MlQueries {
     // count) which DuckDB RECOMPUTES through the m6 label chain
     // (goldens from two fresh-JVM runs per scale, byte-identical,
     // 2026-08-14). The join against the recomputed key also re-gates
-    // the label rule at every scale.
+    // the label rule at every scale. BLAS assumption (round-12
+    // ADVICE): "content-deterministic" holds for a FIXED BLAS — MLlib
+    // LBFGS aggregation rides netlib, and a host swapping java netlib
+    // for a native BLAS could drift a p_good in its last ulp and flip
+    // a 0.05 bin edge. MlSpec pins the fitted coefficient vector
+    // (6 dp) so such a failure is diagnosable as fit nondeterminism
+    // rather than histogram plumbing.
     "m7_quality_histogram" ->
       s"""WITH lab AS (SELECT label FROM ($m6Sql)),
           k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -494,6 +604,24 @@ object MlQueries {
             v(n_docs, n_pos, bin, n)
           JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
           ORDER BY v.bin""",
+    // u14: the trained-curriculum LAYOUT oracle (the m7 pattern applied
+    // to u13's banded geometry): the (phase × band) cross-tab of the
+    // curriculum under the fitted model, pinned per scale as VALUES and
+    // dispatched on the same DuckDB-recomputable (n_docs, n_pos) key.
+    // Goldens from fresh-JVM runs per scale (2026-08-14); the m7 BLAS
+    // caveat applies identically.
+    "u14_trained_curriculum" ->
+      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
+          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+          SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
+            CAST(v.n_pos AS BIGINT) AS n_pos, v.phase, v.band,
+            CAST(v.n AS BIGINT) AS n_docs_cell
+          FROM (VALUES
+            $u14Goldens)
+            v(n_docs, n_pos, phase, band, n)
+          JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
+          ORDER BY v.phase, v.band""",
     "m4_logistic_score" ->
       s"""WITH $abtSql
           SELECT yr, o_custkey, fl_champ,

@@ -40,6 +40,10 @@ object PlanAudit {
     "d15_bloom_decontaminate", // map-side Bloom prescreen, exact confirm on survivors
     "prof7_embedding_drift", // two map-only assigns, k-row occupancy PSI
     "u13_quality_curriculum", // banded two-level rank, bounded offsets broadcast
+    "s14_multiprobe_ivfpq", // p-nearest-cell union join over the cluster-keyed artifact
+    "s15_index_refresh", // base artifact + map-only batch encode union, probes broadcast
+    "s16_hybrid_rrf",    // postings-artifact token join; two top-k legs rank-fused
+    "u14_trained_curriculum", // banded rank over the TRAINED score, bounded cross-tab
   )
 
   def main(args: Array[String]): Unit = {

@@ -123,6 +123,29 @@ class MlSpec extends SparkSpec {
     assert(math.abs(acc - 0.996) < 1e-9, f"golden acc drifted: $acc%.12f")
     assert(math.abs(auc - 0.998579545455) < 1e-9,
       f"golden auc drifted: $auc%.12f")
+    // Pin the fitted coefficient vector itself (rounded to 6 dp), not
+    // just downstream metrics: the m7 histogram oracle assumes the
+    // LBFGS fit reproduces bit-for-bit across hosts, but MLlib's
+    // gradient aggregation rides BLAS (java netlib here; native on
+    // other hosts) whose last-ulp results can differ — if the m7 gate
+    // ever fails on a p_good value near a 0.05 bin edge, THIS assert
+    // says whether the cause is fit nondeterminism (coefficients
+    // drifted) or histogram plumbing (coefficients identical).
+    // Recorded 2026-08-14, Spark 4.1.2 bundled netlib-java.
+    val lr = graft.queries.MlQueries.qualityModel(spark, dir).stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val coefs = lr.coefficients.toArray.map(c => math.round(c * 1e6) / 1e6)
+    val icept = math.round(lr.intercept * 1e6) / 1e6
+    info(s"m7 coefficients=${coefs.mkString(", ")} intercept=$icept")
+    val goldenCoefs = Seq(-0.362429, 2.648256, 0.0, 278.769361, 14.928165)
+    val goldenIcept = -110.374174
+    coefs.zip(goldenCoefs).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-6,
+        f"coefficient $i drifted: $got vs golden $want — BLAS/fit " +
+          "nondeterminism, not histogram plumbing")
+    }
+    assert(math.abs(icept - goldenIcept) < 1e-6,
+      f"intercept drifted: $icept vs golden $goldenIcept")
   }
 
   test("u13 curriculum: positions are a permutation of 0..N-1, " +
@@ -149,6 +172,38 @@ class MlSpec extends SparkSpec {
       .view.mapValues(_.length).toMap
     assert(phaseSizes.keySet === Set(0, 1, 2, 3))
     assert(phaseSizes.values.max - phaseSizes.values.min <= 1)
+  }
+
+  test("u14 trained curriculum: positions a permutation, monotone " +
+    "nonincreasing in p_good, equal to the global-sort rank; the gated " +
+    "cross-tab sums back to the corpus and the positive count") {
+    val dir = "/root/testdata/sf0.001"
+    val cur = graft.queries.MlQueries.trainedCurriculum(spark, dir).collect()
+    val n = cur.length
+    val byPos = cur.sortBy(_.getAs[Long]("curriculum_pos"))
+    assert(byPos.map(_.getAs[Long]("curriculum_pos")).toSeq
+      === (0L until n).toSeq, "positions not a permutation")
+    byPos.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("p6") >= b.getAs[Double]("p6"),
+        s"p_good rises at pos ${b.getAs[Long]("curriculum_pos")}")
+    }
+    // the banded two-level rank must EQUAL the global (p6 desc, doc_id)
+    // rank — band is a monotone function of p6 (bandedCurriculum's
+    // contract)
+    val globalOrder = cur.sortBy(r =>
+      (-r.getAs[Double]("p6"), r.getAs[Long]("doc_id")))
+    assert(globalOrder.map(_.getAs[Long]("curriculum_pos")).toSeq
+      === (0L until n).toSeq, "banded rank differs from the global sort")
+    cur.foreach { r =>
+      val pos = r.getAs[Long]("curriculum_pos")
+      assert(r.getAs[Int]("phase") === (pos * 4 / n).toInt)
+      assert(r.getAs[Int]("shard") === (pos % 8).toInt)
+    }
+    val xt = graft.queries.MlQueries
+      .queries("u14_trained_curriculum")(spark, dir).collect()
+    assert(xt.map(_.getAs[Long]("n_docs_cell")).sum === n.toLong)
+    assert(xt.head.getAs[Long]("n_pos")
+      === cur.count(_.getAs[Int]("label") === 1).toLong)
   }
 
   test("golden prediction frame: m1's full scored OOT frame at seed 42 " +

@@ -151,6 +151,133 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("multi-probe IVF-PQ (s14): recall@3 >= single-probe s13; every " +
+    "pair's candidate cell is among the query's p nearest; rerank <= exact") {
+    val exact3 = topMap("s1_cosine_topk", 3)
+    val single = topMap("s13_ivfpq_ann", 3)
+    val multi = topMap("s14_multiprobe_ivfpq", 3)
+    assert(multi.keySet === exact3.keySet)
+    val rS = recallAt3(single, exact3)
+    val rM = recallAt3(multi, exact3)
+    info(f"recall@3: ivfpq(p=1)=$rS%.2f multiprobe(p=2)=$rM%.2f")
+    // the dial's contract: widening the probed union never loses recall
+    // on this corpus (the ADC shortlist keeps pqCandidates slots either
+    // way, and the second cell only ADDS true neighbors here)
+    assert(rM >= rS, f"multi-probe recall $rM%.2f < single-probe $rS%.2f")
+    // probe invariant: every candidate's coarse cell is among the
+    // query's ivfProbes nearest final centroids (plain-Scala recompute
+    // of the same |c|^2 - 2 q.c ranking, ties by cell)
+    val cents = Similarity.kmeansCentroids(spark, dir).collect()
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Double]]("vec").toArray))
+    val emb = graft.core.Tables.t(spark, dir, "embeddings")
+      .filter("vec_id < 10").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def probeSet(v: Array[Float]): Set[Int] =
+      cents.map { case (cell, c) =>
+        val n2 = c.map(x => x * x).sum
+        val dot = c.indices.map(i => v(i).toDouble * c(i)).sum
+        (n2 - 2.0 * dot, cell)
+      }.sortBy(identity).take(2).map(_._2).toSet
+    val cells = graft.SparkEntry.queries("s7_kmeans")(spark, dir)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        x.getAs[Int]("cluster")).toMap
+    graft.SparkEntry.queries("s14_multiprobe_ivfpq")(spark, dir)
+      .collect().foreach { x =>
+        val (q, c) = (x.getAs[Long]("qid"), x.getAs[Long]("cid"))
+        assert(probeSet(emb(q)).contains(cells(c)),
+          s"pair ($q,$c): cell ${cells(c)} outside the probe set")
+      }
+    // the reranked best candidate can never exceed the true best cosine
+    val bestExact = graft.SparkEntry.queries("s1_cosine_topk")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Double]("cosine")).toMap
+    graft.SparkEntry.queries("s14_multiprobe_ivfpq")(spark, dir)
+      .filter("rk = 1").collect().foreach { x =>
+        assert(x.getAs[Double]("cosine")
+          <= bestExact(x.getAs[Long]("qid")) + 1e-12)
+      }
+  }
+
+  test("index refresh (s15): base + encoded batch is ROW-IDENTICAL to " +
+    "a full rebuild; both slices non-empty; served ranks well-formed") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+          r.getAs[Long]("bkt"), r.getAs[Double]("cn"),
+          r.getAs[scala.collection.Seq[Double]]("ce").toSeq)
+      }.toSet
+    val refreshed = Similarity.refreshedIndex(spark, dir)
+    val rebuilt = Similarity.retrievalIndex(spark, dir)
+    val base = Similarity.baseRetrievalIndex(spark, dir).count()
+    val total = rebuilt.count()
+    // the modular cut must leave real mass on BOTH sides — an empty
+    // batch would make this test vacuous
+    assert(base > 0 && base < total, s"degenerate split: $base of $total")
+    assert(canon(refreshed) === canon(rebuilt),
+      "refreshed index differs from a full rebuild")
+    // served output: every rank in 1..k, rows present
+    val served = graft.SparkEntry.queries("s15_index_refresh")(spark, dir)
+      .collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val rk = r.getAs[Int]("rk")
+      assert(rk >= 1 && rk <= 5)
+      val q = r.getAs[Long]("qid")
+      assert(q >= 8 && q < 16, s"unexpected qid $q")
+    }
+  }
+
+  test("hybrid RRF (s16): fusion arithmetic recomputes in plain Scala; " +
+    "items in BOTH legs' top-k always survive fusion; deterministic") {
+    val rows = graft.SparkEntry.queries("s16_hybrid_rrf")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // RRF recompute: rrf == round(1/(60+d) + 1/(60+s), 6) with absent
+    // legs contributing 0
+    rows.foreach { r =>
+      def leg(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0
+        else 1.0 / (60 + r.getAs[Int](c))
+      val want = BigDecimal(leg("dense_rk") + leg("sparse_rk"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-12,
+        s"rrf mismatch on $r")
+    }
+    // a chunk in both legs' top-k scores >= 2/(60+k) > 1/(60+1), the
+    // best any single-leg item can do — so the intersection always
+    // survives into the fused top-k
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("dense_rk"))
+      && !r.isNullAt(r.fieldIndex("sparse_rk")))
+    info(s"fused rows=${rows.length}, both-leg survivors=${both.length}")
+    // TRUE intersection, computed from the two legs independently of
+    // the fused output: a both-leg chunk scores >= 2/(60+k) > 1/(60+1)
+    // (the best any single-leg chunk can do), so the whole
+    // intersection MUST survive into the fused top-k
+    val dense = graft.SparkEntry.queries("s10_retrieve")(spark, dir)
+      .select("qid", "doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sparse = Similarity.s16SparseLeg(spark, dir)
+      .select("qid", "doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fusedKeys = rows
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"))).toSet
+    val bothKeys = both
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"))).toSet
+    val intersection = dense intersect sparse
+    assert(intersection.subsetOf(fusedKeys),
+      s"intersection items lost in fusion: ${intersection -- fusedKeys}")
+    assert(bothKeys === intersection,
+      "fused both-leg markers disagree with the true leg intersection")
+    // determinism: a second full evaluation returns identical rows
+    val again = graft.SparkEntry.queries("s16_hybrid_rrf")(spark, dir)
+      .collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("prof7 embedding drift: PSI equals a plain-Scala recomputation " +
     "from the occupancy counts; counts partition the corpus") {
     val rows = graft.SparkEntry

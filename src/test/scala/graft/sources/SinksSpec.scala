@@ -212,6 +212,48 @@ class SinksSpec extends SparkSpec {
     assert(q.count() === 1)
   }
 
+  test("vacuum: planted victims deleted, planted survivors kept — the " +
+    "standing rule for delete-by-pattern code (round-12 tmp-sweep lesson)") {
+    val base = tmpDir("sinks")
+    val path = base + "/store"
+    Sinks.replaceSlice(spark, store(("2024-01-01", 2024, "a", 1.0)),
+      path, "dt_ref", "2024-01-01", "dt_year")
+    val before = readStore(path)
+    val old = System.currentTimeMillis() - 7200 * 1000L
+    def mk(p: String, mtime: Long): java.io.File = {
+      val f = new java.io.File(p)
+      f.mkdirs()
+      Files.writeString(Paths.get(p, "part-0"), "x")
+      assert(f.setLastModified(mtime))
+      f
+    }
+    // victims: an aged orphan staging dir + an aged _graft_old archive
+    val victimStaging = mk(s"$path-staging-dead1", old)
+    val victimOld = mk(s"$path/_graft_old/tx1", old)
+    // survivors: a YOUNG staging dir (may belong to an in-flight
+    // writer), a sibling whose name misses the pattern, a YOUNG archive
+    val freshStaging = mk(s"$path-staging-live1", System.currentTimeMillis())
+    val foreign = mk(s"$base/store-other", old)
+    val freshOld = mk(s"$path/_graft_old/tx2", System.currentTimeMillis())
+    val removed = Sinks.vacuum(spark, path)
+    assert(removed === 2, s"removed=$removed")
+    assert(!victimStaging.exists(), "aged staging victim survived")
+    assert(!victimOld.exists(), "aged archive victim survived")
+    assert(freshStaging.exists(), "young staging dir was deleted")
+    assert(foreign.exists(), "non-matching sibling was deleted")
+    assert(freshOld.exists(), "young archive was deleted")
+    assert(readStore(path) === before, "vacuum touched live table data")
+    // marker present -> recovery owns _graft_old: vacuum must not touch
+    // it even when aged
+    val agedUnderMarker = mk(s"$path/_graft_old/tx3", old)
+    Files.writeString(Paths.get(path, "_graft_commit"), "{}")
+    try {
+      assert(Sinks.vacuum(spark, path) === 0)
+      assert(agedUnderMarker.exists(),
+        "vacuum deleted an archive owned by a pending commit")
+    } finally Files.delete(Paths.get(path, "_graft_commit"))
+  }
+
   test("overwrite + compact preserve content; compact controls file count") {
     val path = tmpDir("sinks") + "/t"
     val df = (1 to 100).toDF("n").repartition(8)
