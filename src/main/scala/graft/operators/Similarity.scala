@@ -1096,17 +1096,25 @@ object Similarity {
       df
     }
 
-  /** The gated query-embedding frame: corpus-prefix queries (first
-    * [[s10QueryTokens]] tokens of each query doc) through the same
-    * embedder. A production serving path binds this to the incoming
-    * query batch instead. */
-  private[graft] def s10QueryFrame(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
+  /** Corpus-prefix query-embedding frame over an arbitrary doc window
+    * (first [[s10QueryTokens]] whitespace tokens of each query doc
+    * through the same embedder) — ONE recipe for both gated windows,
+    * the Scala twin of the parameterized [[s10SqlFor]]: a change to
+    * the embedding recipe cannot reach one gate and miss the other. A
+    * production serving path binds this to the incoming query batch
+    * instead. */
+  private def queryFrame(s: SparkSession, dir: String,
+                         docWindow: Column): DataFrame =
+    t(s, dir, "documents").filter(docWindow)
       .select(col("doc_id").as("qid"),
         embedTokens(slice(split(trim(col("text")), "\\s+"), 1,
           s10QueryTokens)).as("qe"))
       .withColumn("qn", normD(col("qe")))
       .filter(col("qn") > 0)
+
+  /** The s10 gated query frame: doc_id < [[s10QueryDocs]]. */
+  private[graft] def s10QueryFrame(s: SparkSession, dir: String): DataFrame =
+    queryFrame(s, dir, col("doc_id") < s10QueryDocs)
 
   /** Serving core: ANN candidates via the multi-probe bucket join,
     * exact cosine rerank, top-k per query with chunk text + provenance.
@@ -1225,16 +1233,11 @@ object Similarity {
 
   /** Query frame of the s15 gate: the NEXT [[s10QueryDocs]] corpus-
     * prefix queries (doc_id in [8, 16)) — disjoint from s10's so the
-    * two gated entries exercise different probes. */
+    * two gated entries exercise different probes; same [[queryFrame]]
+    * recipe. */
   private[graft] def s15QueryFrame(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter(col("doc_id") >= s10QueryDocs
-        && col("doc_id") < 2 * s10QueryDocs)
-      .select(col("doc_id").as("qid"),
-        embedTokens(slice(split(trim(col("text")), "\\s+"), 1,
-          s10QueryTokens)).as("qe"))
-      .withColumn("qn", normD(col("qe")))
-      .filter(col("qn") > 0)
+    queryFrame(s, dir,
+      col("doc_id") >= s10QueryDocs && col("doc_id") < 2 * s10QueryDocs)
 
   /** S15: INCREMENTAL RETRIEVAL-INDEX REFRESH (round-12 verdict item
     * 4) — the operational leg s10 names: accept a batch of new
@@ -1288,6 +1291,25 @@ object Similarity {
       post
     }
 
+  /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
+    * the spec can compute the dense∩sparse intersection independently
+    * of the fused output. */
+  private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(trim(col("text")), "\\s+"), 1,
+          s10QueryTokens))).as("token"))
+    val wS = Window.partitionBy("qid")
+      .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
+    sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
+      .groupBy("qid", "doc_id", "chunk_idx")
+      .agg(sum(col("tf") * col("idf6")).as("ssc"))
+      .withColumn("sparse_rk", row_number().over(wS))
+      .filter(col("sparse_rk") <= s10K)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"), col("sparse_rk"))
+  }
+
   /** S16: HYBRID RETRIEVAL WITH RRF (round-12 verdict item 5) — the
     * standard production retrieval shape neither leg covers alone:
     * the DENSE leg is s10's serving path (persisted bucket-keyed
@@ -1309,25 +1331,6 @@ object Similarity {
     * integer sums (see [[sparsePostings]]); RRF terms are the same two
     * IEEE divisions + one add in both engines, rounded to 6 dp; all
     * ranks tie-break (doc_id, chunk_idx). */
-  /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
-    * the spec can compute the dense∩sparse intersection independently
-    * of the fused output. */
-  private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(slice(split(trim(col("text")), "\\s+"), 1,
-          s10QueryTokens))).as("token"))
-    val wS = Window.partitionBy("qid")
-      .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
-    sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
-      .groupBy("qid", "doc_id", "chunk_idx")
-      .agg(sum(col("tf") * col("idf6")).as("ssc"))
-      .withColumn("sparse_rk", row_number().over(wS))
-      .filter(col("sparse_rk") <= s10K)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"), col("sparse_rk"))
-  }
-
   val s16HybridRrf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val dense = retrieveTopK(s10QueryFrame(s, dir),

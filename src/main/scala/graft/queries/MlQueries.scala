@@ -359,13 +359,33 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  /** Persisted trained-score frame (doc_id, label, p6) — the narrow
+    * projection of [[qualityScored]] the curriculum consumers read.
+    * Persisted because [[bandedCurriculum]] references its input in
+    * THREE subtrees (local rank window, band offsets, total count);
+    * an un-persisted frame would re-run the model transform over the
+    * corpus once per reference (the m7 one-pass rule — round-13
+    * review; u13 doesn't need this because its m6 input is arithmetic
+    * over the already-persisted annotation artifact). */
+  private val trainedScoreReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private def trainedScore6(s: SparkSession, dir: String): DataFrame =
+    trainedScoreReg.getOrCompute(s, dir) {
+      val df = qualityScored(s, dir)
+        .select(col("doc_id"), col("label"),
+          round(col("p_good"), 6).as("p6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   /** Per-document curriculum layout under the TRAINED m7 score — the
     * frame u14 summarizes and MlSpec invariant-checks: [[bandedCurriculum]]
     * over round(p_good, 6), label riding along for the dispatch key. */
   private[graft] def trainedCurriculum(s: SparkSession,
                                        dir: String): DataFrame =
-    bandedCurriculum(qualityScored(s, dir)
-      .select(col("doc_id"), col("label"), round(col("p_good"), 6).as("p6")))
+    bandedCurriculum(trainedScore6(s, dir))
 
   /** U14: TRAINED-QUALITY CURRICULUM (round-12 verdict item 3 — the
     * consumption leg m7 exists for): u13's banded curriculum layout
