@@ -425,6 +425,56 @@ object MlQueries {
       .orderBy("phase", "band")
   }
 
+  /** P(good) floor of the trained curation gate (c4) — the trained
+    * analog of c1's fixed `c1QualityFloor`. */
+  private[queries] val c4PGoodFloor = 0.5
+
+  /** Per-document kept frame of [[c4TrainedCuration]] — exposed so the
+    * spec can recompute the gate membership independently of the
+    * summarized output. */
+  private[graft] def trainedCurationDocs(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val keepers = graft.operators.Dedup.d1Exact(s, dir)
+      .select(col("keeper").as("doc_id"))
+    val ann = graft.operators.TextAnalysis.annotations(s, dir)
+      .select(col("doc_id"), col("source"), col("lang_pred"),
+        col("n_regex_tokens"))
+    ann
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(trainedScore6(s, dir), Seq("doc_id"))
+      .filter(col("lang_pred") === "en" && col("p6") >= c4PGoodFloor)
+  }
+
+  /** C4: TRAINED-QUALITY CURATION GATE (the second consumption leg of
+    * round-12 verdict item 3): c1's curation composition — exact-dedup
+    * keepers ∩ English ∩ quality floor, annotated with the BPE-ish
+    * token count — with the fixed-weight t2 floor REPLACED by the
+    * trained classifier's P(good) ≥ [[c4PGoodFloor]], i.e. exactly the
+    * production swap m7's scaladoc promises ("the production shape
+    * replacing t2's fixed weights"). Gated the u14 way: membership
+    * depends on fitted coefficients no SQL can recompute, so the
+    * oracle pins the BOUNDED per-source summary (kept count + token
+    * sum — the token sum re-gates t1 interop over the kept set) as
+    * VALUES dispatched on the DuckDB-recomputable (n_docs, n_pos)
+    * key; per-document membership invariants live in MlSpec.
+    *
+    * Scale shape: every join is doc_id-keyed; the score side is the
+    * persisted [[trainedScore6]] artifact, the features side the
+    * persisted annotation stage; output is ≤ |sources| rows + the
+    * broadcast one-row key. */
+  val c4TrainedCuration: Q = (s, dir) => {
+    val scored = trainedScore6(s, dir)
+    val cells = trainedCurationDocs(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"),
+        sum("n_regex_tokens").as("tok_sum"))
+    val key = scored.agg(count(lit(1)).as("n_docs"),
+      sum("label").cast("bigint").as("n_pos"))
+    cells.crossJoin(broadcast(key))
+      .select(col("n_docs"), col("n_pos"), col("source"), col("n_kept"),
+        col("tok_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
@@ -435,6 +485,7 @@ object MlQueries {
     "m7_quality_histogram" -> m7QualityHistogram,
     "u13_quality_curriculum" -> u13QualityCurriculum,
     "u14_trained_curriculum" -> u14TrainedCurriculum,
+    "c4_trained_curation" -> c4TrainedCuration,
   )
 
   /** DuckDB twin of `abtPlan` — the oracle recomputes the full ABT
@@ -486,6 +537,71 @@ object MlQueries {
     * committed scale; harvested from fresh-JVM runs (see the u14
     * oracle comment). Kept as a named constant so the harvest tool can
     * regenerate it in one place. */
+  /** c4 golden VALUES rows — (n_docs, n_pos, source, n_kept, tok_sum)
+    * per committed scale; harvested from fresh-JVM runs (see the c4
+    * oracle comment). */
+  private val c4Goldens: String =
+    """(500, 352, 'src0', 19, 1417),
+            (500, 352, 'src1', 21, 1351),
+            (500, 352, 'src10', 18, 1231),
+            (500, 352, 'src11', 18, 1228),
+            (500, 352, 'src12', 21, 1356),
+            (500, 352, 'src13', 16, 1025),
+            (500, 352, 'src14', 18, 1434),
+            (500, 352, 'src15', 18, 1147),
+            (500, 352, 'src16', 20, 1292),
+            (500, 352, 'src17', 15, 1070),
+            (500, 352, 'src18', 15, 938),
+            (500, 352, 'src19', 18, 1099),
+            (500, 352, 'src2', 14, 933),
+            (500, 352, 'src3', 20, 1424),
+            (500, 352, 'src4', 16, 1056),
+            (500, 352, 'src5', 12, 767),
+            (500, 352, 'src6', 20, 1274),
+            (500, 352, 'src7', 13, 892),
+            (500, 352, 'src8', 22, 1532),
+            (500, 352, 'src9', 17, 1195),
+            (500, 343, 'src0', 17, 1162),
+            (500, 343, 'src1', 17, 1253),
+            (500, 343, 'src10', 19, 1115),
+            (500, 343, 'src11', 19, 1307),
+            (500, 343, 'src12', 17, 1029),
+            (500, 343, 'src13', 20, 1397),
+            (500, 343, 'src14', 15, 1065),
+            (500, 343, 'src15', 16, 1048),
+            (500, 343, 'src16', 16, 1176),
+            (500, 343, 'src17', 19, 1207),
+            (500, 343, 'src18', 19, 1212),
+            (500, 343, 'src19', 16, 903),
+            (500, 343, 'src2', 19, 1245),
+            (500, 343, 'src3', 18, 1194),
+            (500, 343, 'src4', 16, 1038),
+            (500, 343, 'src5', 18, 1185),
+            (500, 343, 'src6', 14, 1002),
+            (500, 343, 'src7', 17, 1242),
+            (500, 343, 'src8', 14, 846),
+            (500, 343, 'src9', 17, 1120),
+            (5000, 3468, 'src0', 167, 11010),
+            (5000, 3468, 'src1', 174, 11351),
+            (5000, 3468, 'src10', 175, 11449),
+            (5000, 3468, 'src11', 175, 11206),
+            (5000, 3468, 'src12', 179, 12291),
+            (5000, 3468, 'src13', 181, 12155),
+            (5000, 3468, 'src14', 167, 10485),
+            (5000, 3468, 'src15', 159, 10603),
+            (5000, 3468, 'src16', 174, 11369),
+            (5000, 3468, 'src17', 179, 11451),
+            (5000, 3468, 'src18', 164, 10668),
+            (5000, 3468, 'src19', 164, 11113),
+            (5000, 3468, 'src2', 177, 11632),
+            (5000, 3468, 'src3', 170, 11387),
+            (5000, 3468, 'src4', 167, 11069),
+            (5000, 3468, 'src5', 186, 12529),
+            (5000, 3468, 'src6', 175, 11281),
+            (5000, 3468, 'src7', 162, 10258),
+            (5000, 3468, 'src8', 187, 12355),
+            (5000, 3468, 'src9', 163, 10845)"""
+
   private val u14Goldens: String =
     """(500, 352, 0, 15, 125),
             (500, 352, 1, 15, 125),
@@ -642,6 +758,24 @@ object MlQueries {
             v(n_docs, n_pos, phase, band, n)
           JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
           ORDER BY v.phase, v.band""",
+    // c4: the trained-curation summary oracle (the u14 pattern):
+    // per-source kept count + token sum over the gate's survivors,
+    // pinned per scale as VALUES and dispatched on the same
+    // DuckDB-recomputable (n_docs, n_pos) key (goldens from fresh-JVM
+    // runs; the m7 BLAS caveat applies).
+    "c4_trained_curation" ->
+      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
+          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+          SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
+            CAST(v.n_pos AS BIGINT) AS n_pos, v.source,
+            CAST(v.n_kept AS BIGINT) AS n_kept,
+            CAST(v.tok_sum AS BIGINT) AS tok_sum
+          FROM (VALUES
+            $c4Goldens)
+            v(n_docs, n_pos, source, n_kept, tok_sum)
+          JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
+          ORDER BY v.source""",
     "m4_logistic_score" ->
       s"""WITH $abtSql
           SELECT yr, o_custkey, fl_champ,

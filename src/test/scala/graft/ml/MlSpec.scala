@@ -206,6 +206,35 @@ class MlSpec extends SparkSpec {
       === cur.count(_.getAs[Int]("label") === 1).toLong)
   }
 
+  test("c4 trained curation: membership equals the independent gate " +
+    "recompute (d1 keepers, English, p_good >= floor); summary sums " +
+    "reconcile with the per-doc frame") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.queries.MlQueries.trainedCurationDocs(spark, dir)
+      .collect()
+    val keepers = graft.SparkEntry.queries("d1_exact_dedup")(spark, dir)
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    val ann = graft.operators.TextAnalysis.annotations(spark, dir)
+      .select("doc_id", "lang_pred", "n_regex_tokens").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Number]("n_regex_tokens").longValue))
+      .toMap
+    val p6 = graft.queries.MlQueries.trainedCurriculum(spark, dir)
+      .select("doc_id", "p6").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = p6.keySet.filter(d =>
+      keepers(d) && ann(d)._1 == "en" && p6(d) >= 0.5)
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === want,
+      "gate membership differs from the independent recompute")
+    val sm = graft.queries.MlQueries
+      .queries("c4_trained_curation")(spark, dir).collect()
+    assert(sm.map(_.getAs[Long]("n_kept")).sum === want.size.toLong)
+    assert(sm.map(_.getAs[Long]("tok_sum")).sum
+      === want.toSeq.map(d => ann(d)._2).sum)
+    // the gate actually bites: some docs are kept, some rejected
+    assert(want.nonEmpty && want.size < p6.size)
+  }
+
   test("golden prediction frame: m1's full scored OOT frame at seed 42 " +
     "reproduces the recorded hash (Spark-version-scoped)") {
     // Upgrades m1_rf_score beyond the driver's rows-only check: the md5
