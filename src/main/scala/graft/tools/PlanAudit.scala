@@ -44,6 +44,7 @@ object PlanAudit {
     "s15_index_refresh", // base artifact + map-only batch encode union, probes broadcast
     "s16_hybrid_rrf",    // postings-artifact token join; two top-k legs rank-fused
     "u14_trained_curriculum", // banded rank over the TRAINED score, bounded cross-tab
+    "c4_trained_curation", // doc_id-keyed gate joins over persisted score+annotation artifacts
   )
 
   def main(args: Array[String]): Unit = {
