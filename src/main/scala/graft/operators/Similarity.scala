@@ -683,29 +683,36 @@ object Similarity {
     * candidate ordering key is the M-term left-folded sum of table
     * entries (same association as the oracle's explicit d0+d1+d2+d3),
     * ties by cid, and the rerank reuses s1's pinned cosine. */
-  val s12PqAnn: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val codes = pqCodes(s, dir)
+  /** Adds the per-query ADC DISTANCE TABLE `dt` (an int-keyed map
+    * m·K+cell → d(q_m, centroid): M·K dots per QUERY, zero dots per
+    * candidate) to a query frame carrying `qe` — the one block every
+    * ADC consumer shares (s12's flat scan, s13/s14's cell-restricted
+    * scans), factored so a change to the table contract cannot reach
+    * one consumer and miss another (round-13 review). */
+  private def withAdcTable(q: DataFrame, s: SparkSession,
+                           dir: String): DataFrame = {
     val one = pqCodebooks(s, dir).groupBy().agg(
       array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
         col("n2")))).as("cs"))
-    // Distance table as an int-keyed map m·K+cell -> d(q_m, centroid):
-    // M·K dots per QUERY, zero dots per candidate.
-    val q = codes.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-      .crossJoin(broadcast(one))
+    q.crossJoin(broadcast(one))
       .withColumn("dt", map_from_arrays(
         transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
         transform(col("cs"), c => c.getField("n2") - lit(2.0)
           * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
             lit(pqSubDims)), c.getField("vec")))))
       .drop("cs")
-    val c = codes.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("codes"))
+  }
+
+  /** ADC shortlist + exact rerank over a joined candidate frame
+    * (qid, dt, qe, qn × cid, codes, ce, cn): the M-lookup `adist`,
+    * the top-[[pqCandidates]] shortlist (ties by cid), exact-cosine
+    * top-3 — the shared tail of s12/s13/s14 with the pinned fold
+    * order and tie-break contract in ONE place. */
+  private def adcRerank(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
     val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, col("qid") =!= col("cid"))
+    joined
       .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
         lit(0.0), (acc, mm) => acc
           + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
@@ -717,6 +724,16 @@ object Similarity {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("cid"), col("cosine"), col("rk"))
       .orderBy("qid", "rk")
+  }
+
+  val s12PqAnn: Q = (s, dir) => {
+    val codes = pqCodes(s, dir)
+    val q = withAdcTable(codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), s, dir)
+    val c = codes.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("codes"))
+    adcRerank(q.join(c, col("qid") =!= col("cid")))
   }
 
   /** Combined IVF-PQ INDEX artifact (vec_id, embedding, nrm, codes,
@@ -766,40 +783,12 @@ object Similarity {
     * pre-flight is the guard); a production consumer needing
     * every-query-answered runs s14 (or left-marks the miss).
     * Determinism: coarse cells inherit s7's pinned Lloyd; everything
-    * else inherits s12's contract. */
-  val s13IvfpqAnn: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val idx = ivfpqIndex(s, dir)
-    val one = pqCodebooks(s, dir).groupBy().agg(
-      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
-        col("n2")))).as("cs"))
-    val q = idx.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cluster"))
-      .crossJoin(broadcast(one))
-      .withColumn("dt", map_from_arrays(
-        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
-        transform(col("cs"), c => c.getField("n2") - lit(2.0)
-          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
-            lit(pqSubDims)), c.getField("vec")))))
-      .drop("cs")
-    val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("codes"), col("cluster"))
-    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
-        lit(0.0), (acc, mm) => acc
-          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
-      .withColumn("crk", row_number().over(wCand))
-      .filter(col("crk") <= pqCandidates)
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
+    * else inherits s12's contract. Implemented as [[ivfpqAnn]] at
+    * probes = 1: the probe ranking's nearest cell IS the stored
+    * assignment (identical distance formula and tie order), so the
+    * semantics equal the original stored-cluster join and the oracle
+    * is the p=1 instance of the same parameterized SQL. */
+  val s13IvfpqAnn: Q = (s, dir) => ivfpqAnn(s, dir, probes = 1)
 
   /** Probe count of [[s14MultiprobeIvfpq]] — FAISS's `nprobe`: each
     * query scans its [[ivfProbes]] nearest coarse cells instead of
@@ -830,50 +819,41 @@ object Similarity {
     * way). Determinism: probe ranking reuses the pinned centroid
     * values and fold order (ties by cell id); everything downstream
     * inherits s13's contract. */
-  val s14MultiprobeIvfpq: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+  val s14MultiprobeIvfpq: Q = (s, dir) => ivfpqAnn(s, dir, ivfProbes)
+
+  /** Shared s13/s14 core — the IVF-PQ serving pipeline with `probes`
+    * as the nprobe dial: rank the query against ALL [[kmeansK]] coarse
+    * centroids (one broadcast k-row model, k map-side dots per query;
+    * the ranking uses assignment's pinned |c|²−2·q·c distance and
+    * (d, cell) tie order, so probe #1 IS the query's own cell and
+    * probes=1 reproduces the stored-cluster join exactly), explode to
+    * the p nearest cells, join candidates on the CELL from the
+    * persisted [[ivfpqIndex]], then the shared ADC shortlist + exact
+    * rerank ([[adcRerank]]). Voronoi cells are disjoint, so the probed
+    * union needs no candidate dedup — each corpus vector joins through
+    * exactly one probe row. */
+  private def ivfpqAnn(s: SparkSession, dir: String,
+                       probes: Int): DataFrame = {
     val idx = ivfpqIndex(s, dir)
     val cents = kmeansCentroids(s, dir).groupBy().agg(
       array_sort(collect_list(struct(col("cell"), col("vec"), col("n2"))))
         .as("kc"))
-    val one = pqCodebooks(s, dir).groupBy().agg(
-      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
-        col("n2")))).as("cs"))
-    val q = idx.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("probe", slice(array_sort(transform(col("kc"), c =>
-        struct((c.getField("n2") - lit(2.0)
-          * dotD(col("qe"), c.getField("vec"))).as("d"),
-          c.getField("cell").as("cell")))), 1, ivfProbes))
-      .drop("kc")
-      .crossJoin(broadcast(one))
-      .withColumn("dt", map_from_arrays(
-        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
-        transform(col("cs"), c => c.getField("n2") - lit(2.0)
-          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
-            lit(pqSubDims)), c.getField("vec")))))
-      .drop("cs")
+    val q = withAdcTable(
+      idx.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+        .crossJoin(broadcast(cents))
+        .withColumn("probe", slice(array_sort(transform(col("kc"), c =>
+          struct((c.getField("n2") - lit(2.0)
+            * dotD(col("qe"), c.getField("vec"))).as("d"),
+            c.getField("cell").as("cell")))), 1, probes))
+        .drop("kc"), s, dir)
       .withColumn("cluster",
         explode(transform(col("probe"), p => p.getField("cell"))))
       .drop("probe")
     val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("codes"), col("cluster"))
-    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
-        lit(0.0), (acc, mm) => acc
-          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
-      .withColumn("crk", row_number().over(wCand))
-      .filter(col("crk") <= pqCandidates)
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
+    adcRerank(q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid")))
   }
 
   /** Arrival slice of the s11 refresh gate (d11's modular-slice
@@ -1103,12 +1083,18 @@ object Similarity {
     * the embedding recipe cannot reach one gate and miss the other. A
     * production serving path binds this to the incoming query batch
     * instead. */
+  /** First-[[s10QueryTokens]]-whitespace-tokens array of a documents
+    * row — THE query-text recipe, shared by the dense embedder
+    * ([[queryFrame]]) and the sparse token probe ([[s16SparseLeg]]) so
+    * a recipe change cannot desynchronize the hybrid legs. */
+  private def queryTokenArray: Column =
+    slice(split(trim(col("text")), "\\s+"), 1, s10QueryTokens)
+
   private def queryFrame(s: SparkSession, dir: String,
                          docWindow: Column): DataFrame =
     t(s, dir, "documents").filter(docWindow)
       .select(col("doc_id").as("qid"),
-        embedTokens(slice(split(trim(col("text")), "\\s+"), 1,
-          s10QueryTokens)).as("qe"))
+        embedTokens(queryTokenArray).as("qe"))
       .withColumn("qn", normD(col("qe")))
       .filter(col("qn") > 0)
 
@@ -1298,8 +1284,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
       .select(col("doc_id").as("qid"),
-        explode(array_distinct(slice(split(trim(col("text")), "\\s+"), 1,
-          s10QueryTokens))).as("token"))
+        explode(array_distinct(queryTokenArray)).as("token"))
     val wS = Window.partitionBy("qid")
       .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
     sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
@@ -1584,66 +1569,15 @@ object Similarity {
         FROM t2, ps ORDER BY cluster"""
   }
 
-  /** s13 oracle: the s7 coarse-cell chain (`af`) + the four PQ
-    * subspace chains, with the ADC candidate join RESTRICTED to the
-    * query's coarse cell. CTE namespaces are disjoint by construction
-    * (s7: e, c0.., a1.., af; PQ: em.., cb.., a01-style, enc.., dt..);
-    * norms come from `af` the s8Sql way since `e` is taken by the
-    * Lloyd chain. */
-  private lazy val s13Sql: String = {
-    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
-    val encJoin = (1 until pqM)
-      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
-    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
-    val dtJoins = (0 until pqM).map(m =>
-      s"JOIN dt$m d$m ON d$m.qid = q.vec_id AND d$m.cell = en.c$m")
-      .mkString("\n          ")
-    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
-    s"""WITH $s7ChainCtes,
-        $chains,
-        nn AS (
-          SELECT vec_id, embedding, cell AS coarse,
-            sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-          FROM af),
-        encx AS (
-          SELECT e0.vec_id, $codeCols
-          FROM enc0 e0 $encJoin),
-        cand AS (
-          SELECT q.vec_id AS qid, en.vec_id AS cid, $adist AS adist
-          FROM (SELECT vec_id, coarse FROM nn WHERE vec_id < 10) q
-          JOIN (SELECT x.vec_id, n.coarse, x.c0, x.c1, x.c2, x.c3
-                FROM encx x JOIN nn n USING (vec_id)) en
-            ON en.coarse = q.coarse AND en.vec_id <> q.vec_id
-          $dtJoins),
-        top AS (
-          SELECT qid, cid,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
-              AS crk
-          FROM cand),
-        rr AS (
-          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
-            a.nrm AS qn, b.nrm AS cn
-          FROM top t JOIN nn a ON a.vec_id = t.qid
-            JOIN nn b ON b.vec_id = t.cid
-          WHERE t.crk <= $pqCandidates),
-        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
-        ranked AS (
-          SELECT qid, cid, cosine,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS INT) AS rk
-          FROM scored)
-        SELECT qid, cid, cosine, rk FROM ranked
-        WHERE rk <= 3 ORDER BY qid, rk"""
-  }
-
-  /** s14 oracle: the s13 chain with the candidate restriction widened
-    * to the query's [[ivfProbes]] nearest FINAL centroids — the
-    * `qprobe` CTE ranks each query against c\$kmeansIters by the same
-    * |c|²−2·q·c distance and (d, cell) tie order the assignment uses,
-    * so prk=1 is the query's own cell and s13's oracle is exactly the
-    * p=1 special case of this one. */
-  private lazy val s14Sql: String = {
+  /** Parameterized s13/s14 oracle (the SQL twin of [[ivfpqAnn]]):
+    * the s7 coarse chain + the four PQ subspace chains, with the
+    * candidate restriction set by the `qprobe` CTE — each query ranked
+    * against the final centroids by the same |c|²−2·q·c distance and
+    * (d, cell) tie order the assignment uses, kept to the `probes`
+    * nearest cells. prk=1 is the query's own cell, so probes=1 IS the
+    * single-probe s13 semantics; one generator keeps both oracles and
+    * both engine paths on a single contract (round-13 review). */
+  private def ivfpqSqlFor(probes: Int): String = {
     val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
     val encJoin = (1 until pqM)
       .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
@@ -1676,7 +1610,7 @@ object Similarity {
                     i -> CAST(qq.embedding[i] AS DOUBLE) * c.vec[i])) AS d
               FROM (SELECT vec_id, embedding FROM nn WHERE vec_id < 10) qq,
                 c$kmeansIters c))
-          WHERE prk <= $ivfProbes),
+          WHERE prk <= $probes),
         cand AS (
           SELECT q.vec_id AS qid, en.vec_id AS cid, $adist AS adist
           FROM qprobe q
@@ -1704,6 +1638,9 @@ object Similarity {
         SELECT qid, cid, cosine, rk FROM ranked
         WHERE rk <= 3 ORDER BY qid, rk"""
   }
+
+  private lazy val s13Sql: String = ivfpqSqlFor(1)
+  private lazy val s14Sql: String = ivfpqSqlFor(ivfProbes)
 
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes

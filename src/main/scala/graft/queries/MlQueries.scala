@@ -533,10 +533,6 @@ object MlQueries {
         FROM q JOIN l ON l.doc_id = q.doc_id
         ORDER BY q.doc_id"""
 
-  /** u14 golden VALUES rows — (n_docs, n_pos, phase, band, n) per
-    * committed scale; harvested from fresh-JVM runs (see the u14
-    * oracle comment). Kept as a named constant so the harvest tool can
-    * regenerate it in one place. */
   /** c4 golden VALUES rows — (n_docs, n_pos, source, n_kept, tok_sum)
     * per committed scale; harvested from fresh-JVM runs (see the c4
     * oracle comment). */
@@ -602,6 +598,9 @@ object MlQueries {
             (5000, 3468, 'src8', 187, 12355),
             (5000, 3468, 'src9', 163, 10845)"""
 
+  /** u14 golden VALUES rows — (n_docs, n_pos, phase, band, n) per
+    * committed scale; harvested from fresh-JVM runs (see the u14
+    * oracle comment). */
   private val u14Goldens: String =
     """(500, 352, 0, 15, 125),
             (500, 352, 1, 15, 125),
