@@ -45,6 +45,8 @@ object PlanAudit {
     "s16_hybrid_rrf",    // postings-artifact token join; two top-k legs rank-fused
     "u14_trained_curriculum", // banded rank over the TRAINED score, bounded cross-tab
     "c4_trained_curation", // doc_id-keyed gate joins over persisted score+annotation artifacts
+    "s17_bm25",          // raw-postings token join, broadcast corpus stats, integer BM25 sum
+    "s18_sparse_refresh", // folded postings union + additive stats merge, same serving join
   )
 
   def main(args: Array[String]): Unit = {

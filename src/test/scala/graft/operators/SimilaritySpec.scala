@@ -278,6 +278,81 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("BM25 (s17): output equals a plain-Scala recompute from the " +
+    "collected postings/stats frames (same double ops, same order); " +
+    "all scores positive") {
+    val rows = graft.SparkEntry.queries("s17_bm25")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("bm25_6") > 0L))
+    // independent recompute: same term expression, same association,
+    // exact integer micro-unit sums
+    val post = Similarity.rawPostingsFull(spark, dir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Int]("len"),
+        r.getAs[Long]("tf")))
+    val df = post.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val chunkLens = post.map(p => (p._2, p._3) -> p._4).toMap
+    val n = chunkLens.size.toLong
+    val avgdl = BigDecimal(chunkLens.values.map(_.toLong).sum.toDouble
+      / chunkLens.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    val qtok = graft.core.Tables.t(spark, dir, "documents")
+      .filter("doc_id < 8").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").take(12).distinct.toSet)
+      .toMap
+    val scores = collection.mutable.Map.empty[(Long, Long, Int), Long]
+    val (k1, b) = (Similarity.bm25K1, Similarity.bm25B)
+    for ((token, d, c, len, tf) <- post; (qid, toks) <- qtok
+         if toks(token)) {
+      val idf = math.log((n - df(token) + 0.5) / (df(token) + 0.5) + 1.0)
+      val sat = (tf * (k1 + 1)) / (tf + k1 * ((1.0 - b) + b * len / avgdl))
+      scores((qid, d, c)) = scores.getOrElse((qid, d, c), 0L) +
+        math.round(idf * sat * 1e6)
+    }
+    val wantTop = scores.groupBy(_._1._1).map { case (q, m) =>
+      q -> m.toSeq.map { case ((_, d, c), s) => (s, d, c) }
+        .sortBy { case (s, d, c) => (-s, d, c) }.take(5)
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("bm25_6"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_idx"))).toSeq
+      assert(got === wantTop(q), s"qid $q mismatch")
+    }
+  }
+
+  test("sparse refresh (s18): postings fold is row-identical to a full " +
+    "rebuild; token stats merge by sum equals a stats rebuild; served " +
+    "window correct") {
+    def canonP(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("token"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Int]("len"),
+        r.getAs[Long]("tf"))).toSet
+    val refreshed = canonP(Similarity.refreshedPostings(spark, dir))
+    val rebuilt = canonP(Similarity.rawPostingsFull(spark, dir))
+    assert(refreshed === rebuilt, "postings fold differs from rebuild")
+    // df additivity: merged counters == stats recomputed from scratch
+    val merged = Similarity.refreshedStats(spark, dir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    val scratch = rebuilt.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(merged === scratch, "merged token stats differ from rebuild")
+    // corpus-counter additivity: merged (n_chunks, len_sum) == rebuild
+    val mc = Similarity.refreshedCounts(spark, dir).collect().head
+    val chunks = rebuilt.map(p => (p._2, p._3) -> p._4).toMap
+    assert(mc.getAs[Long]("n_chunks") === chunks.size.toLong,
+      "merged n_chunks differs from rebuild")
+    assert(mc.getAs[Long]("len_sum") ===
+      chunks.values.map(_.toLong).sum, "merged len_sum differs")
+    val served = graft.SparkEntry
+      .queries("s18_sparse_refresh")(spark, dir).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val q = r.getAs[Long]("qid")
+      assert(q >= 8 && q < 16, s"unexpected qid $q")
+    }
+  }
+
   test("prof7 embedding drift: PSI equals a plain-Scala recomputation " +
     "from the occupancy counts; counts partition the corpus") {
     val rows = graft.SparkEntry
