@@ -1316,13 +1316,25 @@ object Similarity {
     * integer sums (see [[sparsePostings]]); RRF terms are the same two
     * IEEE divisions + one add in both engines, rounded to 6 dp; all
     * ranks tie-break (doc_id, chunk_idx). */
-  val s16HybridRrf: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val dense = retrieveTopK(s10QueryFrame(s, dir),
-      retrievalIndex(s, dir), planes, s10K)
+  val s16HybridRrf: Q = (s, dir) =>
+    rrfFuse(s10DenseLeg(s, dir), s16SparseLeg(s, dir))
+
+  /** s10's serving top-k as a fusion leg — (qid, doc, chunk,
+    * dense_rk); shared by [[s16HybridRrf]] and [[s19HybridBm25]]. */
+  private def s10DenseLeg(s: SparkSession, dir: String): DataFrame =
+    retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir), planes,
+      s10K)
       .select(col("qid"), col("doc_id"), col("chunk_idx"),
         col("rk").as("dense_rk"))
-    val sparse = s16SparseLeg(s, dir)
+
+  /** Reciprocal-rank fusion of a dense and a sparse top-k leg —
+    * Σ 1/([[rrfK]]+rank) with an absent leg contributing 0, 6-dp
+    * rounded (the same two IEEE divisions + one add in both engines);
+    * fused rank ties break (doc_id, chunk_idx). Pure rank arithmetic
+    * over two batch×[[s10K]]-row frames — fusion cost is
+    * corpus-independent regardless of what the legs scored. */
+  private def rrfFuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wF = Window.partitionBy("qid")
       .orderBy(desc("rrf"), col("doc_id"), col("chunk_idx"))
     dense.join(sparse, Seq("qid", "doc_id", "chunk_idx"), "full_outer")
@@ -1650,6 +1662,27 @@ object Similarity {
     bm25TopK(qtok, Seq(basePostings(s, dir), batchPostings(s, dir)),
       refreshedStats(s, dir), refreshedCounts(s, dir))
   }
+
+  /** S19: HYBRID DENSE + BM25 RETRIEVAL — the full production
+    * retrieval stack: s10's dense ANN serving leg fused by RRF with
+    * the BM25 sparse leg (s17), replacing s16's linear TF-IDF leg
+    * with the saturated, length-normalized ranking production systems
+    * actually deploy. Same query window as s10/s16/s17, same
+    * [[rrfFuse]] arithmetic — so the three retrieval gates (s16 s17
+    * s19) isolate exactly one variable each: fusion, sparse scoring
+    * function, and their composition.
+    *
+    * Scale shape: both legs are the already-measured serving paths
+    * (dense: corpus-side index never reshuffles; sparse: exchange-free
+    * candidate aggregation over the postings artifact — see
+    * [[s17Bm25]]); fusion joins two batch×k frames. Determinism:
+    * both legs' ranks are integer-exact, RRF is 6-dp rounded rank
+    * arithmetic the oracle recomputes verbatim. */
+  val s19HybridBm25: Q = (s, dir) =>
+    rrfFuse(s10DenseLeg(s, dir),
+      s17Bm25(s, dir)
+        .select(col("qid"), col("doc_id"), col("chunk_idx"),
+          col("rk").as("sparse_rk")))
 
   /** Analytic candidate volume of the s5 self-join at plane count `p`:
     * Σ over (bucket, probe mask) of n_bucket · n_probedBucket — the
@@ -2220,7 +2253,15 @@ object Similarity {
                 ORDER BY ssc DESC, doc_id, chunk_idx) AS INT) AS sparse_rk
             FROM ssc)
           WHERE sparse_rk <= $s10K),
-        fu AS (
+        $rrfFuseSqlTail"""
+
+  /** Shared RRF fusion SQL tail — appended after CTEs `den`
+    * (qid, doc_id, chunk_idx, dense_rk) and `sp` (…, sparse_rk); the
+    * verbatim arithmetic of [[rrfFuse]] (CAST(1 AS DOUBLE) so DuckDB
+    * divides in DOUBLE, not DECIMAL). Shared by the s16 and s19
+    * oracles so fusion semantics are written exactly once. */
+  private lazy val rrfFuseSqlTail: String =
+    s"""fu AS (
           SELECT COALESCE(d.qid, s.qid) AS qid,
             COALESCE(d.doc_id, s.doc_id) AS doc_id,
             COALESCE(d.chunk_idx, s.chunk_idx) AS chunk_idx,
@@ -2238,6 +2279,17 @@ object Similarity {
           FROM fu)
         SELECT qid, rk, doc_id, chunk_idx, rrf, dense_rk, sparse_rk
         FROM rankedf WHERE rk <= $s10K ORDER BY qid, rk"""
+
+  /** s19 oracle: the s10 dense serving SQL and the s17 BM25 SQL as
+    * leg subqueries (each already an oracled contract of its own
+    * gate), fused by the shared RRF tail — the oracle composes the
+    * SAME three pieces the engine does. */
+  private lazy val s19Sql: String =
+    s"""WITH den AS (
+          SELECT qid, doc_id, chunk_idx, rk AS dense_rk FROM ($s10Sql)),
+        sp AS (
+          SELECT qid, doc_id, chunk_idx, rk AS sparse_rk FROM ($s17Sql)),
+        $rrfFuseSqlTail"""
 
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1CosineTopK,
@@ -2258,6 +2310,7 @@ object Similarity {
     "s16_hybrid_rrf" -> s16HybridRrf,
     "s17_bm25" -> s17Bm25,
     "s18_sparse_refresh" -> s18SparseRefresh,
+    "s19_hybrid_bm25" -> s19HybridBm25,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
   )
 
@@ -2274,6 +2327,7 @@ object Similarity {
     "s16_hybrid_rrf" -> s16Sql,
     "s17_bm25" -> s17Sql,
     "s18_sparse_refresh" -> s18Sql,
+    "s19_hybrid_bm25" -> s19Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,

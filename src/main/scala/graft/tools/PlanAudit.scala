@@ -47,6 +47,7 @@ object PlanAudit {
     "c4_trained_curation", // doc_id-keyed gate joins over persisted score+annotation artifacts
     "s17_bm25",          // raw-postings token join, broadcast corpus stats, integer BM25 sum
     "s18_sparse_refresh", // folded postings union + additive stats merge, same serving join
+    "s19_hybrid_bm25",   // dense ANN + BM25 legs fused by RRF over two batch-x-k frames
   )
 
   def main(args: Array[String]): Unit = {

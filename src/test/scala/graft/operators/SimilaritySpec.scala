@@ -353,6 +353,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hybrid BM25 (s19): fused output recomputes in plain Scala from " +
+    "the two legs' own gated outputs; both-leg intersection survives") {
+    val k = 60
+    val dense = graft.SparkEntry.queries("s10_retrieve")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int]("rk")).toMap
+    val sparse = graft.SparkEntry.queries("s17_bm25")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int]("rk")).toMap
+    // independent fusion recompute over the union of leg keys
+    val want = (dense.keySet ++ sparse.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { key =>
+          val rrf = BigDecimal(
+            dense.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+              sparse.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (key, rrf)
+        }.sortBy { case ((_, d, c), rrf) => (-rrf, d, c) }.take(5)
+        scored.zipWithIndex.map { case ((key, rrf), i) =>
+          key -> (i + 1, rrf) }
+    }
+    val rows = graft.SparkEntry.queries("s19_hybrid_bm25")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+      r.getAs[Int]("chunk_idx")) ->
+      (r.getAs[Int]("rk"), r.getAs[Double]("rrf"))).toMap
+    assert(got === want, "fused output differs from the leg recompute")
+    // 2/(60+5) > 1/(60+1): the dense∩sparse intersection must survive
+    val inter = dense.keySet intersect sparse.keySet
+    assert(inter.subsetOf(got.keySet),
+      s"intersection lost in fusion: ${inter -- got.keySet}")
+    info(s"fused rows=${rows.length}, both-leg survivors=${inter.size}")
+  }
+
   test("prof7 embedding drift: PSI equals a plain-Scala recomputation " +
     "from the occupancy counts; counts partition the corpus") {
     val rows = graft.SparkEntry
