@@ -1106,8 +1106,9 @@ object Similarity {
     * exact cosine rerank, top-k per query with chunk text + provenance.
     * `indexPlanes` is the PLANE COUNT THE INDEX WAS BUCKETED WITH —
     * query buckets are computed under the same geometry
-    * (bucketOf(qe, indexPlanes)), and the probe set is the query's own
-    * bucket plus its indexPlanes hamming-1 neighbors. Passing a value
+    * (bucketOf(qe, indexPlanes)), and the probe set is every bucket
+    * within hamming `radius` of the query's own ([[probeMasks]];
+    * default radius 1 — s20 dials 2). Passing a value
     * other than the index's own plane count would bucket the two sides
     * in different keyspaces and silently collapse recall to ~0, so a
     * production caller derives BOTH from one planesFor(n_chunks) call
@@ -1125,10 +1126,29 @@ object Similarity {
     * The rerank is exact cosine within the probed union (s2's
     * contract); recall vs the exact twin is measured in
     * SimilaritySpec, the s2-vs-s1 pattern. */
+  /** Probe-mask set of an LSH serving call: every bucket id within
+    * hamming distance ≤ `radius` of the query's own — the XOR masks
+    * {0} ∪ {2^i} ∪ (radius ≥ 2) {2^i|2^j, i<j}. Distinct masks XOR a
+    * bucket to distinct buckets, so the probed union is duplicate-free
+    * regardless of radius. ONE generator for the engine fold and the
+    * oracle literal ([[probeMasksSqlFor]]) — the [[probeMasksSql]]
+    * derivation rationale, now parameterized: the committed dial
+    * values are radius 1 (s10, 1+p probes) and radius 2 (s20,
+    * 1+p+p(p-1)/2 — 22 at the committed 6-plane geometry). */
+  private[operators] def probeMasks(p: Int, radius: Int): Seq[Long] = {
+    require(radius >= 1 && radius <= 2, s"unsupported probe radius $radius")
+    val h1 = (0 until p).map(i => 1L << i)
+    val h2 = if (radius < 2) Seq.empty[Long]
+      else for { i <- 0 until p; j <- (i + 1) until p }
+        yield (1L << i) | (1L << j)
+    0L +: (h1 ++ h2)
+  }
+
   private[graft] def retrieveTopK(q: DataFrame, idx: DataFrame,
-                                  indexPlanes: Int, k: Int): DataFrame = {
+                                  indexPlanes: Int, k: Int,
+                                  radius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val masks = lit(0L) +: (0 until indexPlanes).map(i => lit(1L << i))
+    val masks = probeMasks(indexPlanes, radius).map(lit)
     val qp = q
       .withColumn("bkt0", bucketOf(col("qe"), indexPlanes))
       .withColumn("bkt",
@@ -1178,6 +1198,30 @@ object Similarity {
         col("cosine"))
       .orderBy("qid", "rk")
   }
+
+  /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
+    * (the s14-on-s13 relationship, replayed on the LSH index): the
+    * SAME query window, index artifact, and rerank, with the probe set
+    * widened from hamming-1 to hamming-2 ([[probeMasks]] radius 2 — 22
+    * buckets at the committed 6-plane geometry vs s10's 7). The two
+    * gates isolate exactly one variable — the probe radius — so their
+    * diff IS the dial's recall/cost trade: candidate volume grows by
+    * the probed-bucket ratio (≈(1+p+p(p-1)/2)/(1+p), ~3.1× at p=6)
+    * while the per-rank cosine list dominates s10's elementwise (a
+    * superset candidate pool can only improve the exact-reranked
+    * top-k — SimilaritySpec pins both properties, plus measured recall
+    * vs the exact twin for the two radii).
+    *
+    * Scale shape: identical to s10 — the corpus side never reshuffles
+    * (broadcast of batch×22 probe rows into the persisted bucket-keyed
+    * artifact); per-query cost stays corpus-size-invariant under
+    * [[planesFor]] occupancy, just with the 3.1× constant. Production
+    * picks the radius per query class (head queries radius 2, tail
+    * radius 1) — the dial is a literal, not a rebuild: BOTH radii
+    * serve the SAME artifact. */
+  val s20MultiprobeLsh: Q = (s, dir) =>
+    retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir),
+      planes, s10K, radius = 2)
 
   /** Base-corpus slice of the s15 index-refresh gate (doc domain;
     * d11's modular-slice rationale — a modular cut puts semantically
@@ -1719,11 +1763,14 @@ object Similarity {
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
 
-  /** Multi-probe mask list derived from the SAME `planes` constant the
-    * Spark side folds over — a literal list here would silently
-    * desynchronize engine and oracle if the committed geometry changed. */
-  private val probeMasksSql: String =
-    (0L +: (0 until planes).map(1L << _)).mkString("[", ", ", "]")
+  /** Multi-probe mask list derived from the SAME [[probeMasks]]
+    * generator (and `planes` constant) the Spark side folds over — a
+    * literal list here would silently desynchronize engine and oracle
+    * if the committed geometry or radius set changed. */
+  private def probeMasksSqlFor(radius: Int): String =
+    probeMasks(planes, radius).mkString("[", ", ", "]")
+
+  private val probeMasksSql: String = probeMasksSqlFor(1)
 
   private val normCte =
     """e AS (
@@ -2085,7 +2132,8 @@ object Similarity {
     * loop), the same plane geometry buckets both sides, and the same
     * multi-probe + exact-rerank join ranks. Embedding components are
     * integer sums, so every cosine compares exactly. */
-  private def s10SqlFor(qdWhere: String): String = {
+  private def s10SqlFor(qdWhere: String,
+                        masksSql: String = probeMasksSql): String = {
     val signSum =
       "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
         .replace("$D", dims.toString)
@@ -2135,7 +2183,7 @@ object Similarity {
           FROM qemb1
           WHERE sqrt(list_sum(list_transform(qe, x -> x * x))) > 0),
         qp AS (SELECT qid, qe, qn, xor(bkt0, m.m) AS bkt
-               FROM qx, (SELECT unnest($probeMasksSql) AS m) m),
+               FROM qx, (SELECT unnest($masksSql) AS m) m),
         scored AS (
           SELECT q.qid, c.doc_id, c.chunk_idx, c.source, c.quality_score,
             c.chunk_text, $dotSql / (q.qn * c.cn) AS cosine
@@ -2153,6 +2201,12 @@ object Similarity {
 
   private lazy val s10Sql: String =
     s10SqlFor(s"doc_id < $s10QueryDocs")
+
+  /** s20 oracle: the s10 serving SQL with the radius-2 mask literal —
+    * the mask list is the ONLY diff from [[s10Sql]], exactly mirroring
+    * the engine-side pair (retrieveTopK radius 1 vs 2). */
+  private lazy val s20Sql: String =
+    s10SqlFor(s"doc_id < $s10QueryDocs", probeMasksSqlFor(2))
 
   /** Parameterized s17/s18 oracle — a full relational BM25 recompute
     * over the c3 chunk chain: per-chunk tf + len, per-token df, corpus
@@ -2311,6 +2365,7 @@ object Similarity {
     "s17_bm25" -> s17Bm25,
     "s18_sparse_refresh" -> s18SparseRefresh,
     "s19_hybrid_bm25" -> s19HybridBm25,
+    "s20_multiprobe_lsh" -> s20MultiprobeLsh,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
   )
 
@@ -2328,6 +2383,7 @@ object Similarity {
     "s17_bm25" -> s17Sql,
     "s18_sparse_refresh" -> s18Sql,
     "s19_hybrid_bm25" -> s19Sql,
+    "s20_multiprobe_lsh" -> s20Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,

@@ -634,6 +634,52 @@ class SimilaritySpec extends SparkSpec {
       Similarity.retrievalIndex(spark, dir))
   }
 
+  test("multi-probe LSH serving (s20): probe-mask set is exactly the " +
+    "hamming-<=2 ball; per-rank cosines dominate s10's; recall@5 vs " +
+    "exact >= s10's") {
+    // the mask generator IS the dial: distinct, popcount <= radius,
+    // complete (1 + p + C(p,2) masks at radius 2), radius-1 subset
+    val m1 = Similarity.probeMasks(6, 1)
+    val m2 = Similarity.probeMasks(6, 2)
+    assert(m1.size === 7 && m1.distinct.size === 7)
+    assert(m2.size === 22 && m2.distinct.size === 22)
+    assert(m1.toSet.subsetOf(m2.toSet))
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2))
+    assert(m2.forall(m => m == (m & 0x3fL)), "mask outside 6-plane domain")
+    val s10 = graft.SparkEntry.queries("s10_retrieve")(spark, dir).collect()
+    val s20 = graft.SparkEntry.queries("s20_multiprobe_lsh")(spark, dir)
+      .collect()
+    def byRank(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk")) ->
+        r.getAs[Double]("cosine")).toMap
+    val (c10, c20) = (byRank(s10), byRank(s20))
+    // radius 2 probes a SUPERSET of radius 1's candidate pool and the
+    // rerank is exact, so every (qid, rk) s10 fills, s20 fills with a
+    // cosine at least as good — the dial can only improve the list
+    assert(c10.keySet.subsetOf(c20.keySet),
+      "s20 lost a (qid, rank) slot s10 served")
+    c10.foreach { case (key, c) =>
+      assert(c20(key) >= c - 1e-12, s"rank cosine regressed at $key")
+    }
+    def chunks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_idx"))).toSet
+      }
+    val exactTop = chunks(Similarity.s10ExactTwin(spark, dir).collect())
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val top = chunks(rows)
+      val per = exactTop.keys.toSeq.map { q =>
+        (top.getOrElse(q, Set.empty) intersect exactTop(q)).size.toDouble /
+          exactTop(q).size
+      }
+      per.sum / per.size
+    }
+    val (r10, r20) = (recall(s10), recall(s20))
+    info(f"recall@5 vs exact twin: s10(radius1)=$r10%.2f s20(radius2)=$r20%.2f")
+    assert(r20 >= r10, f"widening the probe ball lost recall: $r20%.2f < $r10%.2f")
+  }
+
   test("s11 centroid refresh: matches a plain-Scala mini-batch update " +
     "exactly; refreshed model tracks the exact one-step union recompute " +
     "(movement tolerance); assignment parity vs that recompute is high") {
