@@ -1283,6 +1283,59 @@ object Similarity {
     retrieveTopK(s15QueryFrame(s, dir), refreshedIndex(s, dir),
       planes, s10K)
 
+  /** On-disk store of the s21 compaction gate — pid-keyed and wiped per
+    * call (the i1 store pattern; TmpHygiene reclaims dead-pid copies). */
+  private[operators] def s21Store(s: SparkSession, dir: String): String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-s21-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
+      s"-p${ProcessHandle.current.pid}/idx"
+
+  /** The arriving batch of the s15 fold, split into `parts` sub-batches
+    * (modular cut on doc_id — deterministic, roughly even): the append
+    * cadence that fragments the on-disk index s21 compacts. */
+  private def s15BatchSlices(s: SparkSession, dir: String,
+                             parts: Long): Seq[DataFrame] = {
+    val batch = encodeChunks(TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+      .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res)))
+    (0L until parts).map(r =>
+      batch.filter(pmod(col("doc_id"), lit(parts)) === lit(r)))
+  }
+
+  /** S21: RETRIEVAL-INDEX COMPACTION — the maintenance leg the s15 fold
+    * cadence creates: each accepted batch APPENDS one-plus small files
+    * to every touched `bkt=v` directory of the on-disk bucket-
+    * partitioned index, so after N folds a probed bucket reads N files
+    * (at 100 TB: a file-listing + task-launch storm on every query
+    * batch). The gated query replays the whole lifecycle — snapshot
+    * write of the base index partitioned by bucket, three batch
+    * appends (the fragmentation), [[graft.sources.Sinks
+    * .compactPartitioned]] (one file per bucket, directory layout
+    * preserved, rename-aside swap), then serves the s15 query window
+    * FROM THE COMPACTED STORE. Oracle = [[s15Sql]] verbatim: compaction
+    * must be invisible to serving (row-identical to the refreshed
+    * in-memory index ≡ full rebuild), which the spec pins alongside the
+    * one-file-per-bucket layout. Cadence contract: BASELINE.md pairs
+    * this with s15's fold (compact when files-per-bucket crosses the
+    * read-amplification budget; the swap is partition-pruned-reader
+    * safe because the layout never changes). Partition-column type
+    * note: `bkt` round-trips through the directory name as an int —
+    * cast back to long before the serving join so both gates join in
+    * one keyspace. */
+  val s21IndexCompaction: Q = (s, dir) => {
+    val store = s21Store(s, dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    baseRetrievalIndex(s, dir).repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(store)
+    s15BatchSlices(s, dir, parts = 3L).foreach(
+      _.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bkt").parquet(store))
+    graft.sources.Sinks.compactPartitioned(s, store, "bkt")
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
+  }
+
   /** RRF constant (Cormack et al.'s k=60 — the published default). */
   private[operators] val rrfK = 60
 
@@ -2366,6 +2419,7 @@ object Similarity {
     "s18_sparse_refresh" -> s18SparseRefresh,
     "s19_hybrid_bm25" -> s19HybridBm25,
     "s20_multiprobe_lsh" -> s20MultiprobeLsh,
+    "s21_index_compaction" -> s21IndexCompaction,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
   )
 
@@ -2384,6 +2438,7 @@ object Similarity {
     "s18_sparse_refresh" -> s18Sql,
     "s19_hybrid_bm25" -> s19Sql,
     "s20_multiprobe_lsh" -> s20Sql,
+    "s21_index_compaction" -> s15Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,

@@ -84,6 +84,35 @@ object Sinks {
     fs.delete(side, true)
   }
 
+  /** PARTITION-LAYOUT-PRESERVING compaction (the Delta `OPTIMIZE`
+    * analog for a `partitionBy(partCol)` table): every append to such a
+    * table adds at least one file per touched `partCol=v` directory, so
+    * a fold-in cadence (s15/s18-style index refresh, i-family backfill)
+    * fragments each partition into one small file per batch — the
+    * classic small-file problem that at 100 TB turns a partition-pruned
+    * scan into a file-listing + task-launch storm. This rewrite keeps
+    * the DIRECTORY layout (readers keep pruning on `partCol=v`) and
+    * folds each partition's file set to exactly one file: the
+    * `repartition(col(partCol))` shuffle routes every row of a
+    * partition value to a single task, and `partitionBy` then emits one
+    * file per value per task. Same rename-aside swap as [[compact]] —
+    * a crash never loses data, and the swap touches ONLY `path` (a
+    * sibling table next to it is never read, renamed, or deleted:
+    * SinksSpec plants one and asserts survival, the standing
+    * destructive-utility rule). */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partCol: String): Unit = {
+    val df = spark.read.parquet(path)
+    val staged = stagePath(path)
+    df.repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(staged)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
+    fs.rename(new Path(path), side)
+    fs.rename(new Path(staged), new Path(path))
+    fs.delete(side, true)
+  }
+
   /** S6: Delta `replaceWhere` emulation on plain Parquet — replace only
     * the `sliceCol = sliceValue` rows of a table partitioned by partCol
     * (reference scripts/spark_ops.py:169-175 writes the feature store

@@ -680,6 +680,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r20 >= r10, f"widening the probe ball lost recall: $r20%.2f < $r10%.2f")
   }
 
+  test("index compaction (s21): serving from the compacted on-disk store " +
+    "is row-identical to s15's in-memory refreshed index; the store ends " +
+    "at one file per bucket dir with no staging leftovers") {
+    val s21 = graft.SparkEntry.queries("s21_index_compaction")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val s15 = graft.SparkEntry.queries("s15_index_refresh")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(s21 === s15,
+      "compaction changed serving results vs the refreshed index")
+    val store = new java.io.File(Similarity.s21Store(spark, dir))
+    val bktDirs = store.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("bkt="))
+    assert(bktDirs.nonEmpty, "no bucket partitions on disk")
+    bktDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName}: $n files after compaction")
+    }
+    val leftovers = store.getParentFile.listFiles()
+      .filter(_.getName.contains("-staging"))
+    assert(leftovers.isEmpty,
+      s"staging leftovers: ${leftovers.map(_.getName).toSeq}")
+  }
+
   test("s11 centroid refresh: matches a plain-Scala mini-batch update " +
     "exactly; refreshed model tracks the exact one-step union recompute " +
     "(movement tolerance); assignment parity vs that recompute is high") {

@@ -265,4 +265,43 @@ class SinksSpec extends SparkSpec {
     assert(files.length === 1)
     assert(spark.read.parquet(path).as[Int].collect().toSet === (1 to 100).toSet)
   }
+
+  test("compactPartitioned: appends fragment every partition dir, the " +
+    "rewrite folds each to ONE file with layout + rows preserved, and a " +
+    "planted sibling table survives (destructive-utility rule)") {
+    val root = tmpDir("sinks-cp")
+    val path = root + "/t"
+    def slice(tag: Int) =
+      (1 to 30).map(n => (n % 3, tag * 100 + n)).toDF("k", "v")
+    // snapshot + two appends: every k=v dir collects 3 files
+    slice(0).repartition(col("k")).write.partitionBy("k").parquet(path)
+    Seq(1, 2).foreach(t => slice(t).write.mode("append")
+      .partitionBy("k").parquet(path))
+    def partDirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.matches(".*/k=\\d+")).sorted
+    def filesIn(d: String) = Files.list(Paths.get(d)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(partDirs.length === 3)
+    assert(partDirs.forall(filesIn(_) >= 3), "appends did not fragment")
+    val before = spark.read.parquet(path)
+      .as[(Int, Int)].collect().sorted.toSeq
+    // planted survivor: a sibling table next to the compacted one
+    val sibling = root + "/t2"
+    slice(9).write.partitionBy("k").parquet(sibling)
+    val siblingBefore = Files.walk(Paths.get(sibling)).toArray
+      .map(_.toString).sorted.toSeq
+
+    Sinks.compactPartitioned(spark, path, "k")
+
+    assert(partDirs.length === 3, "partition layout changed")
+    partDirs.foreach(d => assert(filesIn(d) === 1, s"$d not compacted"))
+    assert(spark.read.parquet(path)
+      .as[(Int, Int)].collect().sorted.toSeq === before)
+    assert(Files.walk(Paths.get(sibling)).toArray
+      .map(_.toString).sorted.toSeq === siblingBefore,
+      "sibling table was touched")
+    val leftovers = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.contains("-staging"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
+  }
 }
