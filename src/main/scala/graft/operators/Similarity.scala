@@ -1418,26 +1418,34 @@ object Similarity {
 
   /** s10's serving top-k as a fusion leg — (qid, doc, chunk,
     * dense_rk); shared by [[s16HybridRrf]] and [[s19HybridBm25]]. */
-  private def s10DenseLeg(s: SparkSession, dir: String): DataFrame =
+  private[operators] def s10DenseLeg(s: SparkSession,
+                                     dir: String): DataFrame =
     retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir), planes,
       s10K)
       .select(col("qid"), col("doc_id"), col("chunk_idx"),
         col("rk").as("dense_rk"))
 
   /** Reciprocal-rank fusion of a dense and a sparse top-k leg —
-    * Σ 1/([[rrfK]]+rank) with an absent leg contributing 0, 6-dp
+    * Σ 1/(k+rank) with an absent leg contributing 0, 6-dp
     * rounded (the same two IEEE divisions + one add in both engines);
     * fused rank ties break (doc_id, chunk_idx). Pure rank arithmetic
     * over two batch×[[s10K]]-row frames — fusion cost is
-    * corpus-independent regardless of what the legs scored. */
-  private def rrfFuse(dense: DataFrame, sparse: DataFrame): DataFrame = {
+    * corpus-independent regardless of what the legs scored. The k
+    * constant defaults to the committed [[rrfK]] (both gates); it is a
+    * parameter because its VALUE is a sensitivity dial, not part of
+    * the fusion's contract — SimilaritySpec pins the k-invariant
+    * properties (both-leg survival, both-leg rank dominance, plain-
+    * Scala recompute) at k ∈ {10, 60, 240} so a retuned k cannot
+    * silently change fusion semantics. */
+  private[operators] def rrfFuse(dense: DataFrame, sparse: DataFrame,
+                                 k: Int = rrfK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wF = Window.partitionBy("qid")
       .orderBy(desc("rrf"), col("doc_id"), col("chunk_idx"))
     dense.join(sparse, Seq("qid", "doc_id", "chunk_idx"), "full_outer")
       .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rk")), lit(0.0)), 6))
+        coalesce(lit(1.0) / (lit(k) + col("dense_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("sparse_rk")), lit(0.0)), 6))
       .withColumn("rk", row_number().over(wF))
       .filter(col("rk") <= s10K)
       .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),

@@ -278,6 +278,58 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("RRF k-sensitivity: at k in {10, 60, 240} the engine fusion " +
+    "recomputes in plain Scala, both-leg items always survive, and " +
+    "both-leg rank dominance holds independent of k") {
+    val denseLeg = Similarity.s10DenseLeg(spark, dir)
+    val sparseLeg = Similarity.s16SparseLeg(spark, dir)
+    def legMap(rows: Array[org.apache.spark.sql.Row], rkCol: String) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int](rkCol)).toMap
+    val dRk = legMap(denseLeg.collect(), "dense_rk")
+    val sRk = legMap(sparseLeg.collect(), "sparse_rk")
+    val bothKeys = dRk.keySet intersect sRk.keySet
+    assert(bothKeys.nonEmpty, "no both-leg items — dominance check vacuous")
+    var topSets = Map.empty[Int, Set[(Long, Long, Int)]]
+    Seq(10, 60, 240).foreach { k =>
+      val fused = Similarity.rrfFuse(denseLeg, sparseLeg, k).collect()
+      // engine scores == plain-Scala recompute at this k
+      fused.foreach { r =>
+        def leg(c: String): Double =
+          if (r.isNullAt(r.fieldIndex(c))) 0.0
+          else 1.0 / (k + r.getAs[Int](c))
+        val want = BigDecimal(leg("dense_rk") + leg("sparse_rk"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-12,
+          s"k=$k rrf mismatch on $r")
+      }
+      val fusedKeys = fused.map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"))).toSet
+      assert(bothKeys.subsetOf(fusedKeys),
+        s"k=$k lost both-leg items: ${bothKeys -- fusedKeys}")
+      // dominance: A at-or-above B in BOTH legs (same qid, one strict)
+      // => A fused strictly above B — RRF's ordering contract, true
+      // for EVERY k because 1/(k+r) is strictly decreasing in r
+      val fusedRk = fused.map(r => (r.getAs[Long]("qid"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        r.getAs[Int]("rk")).toMap
+      for {
+        a <- bothKeys; b <- bothKeys
+        if a._1 == b._1 && a != b
+        if dRk(a) <= dRk(b) && sRk(a) <= sRk(b)
+        if dRk(a) < dRk(b) || sRk(a) < sRk(b)
+        ra <- fusedRk.get(a); rb <- fusedRk.get(b)
+      } assert(ra < rb,
+        s"k=$k: $a dominates $b in both legs but fused $ra >= $rb")
+      topSets += k -> fusedKeys
+    }
+    val j = Seq((10, 60), (60, 240)).map { case (k1, k2) =>
+      val (s1, s2) = (topSets(k1), topSets(k2))
+      f"J($k1,$k2)=${(s1 intersect s2).size.toDouble / (s1 union s2).size}%.2f"
+    }
+    info(s"fused top-set stability across k: ${j.mkString(" ")}")
+  }
+
   test("BM25 (s17): output equals a plain-Scala recompute from the " +
     "collected postings/stats frames (same double ops, same order); " +
     "all scores positive") {
