@@ -1246,6 +1246,24 @@ object Similarity {
       df
     }
 
+  /** The ARRIVING BATCH's chunks through the encode, LAZY by measured
+    * choice: the chain from the documents scan through c3's curation ∩
+    * chunking to [[encodeChunks]] is narrow in doc_id, so every
+    * consumer's doc_id restriction PUSHES DOWN to the parquet scan —
+    * s21's three sub-batch appends each run a 1/15-of-corpus pipeline,
+    * summing to ONE batch encode of work. A persisted variant (the
+    * [[batchPostings]] registry pattern) was tried and MEASURED SLOWER
+    * end-to-end (s21 sf1 steady 11.2 s lazy vs 16-20 s persisted;
+    * sf0.1 6.4 s vs 6.9-7.3 s): materialize + cache-read-back of the
+    * wide (chunk_text, ce[64]) rows costs more than the pushed-down
+    * recompute, and the cache competes with the serving artifacts for
+    * storage memory. Don't "fix" this back without re-measuring both
+    * scales. */
+  private def encodedBatch(s: SparkSession, dir: String): DataFrame =
+    encodeChunks(
+      TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+        .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res)))
+
   /** The refreshed index: fold the arriving batch's chunks into the
     * persisted base index. LSH buckets don't drift with the corpus the
     * way centroids do (the plane geometry is literal, the embedding is
@@ -1257,9 +1275,7 @@ object Similarity {
     * re-bucketing trigger is planesFor(n_chunks) crossing a power of
     * two — the cadence contract in BASELINE.md pairs this with s11's. */
   private[graft] def refreshedIndex(s: SparkSession, dir: String): DataFrame =
-    baseRetrievalIndex(s, dir).unionByName(encodeChunks(
-      TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res))))
+    baseRetrievalIndex(s, dir).unionByName(encodedBatch(s, dir))
 
   /** Query frame of the s15 gate: the NEXT [[s10QueryDocs]] corpus-
     * prefix queries (doc_id in [8, 16)) — disjoint from s10's so the
@@ -1292,11 +1308,13 @@ object Similarity {
 
   /** The arriving batch of the s15 fold, split into `parts` sub-batches
     * (modular cut on doc_id — deterministic, roughly even): the append
-    * cadence that fragments the on-disk index s21 compacts. */
+    * cadence that fragments the on-disk index s21 compacts. Slices of
+    * the LAZY [[encodedBatch]] — the slice filter pushes down to the
+    * scan, so the three appends sum to one batch encode of work (the
+    * measured trade-off documented there). */
   private def s15BatchSlices(s: SparkSession, dir: String,
                              parts: Long): Seq[DataFrame] = {
-    val batch = encodeChunks(TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-      .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res)))
+    val batch = encodedBatch(s, dir)
     (0L until parts).map(r =>
       batch.filter(pmod(col("doc_id"), lit(parts)) === lit(r)))
   }
@@ -1374,14 +1392,24 @@ object Similarity {
       post
     }
 
+  /** The sparse-probe (qid, token) frame over a doc window — THE
+    * query-token recipe for every sparse leg (s16 TF-IDF, s17/s19
+    * BM25, s18's refresh window), one body so a probe-recipe change
+    * (e.g. lowercasing) cannot desynchronize the legs — the
+    * [[queryFrame]] rationale on the sparse side. Distinct tokens:
+    * a repeated query token must not double-count a posting. */
+  private def sparseQueryTokens(s: SparkSession, dir: String,
+                                docWindow: Column): DataFrame =
+    t(s, dir, "documents").filter(docWindow)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(queryTokenArray)).as("token"))
+
   /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
     * the spec can compute the dense∩sparse intersection independently
     * of the fused output. */
   private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(queryTokenArray)).as("token"))
+    val qtok = sparseQueryTokens(s, dir, col("doc_id") < s10QueryDocs)
     val wS = Window.partitionBy("qid")
       .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
     sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
@@ -1469,9 +1497,13 @@ object Similarity {
     * the frozen s16 gate, wrong shape for incremental maintenance). */
   private def rawPostings(chunks: DataFrame): DataFrame =
     chunks
+      // one split per chunk: the alias is computed in the Project the
+      // Generate sits on, so len and the explode share the array
+      // instead of re-running the regex over the corpus twice
+      .withColumn("toks", split(col("chunk_text"), " "))
       .select(col("doc_id"), col("chunk_idx"),
-        size(split(col("chunk_text"), " ")).as("len"),
-        explode(split(col("chunk_text"), " ")).as("token"))
+        size(col("toks")).as("len"),
+        explode(col("toks")).as("token"))
       .groupBy("token", "doc_id", "chunk_idx", "len")
       .agg(count(lit(1)).as("tf"))
 
@@ -1610,13 +1642,10 @@ object Similarity {
     * Determinism: integer micro-unit term weights (exact integer
     * sums), ranks tie-break (doc_id, chunk_idx); the whole output is
     * integer-valued, so the oracle compares exactly. */
-  val s17Bm25: Q = (s, dir) => {
-    val qtok = t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(queryTokenArray)).as("token"))
-    bm25TopK(qtok, Seq(rawPostingsFull(s, dir)), fullTokenStats(s, dir),
+  val s17Bm25: Q = (s, dir) =>
+    bm25TopK(sparseQueryTokens(s, dir, col("doc_id") < s10QueryDocs),
+      Seq(rawPostingsFull(s, dir)), fullTokenStats(s, dir),
       fullCorpusCounts(s, dir))
-  }
 
   /** Base-slice raw postings (the artifact serving holds BEFORE the
     * batch lands) — the s15 base-index pattern on the sparse side;
@@ -1758,15 +1787,11 @@ object Similarity {
     * corpus-sized candidate shuffle. The oracle is the full-corpus
     * BM25 SQL over that window, so the gate verifies fold ≡ rebuild
     * end-to-end (the spec additionally pins artifact row-identity). */
-  val s18SparseRefresh: Q = (s, dir) => {
-    val qtok = t(s, dir, "documents")
-      .filter(col("doc_id") >= s10QueryDocs
-        && col("doc_id") < 2 * s10QueryDocs)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(queryTokenArray)).as("token"))
-    bm25TopK(qtok, Seq(basePostings(s, dir), batchPostings(s, dir)),
+  val s18SparseRefresh: Q = (s, dir) =>
+    bm25TopK(sparseQueryTokens(s, dir,
+        col("doc_id") >= s10QueryDocs && col("doc_id") < 2 * s10QueryDocs),
+      Seq(basePostings(s, dir), batchPostings(s, dir)),
       refreshedStats(s, dir), refreshedCounts(s, dir))
-  }
 
   /** S19: HYBRID DENSE + BM25 RETRIEVAL — the full production
     * retrieval stack: s10's dense ANN serving leg fused by RRF with

@@ -68,20 +68,36 @@ object Sinks {
     out.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** S7: compaction — rewrite a table at a target file count. The swap
-    * is rename-aside (old table → side dir, staged → table, delete
-    * side): a crash never loses data — worst case the table is at the
-    * side path, recoverable by hand or vacuum-visible. */
+  /** THE rename-aside swap shared by both compaction rewrites (old
+    * table → side dir, staged → table, delete side): a crash never
+    * loses data — worst case the table is at the side path,
+    * recoverable by hand or vacuum-visible. Each rename result is
+    * CHECKED: HDFS-style FileSystems report failure by returning
+    * false, not throwing, and an unchecked false here would silently
+    * serve the uncompacted table while orphaning the full staged
+    * rewrite. On a false the swap throws with both paths named; the
+    * staged copy (and after the first rename, the side copy) stays on
+    * disk for recovery — deleting either on the failure path could
+    * destroy the only complete copy when the failure cause is unknown. */
+  private def swapInPlace(spark: SparkSession, path: String,
+                          staged: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
+    require(fs.rename(new Path(path), side),
+      s"swap failed: could not move $path aside to $side (staged copy kept at $staged)")
+    require(fs.rename(new Path(staged), new Path(path)),
+      s"swap failed: could not move staged $staged into $path (old table kept at $side)")
+    fs.delete(side, true)
+  }
+
+  /** S7: compaction — rewrite a table at a target file count via the
+    * checked rename-aside [[swapInPlace]]. */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
     val df = spark.read.parquet(path)
     // Materialize before overwriting the path being read.
     val staged = stagePath(path)
     df.coalesce(math.max(targetFiles, 1)).write.parquet(staged)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
-    fs.rename(new Path(path), side)
-    fs.rename(new Path(staged), new Path(path))
-    fs.delete(side, true)
+    swapInPlace(spark, path, staged)
   }
 
   /** PARTITION-LAYOUT-PRESERVING compaction (the Delta `OPTIMIZE`
@@ -95,22 +111,18 @@ object Sinks {
     * folds each partition's file set to exactly one file: the
     * `repartition(col(partCol))` shuffle routes every row of a
     * partition value to a single task, and `partitionBy` then emits one
-    * file per value per task. Same rename-aside swap as [[compact]] —
-    * a crash never loses data, and the swap touches ONLY `path` (a
-    * sibling table next to it is never read, renamed, or deleted:
-    * SinksSpec plants one and asserts survival, the standing
-    * destructive-utility rule). */
+    * file per value per task. Same checked rename-aside [[swapInPlace]]
+    * as [[compact]] — a crash never loses data, and the swap touches
+    * ONLY `path` (a sibling table next to it is never read, renamed,
+    * or deleted: SinksSpec plants one and asserts survival, the
+    * standing destructive-utility rule). */
   def compactPartitioned(spark: SparkSession, path: String,
                          partCol: String): Unit = {
     val df = spark.read.parquet(path)
     val staged = stagePath(path)
     df.repartition(col(partCol))
       .write.partitionBy(partCol).parquet(staged)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
-    fs.rename(new Path(path), side)
-    fs.rename(new Path(staged), new Path(path))
-    fs.delete(side, true)
+    swapInPlace(spark, path, staged)
   }
 
   /** S6: Delta `replaceWhere` emulation on plain Parquet — replace only

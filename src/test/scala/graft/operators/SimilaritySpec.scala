@@ -318,9 +318,17 @@ class SimilaritySpec extends SparkSpec {
         if a._1 == b._1 && a != b
         if dRk(a) <= dRk(b) && sRk(a) <= sRk(b)
         if dRk(a) < dRk(b) || sRk(a) < sRk(b)
-        ra <- fusedRk.get(a); rb <- fusedRk.get(b)
-      } assert(ra < rb,
-        s"k=$k: $a dominates $b in both legs but fused $ra >= $rb")
+        rb <- fusedRk.get(b)
+      } {
+        // the dominated item surviving the top-k cut while its
+        // dominator was cut IS a dominance violation — don't let the
+        // missing key silently skip the pair
+        val ra = fusedRk.getOrElse(a, fail(
+          s"k=$k: $b (dominated) is in the fused top-k but its " +
+            s"dominator $a was cut"))
+        assert(ra < rb,
+          s"k=$k: $a dominates $b in both legs but fused $ra >= $rb")
+      }
       topSets += k -> fusedKeys
     }
     val j = Seq((10, 60), (60, 240)).map { case (k1, k2) =>
@@ -366,7 +374,13 @@ class SimilaritySpec extends SparkSpec {
       q -> m.toSeq.map { case ((_, d, c), s) => (s, d, c) }
         .sortBy { case (s, d, c) => (-s, d, c) }.take(5)
     }
-    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+    val byQid = rows.groupBy(_.getAs[Long]("qid"))
+    // qid coverage first: an engine that drops a whole query's rows
+    // must fail here, not silently skip its wantTop entry below
+    assert(byQid.keySet === wantTop.keySet,
+      s"qid sets differ: engine-only ${byQid.keySet -- wantTop.keySet}, " +
+        s"recompute-only ${wantTop.keySet -- byQid.keySet}")
+    byQid.foreach { case (q, rs) =>
       val got = rs.sortBy(_.getAs[Int]("rk"))
         .map(r => (r.getAs[Long]("bm25_6"), r.getAs[Long]("doc_id"),
           r.getAs[Int]("chunk_idx"))).toSeq
