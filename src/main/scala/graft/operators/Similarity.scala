@@ -1345,8 +1345,14 @@ object Similarity {
       new java.io.File(store).getParentFile)
     baseRetrievalIndex(s, dir).repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(store)
+    // one file per touched bucket per fold (repartition routes each
+    // bucket's rows to one task) — the batch-fold write discipline a
+    // production refresh uses; fragmentation is still linear in folds
+    // (base + 3 appends = up to 4 files/bucket), which the compaction
+    // below erases
     s15BatchSlices(s, dir, parts = 3L).foreach(
-      _.write.mode(org.apache.spark.sql.SaveMode.Append)
+      _.repartition(col("bkt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("bkt").parquet(store))
     graft.sources.Sinks.compactPartitioned(s, store, "bkt")
     val idx = s.read.parquet(store)
