@@ -55,6 +55,21 @@ object Similarity {
     math.min(24, math.max(1, raw.toInt))
   }
 
+  /** [[planesFor]] as a pure-INTEGER SQL CASE chain over an n-valued
+    * expression — smallest p in [1,24] with occupancy·2^p ≥ n, the
+    * exact integer form of ⌈log2(n/occupancy)⌉ clamped to [1,24]
+    * (2^p ≥ n/occ ⟺ occ·2^p ≥ n for integer n, occ). ONE generator
+    * for the prof8 engine expression AND its DuckDB oracle: the
+    * floating log2 form could double-round differently across libms
+    * at exact powers of two; integer comparisons cannot.
+    * (SimilaritySpec pins CASE ≡ planesFor across the clamp range.) */
+  private[operators] def planesForCaseSql(
+      nExpr: String, occupancy: Long = targetOccupancy): String = {
+    val whens = (1 to 23).map(p =>
+      s"WHEN ($nExpr) <= ${occupancy * (1L << p)} THEN $p").mkString(" ")
+    s"(CASE $whens ELSE 24 END)"
+  }
+
   /** Pseudo-random-but-portable plane component in [-1, 1]:
     * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000.
     * Shared with Dedup's banded near-dup candidate generation (distinct
@@ -1015,6 +1030,39 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** PROF8: RETRIEVAL-INDEX HEALTH PROFILE — the s9 pre-flight
+    * replayed on the LSH serving index: per-bucket occupancy (count +
+    * 6-dp share) over the persisted [[retrievalIndex]], global
+    * occupancy stats, and the RE-BUCKET TRIGGER readout the s15/s21
+    * cadence contracts name — planes_recommended =
+    * planesFor(n_chunks) vs the committed plane count, computed by
+    * the INTEGER [[planesForCaseSql]] rule in both engines. This is
+    * the O(metadata) check a deployment runs per refresh cadence:
+    * occupancy answers "is any bucket hot enough to blow the probe
+    * cost model" (the Σ n_c² argument from s9), the trigger answers
+    * "has corpus growth outrun the geometry" — both BEFORE a query
+    * batch pays for it. One keyed count over the cached index (map-
+    * side partials, 2^planes-row result), a one-row global aggregate
+    * broadcast back; no corpus reshuffle. */
+  val prof8IndexHealth: Q = (s, dir) => {
+    val occ = retrievalIndex(s, dir).groupBy("bkt")
+      .agg(count(lit(1)).as("n_chunks"))
+    val tot = occ.agg(sum("n_chunks").as("n_total"),
+      count(lit(1)).as("n_buckets"), max("n_chunks").as("max_occ"))
+    occ.crossJoin(broadcast(tot))
+      .withColumn("share6",
+        round(col("n_chunks").cast("double") / col("n_total"), 6))
+      .withColumn("planes_committed", lit(planes))
+      .withColumn("planes_recommended",
+        expr(planesForCaseSql("n_total")).cast("int"))
+      .withColumn("rebucket_due",
+        (col("planes_recommended") > lit(planes)).cast("int"))
+      .select(col("bkt"), col("n_chunks"), col("share6"), col("n_total"),
+        col("n_buckets"), col("max_occ"), col("planes_committed"),
+        col("planes_recommended"), col("rebucket_due"))
+      .orderBy("bkt")
+  }
+
   /** Top-k of [[s10Retrieve]]; query set = documents with
     * doc_id < [[s10QueryDocs]], query text = the document's first
     * [[s10QueryTokens]] whitespace tokens (a corpus-prefix query set:
@@ -1185,11 +1233,13 @@ object Similarity {
     * — the spec-side recall oracle, s1's role for the chunk domain.
     * Not in the registry: O(queries × chunks), the baseline the ANN
     * path is measured against. */
-  private[graft] def s10ExactTwin(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def s10ExactTwin(s: SparkSession, dir: String,
+                                  idxFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(desc("cosine"), col("doc_id"), col("chunk_idx"))
-    retrievalIndex(s, dir).crossJoin(broadcast(s10QueryFrame(s, dir)))
+    retrievalIndex(s, dir).filter(idxFilter)
+      .crossJoin(broadcast(s10QueryFrame(s, dir)))
       .select(col("qid"), col("doc_id"), col("chunk_idx"),
         (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rk", row_number().over(w))
@@ -1198,6 +1248,37 @@ object Similarity {
         col("cosine"))
       .orderBy("qid", "rk")
   }
+
+  /** Metadata floor of the s22 filtered-retrieval gate (chunk
+    * quality_score ≥ this; the c1 floor is 0.5, so the index retains a
+    * real spread above it — τ=0.6 keeps ~80% of chunks at sf0.01).
+    * Exact-double threshold compares are the proven c1-floor pattern:
+    * both engines compute quality_score by the same fold, so the
+    * comparison is bit-identical. */
+  private[operators] val s22QualityFloor = 0.6
+
+  /** S22: FILTERED RETRIEVAL — metadata-constrained ANN serving, the
+    * standard production "filtered vector search" (retrieve only
+    * chunks whose quality clears a floor / whose metadata matches the
+    * request). PRE-filter semantics: the predicate restricts the
+    * CANDIDATE set before ranking, so every returned rank is the best
+    * of the allowed domain and k slots fill whenever the filtered
+    * domain has k probed candidates — post-filtering a generic top-k
+    * would silently return < k and leak excluded-domain ranks. The
+    * filter composes with the serving join as a map-side predicate on
+    * the persisted index scan (no new shuffle, no rebuild — the same
+    * artifact serves filtered and unfiltered queries; a deployment
+    * with a STABLE filter taxonomy would partition the store by the
+    * filter column instead, the s21 layout argument). Oracle = the
+    * s10 serving SQL with the same predicate in its index CTE — the
+    * predicate is the ONLY diff from s10Sql, the one-variable gate
+    * pattern (s20's mask-literal relationship, replayed on the
+    * metadata dimension). */
+  val s22FilteredRetrieve: Q = (s, dir) =>
+    retrieveTopK(s10QueryFrame(s, dir),
+      retrievalIndex(s, dir)
+        .filter(col("quality_score") >= s22QualityFloor),
+      planes, s10K)
 
   /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
     * (the s14-on-s13 relationship, replayed on the LSH index): the
@@ -2224,12 +2305,16 @@ object Similarity {
     * loop), the same plane geometry buckets both sides, and the same
     * multi-probe + exact-rerank join ranks. Embedding components are
     * integer sums, so every cosine compares exactly. */
-  private def s10SqlFor(qdWhere: String,
-                        masksSql: String = probeMasksSql): String = {
+  /** The corpus-side index CTE chain (c3 chunks → hash embeddings →
+    * norms → buckets → the cidx frame), shared by every oracle that
+    * reads the serving index ([[s10SqlFor]]'s family and [[prof8Sql]]).
+    * `cWhere` is the s22 metadata pre-filter — applied in the SAME CTE
+    * the engine filters (the persisted index), default TRUE. */
+  private def cidxCtes(cWhere: String = "TRUE"): String = {
     val signSum =
       "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
         .replace("$D", dims.toString)
-    s"""WITH c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
+    s"""c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
         ctok AS (SELECT doc_id, chunk_idx,
                    unnest(string_split(chunk_text, ' ')) AS w FROM c3),
         csum AS (
@@ -2251,7 +2336,17 @@ object Similarity {
             ${bucketSql("e.ce")} AS bkt
           FROM c3 JOIN cemb1 e ON e.doc_id = c3.doc_id
             AND e.chunk_idx = c3.chunk_idx
-          WHERE sqrt(list_sum(list_transform(e.ce, x -> x * x))) > 0),
+          WHERE sqrt(list_sum(list_transform(e.ce, x -> x * x))) > 0
+            AND ($cWhere))"""
+  }
+
+  private def s10SqlFor(qdWhere: String,
+                        masksSql: String = probeMasksSql,
+                        cWhere: String = "TRUE"): String = {
+    val signSum =
+      "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
+        .replace("$D", dims.toString)
+    s"""WITH ${cidxCtes(cWhere)},
         qd AS (
           SELECT doc_id AS qid,
             list_slice(string_split_regex(trim(text), '\\s+'), 1,
@@ -2299,6 +2394,34 @@ object Similarity {
     * the engine-side pair (retrieveTopK radius 1 vs 2). */
   private lazy val s20Sql: String =
     s10SqlFor(s"doc_id < $s10QueryDocs", probeMasksSqlFor(2))
+
+  /** s22 oracle: the s10 serving SQL with the quality pre-filter in
+    * the index CTE — the predicate is the ONLY diff from [[s10Sql]],
+    * mirroring the engine pair (filtered vs unfiltered index). */
+  private lazy val s22Sql: String =
+    s10SqlFor(s"doc_id < $s10QueryDocs", probeMasksSql,
+      s"c3.quality_score >= $s22QualityFloor")
+
+  /** prof8 oracle: bucket occupancy + the integer re-bucket rule over
+    * the same index CTE chain; [[planesForCaseSql]] emits the SAME
+    * CASE text both engines evaluate. SUM(BIGINT) is HUGEINT in
+    * DuckDB — cast back (the standing divergence note). */
+  private lazy val prof8Sql: String =
+    s"""WITH ${cidxCtes()},
+        occ AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks
+                FROM cidx GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_chunks) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(max(n_chunks) AS BIGINT) AS max_occ FROM occ)
+        SELECT occ.bkt, occ.n_chunks,
+          round(occ.n_chunks / CAST(t.n_total AS DOUBLE), 6) AS share6,
+          t.n_total, t.n_buckets, t.max_occ,
+          $planes AS planes_committed,
+          CAST(${planesForCaseSql("t.n_total")} AS INT)
+            AS planes_recommended,
+          CAST(${planesForCaseSql("t.n_total")} > $planes AS INT)
+            AS rebucket_due
+        FROM occ, tot t ORDER BY occ.bkt"""
 
   /** Parameterized s17/s18 oracle — a full relational BM25 recompute
     * over the c3 chunk chain: per-chunk tf + len, per-token df, corpus
@@ -2459,7 +2582,9 @@ object Similarity {
     "s19_hybrid_bm25" -> s19HybridBm25,
     "s20_multiprobe_lsh" -> s20MultiprobeLsh,
     "s21_index_compaction" -> s21IndexCompaction,
+    "s22_filtered_retrieve" -> s22FilteredRetrieve,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
+    "prof8_index_health" -> prof8IndexHealth,
   )
 
   // lazy: s10's oracle composes TextAnalysis.c3Sql — a plain val here
@@ -2478,7 +2603,9 @@ object Similarity {
     "s19_hybrid_bm25" -> s19Sql,
     "s20_multiprobe_lsh" -> s20Sql,
     "s21_index_compaction" -> s15Sql,
+    "s22_filtered_retrieve" -> s22Sql,
     "prof7_embedding_drift" -> prof7Sql,
+    "prof8_index_health" -> prof8Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e

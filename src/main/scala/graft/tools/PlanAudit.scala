@@ -50,6 +50,7 @@ object PlanAudit {
     "s19_hybrid_bm25",   // dense ANN + BM25 legs fused by RRF over two batch-x-k frames
     "s20_multiprobe_lsh", // hamming-2 probe ball on the s10 serving join, same artifact
     "s21_index_compaction", // serving read over the compacted bucket-partitioned store
+    "s22_filtered_retrieve", // metadata pre-filter as a map-side predicate on the cached index
   )
 
   def main(args: Array[String]): Unit = {

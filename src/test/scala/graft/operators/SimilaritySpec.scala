@@ -746,6 +746,91 @@ class SimilaritySpec extends SparkSpec {
     assert(r20 >= r10, f"widening the probe ball lost recall: $r20%.2f < $r10%.2f")
   }
 
+  test("filtered retrieval (s22): every row clears the quality floor; " +
+    "per-rank cosines never beat unfiltered s10's; recall@5 vs the " +
+    "FILTERED exact twin is measured; every qid answered") {
+    import org.apache.spark.sql.functions.col
+    val tau = Similarity.s22QualityFloor
+    val s22 = graft.SparkEntry.queries("s22_filtered_retrieve")(spark, dir)
+      .collect()
+    val s10 = graft.SparkEntry.queries("s10_retrieve")(spark, dir).collect()
+    assert(s22.nonEmpty)
+    s22.foreach(r => assert(r.getAs[Double]("quality_score") >= tau,
+      s"excluded-domain row leaked: $r"))
+    // filtering can only REMOVE candidates, so the filtered rank-r
+    // cosine never exceeds the unfiltered rank-r cosine (s20's
+    // dominance argument, reversed)
+    def byRank(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk")) ->
+        r.getAs[Double]("cosine")).toMap
+    val (c22, c10) = (byRank(s22), byRank(s10))
+    c22.foreach { case (key, c) =>
+      c10.get(key).foreach(c10v => assert(c <= c10v + 1e-12,
+        s"filtered rank beat unfiltered at $key"))
+    }
+    val qids10 = s10.map(_.getAs[Long]("qid")).toSet
+    val qids22 = s22.map(_.getAs[Long]("qid")).toSet
+    assert(qids22 === qids10,
+      "a query lost all its ranks under the 80%-retention filter")
+    // recall vs the exact twin RESTRICTED to the same filtered domain
+    val exact = Similarity.s10ExactTwin(spark, dir,
+      col("quality_score") >= tau).collect()
+      .groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_idx"))).toSet
+      }
+    val got = s22.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+      q -> rs.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"))).toSet
+    }
+    val per = exact.keys.toSeq.map { q =>
+      (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble /
+        exact(q).size
+    }
+    val recall = per.sum / per.size
+    info(f"s22 recall@5 vs filtered exact twin: $recall%.2f")
+    assert(recall >= 0.5, f"filtered ANN recall collapsed: $recall%.2f")
+  }
+
+  test("index health (prof8): occupancy counts partition the index; " +
+    "shares sum to 1; the integer re-bucket rule equals planesFor " +
+    "across the clamp range; flag consistent") {
+    val rows = graft.SparkEntry.queries("prof8_index_health")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_chunks")).sum === nTotal,
+      "per-bucket counts do not partition the index")
+    assert(nTotal ===
+      Similarity.retrievalIndex(spark, dir).count(),
+      "n_total differs from the served index row count")
+    val shareSum = rows.map(_.getAs[Double]("share6")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    assert(rows.map(_.getAs[Long]("bkt")).distinct.length === rows.length)
+    rows.foreach { r =>
+      val bkt = r.getAs[Long]("bkt")
+      assert(bkt >= 0 && bkt < (1L << 6), s"bucket outside domain: $bkt")
+      assert(r.getAs[Int]("planes_recommended") ===
+        Similarity.planesFor(nTotal),
+        "engine recommendation differs from planesFor")
+      assert((r.getAs[Int]("rebucket_due") === 1) ===
+        (r.getAs[Int]("planes_recommended") > 6))
+    }
+    // the integer CASE rule IS planesFor, across the whole clamp range
+    // (including exact powers of two, where a floating log2 could
+    // double-round) — evaluated via Spark so the committed expression
+    // text itself is what's pinned
+    val ns = (Seq(1L, 1023L, 1024L, 1025L) ++
+      (1 to 23).flatMap(p => Seq(-1L, 0L, 1L).map(1024L * (1L << p) + _)))
+      .filter(_ > 0)
+    import spark.implicits._
+    val caseVals = ns.toDF("n")
+      .selectExpr("n", s"${Similarity.planesForCaseSql("n")} AS p")
+      .collect().map(r => r.getAs[Long]("n") -> r.getAs[Int]("p")).toMap
+    ns.foreach(n => assert(caseVals(n) === Similarity.planesFor(n),
+      s"CASE rule diverges from planesFor at n=$n"))
+  }
+
   test("index compaction (s21): serving from the compacted on-disk store " +
     "is row-identical to s15's in-memory refreshed index; the store ends " +
     "at one file per bucket dir with no staging leftovers") {
