@@ -51,8 +51,13 @@ object Similarity {
   private[graft] def planesFor(n: Long,
                                occupancy: Long = targetOccupancy): Int = {
     require(n > 0 && occupancy > 0, s"bad tuner inputs n=$n occ=$occupancy")
-    val raw = math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0))
-    math.min(24, math.max(1, raw.toInt))
+    // ⌈log2(n/occ)⌉ clamped to [1,24], computed by the EXACT integer
+    // rule (smallest p with occ·2^p ≥ n) rather than floating log2 —
+    // a libm whose log double-rounds at an exact power of two would
+    // otherwise recommend p+1 there and desynchronize the tuner from
+    // prof8's committed CASE readout ([[planesForCaseSql]] is this
+    // same rule as SQL text; SimilaritySpec pins the equivalence).
+    (1 to 23).find(p => (occupancy << p) >= n).getOrElse(24)
   }
 
   /** [[planesFor]] as a pure-INTEGER SQL CASE chain over an n-valued
@@ -2305,15 +2310,21 @@ object Similarity {
     * loop), the same plane geometry buckets both sides, and the same
     * multi-probe + exact-rerank join ranks. Embedding components are
     * integer sums, so every cosine compares exactly. */
+  /** The hash-to-sign fold of the oracle's feature-hash embedder — ONE
+    * definition for the index side ([[cidxCtes]]) and the query side
+    * ([[s10SqlFor]]): two copies could silently desynchronize the
+    * oracle's query embeddings from its index embeddings. */
+  private lazy val signSumSql: String =
+    "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
+      .replace("$D", dims.toString)
+
   /** The corpus-side index CTE chain (c3 chunks → hash embeddings →
     * norms → buckets → the cidx frame), shared by every oracle that
     * reads the serving index ([[s10SqlFor]]'s family and [[prof8Sql]]).
     * `cWhere` is the s22 metadata pre-filter — applied in the SAME CTE
     * the engine filters (the persisted index), default TRUE. */
   private def cidxCtes(cWhere: String = "TRUE"): String = {
-    val signSum =
-      "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
-        .replace("$D", dims.toString)
+    val signSum = signSumSql
     s"""c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
         ctok AS (SELECT doc_id, chunk_idx,
                    unnest(string_split(chunk_text, ' ')) AS w FROM c3),
@@ -2343,9 +2354,7 @@ object Similarity {
   private def s10SqlFor(qdWhere: String,
                         masksSql: String = probeMasksSql,
                         cWhere: String = "TRUE"): String = {
-    val signSum =
-      "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
-        .replace("$D", dims.toString)
+    val signSum = signSumSql
     s"""WITH ${cidxCtes(cWhere)},
         qd AS (
           SELECT doc_id AS qid,

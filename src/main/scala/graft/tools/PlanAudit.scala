@@ -51,6 +51,7 @@ object PlanAudit {
     "s20_multiprobe_lsh", // hamming-2 probe ball on the s10 serving join, same artifact
     "s21_index_compaction", // serving read over the compacted bucket-partitioned store
     "s22_filtered_retrieve", // metadata pre-filter as a map-side predicate on the cached index
+    "prof8_index_health", // one keyed count over the cached index + broadcast one-row aggregate
   )
 
   def main(args: Array[String]): Unit = {
