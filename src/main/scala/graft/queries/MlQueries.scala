@@ -278,6 +278,9 @@ object MlQueries {
         least(floor(round(col("p_good"), 4) / 0.05), lit(19.0))
           .cast("int").as("bin"))
       .groupBy("bin", "label").agg(count(lit(1)).as("n"))
+    // single-partition window over the ALREADY-AGGREGATED cell frame
+    // (≤ 2 labels × 20 bins rows, never corpus-scale) — the WindowExec
+    // "No Partition Defined" warning is expected and harmless here
     val w = Window.partitionBy(lit(0))
     cells
       .withColumn("n_docs", sum("n").over(w))
@@ -412,6 +415,9 @@ object MlQueries {
     val cells = trainedCurriculum(s, dir)
       .select(col("label"), col("band"), col("phase"))
       .groupBy("phase", "band", "label").agg(count(lit(1)).as("n"))
+    // single-partition window over the bounded cross-tab (≤ 2 labels ×
+    // phases × bands rows) — the "No Partition Defined" warning in the
+    // bench tail comes from here and is by design, not a scale hazard
     val w = Window.partitionBy(lit(0))
     cells
       .withColumn("n_docs", sum("n").over(w))
