@@ -117,11 +117,43 @@ object Sinks {
     * or deleted: SinksSpec plants one and asserts survival, the
     * standing destructive-utility rule). */
   def compactPartitioned(spark: SparkSession, path: String,
-                         partCol: String): Unit = {
-    val df = spark.read.parquet(path)
+                         partCol: String): Unit =
+    compactPartitioned(spark, path, Seq(partCol), None, Nil)
+
+  /** Generalized layout-preserving compaction: multi-column partition
+    * layouts (`partCols` — e.g. an index store partitioned by bucket
+    * AND metadata band), and an optional TOMBSTONE FOLD — the delete
+    * path of an append-only store (the Delta `DELETE` + `OPTIMIZE`
+    * analog): rows whose `keyCols` match a tombstone row are dropped
+    * from the rewrite, so the delete is applied exactly once, at the
+    * maintenance cadence the store already pays for, with no
+    * read-amplifying per-file rewrite of its own. Until this fold
+    * runs, readers serve THROUGH the tombstones (anti-join at read
+    * time — see Similarity's delete-aware serving); after it, the
+    * store physically equals a rebuild-minus-deleted and the tombstone
+    * set can be retired (the caller owns the tombstone artifact's
+    * lifecycle — this fold only consumes it). Tombstones are delete
+    * METADATA (doc ids a curation gate retro-dropped) — broadcast by
+    * contract, never corpus-sized; a partition whose rows are all
+    * deleted simply has no directory in the rewrite. Same checked
+    * rename-aside [[swapInPlace]]; siblings are never touched. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partCols: Seq[String],
+                         tombstones: Option[DataFrame],
+                         keyCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "compactPartitioned needs partition columns")
+    require(tombstones.isEmpty == keyCols.isEmpty,
+      "tombstones and keyCols come together")
+    val read = spark.read.parquet(path)
+    val df = tombstones.fold(read) { t =>
+      read.join(
+        org.apache.spark.sql.functions.broadcast(
+          t.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti")
+    }
     val staged = stagePath(path)
-    df.repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(staged)
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(staged)
     swapInPlace(spark, path, staged)
   }
 

@@ -304,4 +304,40 @@ class SinksSpec extends SparkSpec {
       .filter(_.contains("-staging"))
     assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
   }
+
+  test("compactPartitioned tombstone fold: exactly the tombstoned keys " +
+    "are dropped, survivors + layout intact, emptied partition dir " +
+    "removed, planted sibling survives") {
+    val root = tmpDir("sinks-tomb")
+    val path = root + "/t"
+    // k=0..3; all of k=3's rows share key 30 → its dir must VANISH
+    def slice(tag: Int) =
+      ((1 to 30).map(n => (n % 3, n, tag * 100 + n)) :+ (3, 30, tag))
+        .toDF("k", "id", "v")
+    slice(0).repartition(col("k")).write.partitionBy("k").parquet(path)
+    slice(1).write.mode("append").partitionBy("k").parquet(path)
+    val tomb = Seq(7, 13, 30).toDF("id") // ids spread across k=1, k=0, k=3
+    val expected = spark.read.parquet(path)
+      .filter(!col("id").isin(7, 13, 30))
+      .as[(Int, Int, Int)].collect().sorted.toSeq
+    val sibling = root + "/t2"
+    slice(9).write.partitionBy("k").parquet(sibling)
+    val siblingBefore = Files.walk(Paths.get(sibling)).toArray
+      .map(_.toString).sorted.toSeq
+
+    Sinks.compactPartitioned(spark, path, Seq("k"), Some(tomb), Seq("id"))
+
+    def partDirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.matches(".*/k=\\d+")).sorted
+    def filesIn(d: String) = Files.list(Paths.get(d)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(partDirs.length === 3, "k=3 (all rows tombstoned) should be gone")
+    partDirs.foreach(d => assert(filesIn(d) === 1, s"$d not compacted"))
+    assert(spark.read.parquet(path)
+      .as[(Int, Int, Int)].collect().sorted.toSeq === expected,
+      "fold dropped the wrong rows")
+    assert(Files.walk(Paths.get(sibling)).toArray
+      .map(_.toString).sorted.toSeq === siblingBefore,
+      "sibling table was touched")
+  }
 }
