@@ -1385,12 +1385,19 @@ object Similarity {
     retrieveTopK(s15QueryFrame(s, dir), refreshedIndex(s, dir),
       planes, s10K)
 
-  /** On-disk store of the s21 compaction gate — pid-keyed and wiped per
-    * call (the i1 store pattern; TmpHygiene reclaims dead-pid copies). */
-  private[operators] def s21Store(s: SparkSession, dir: String): String =
+  /** On-disk index store of a gated lifecycle query — pid-keyed and
+    * wiped per call (the i1 store pattern; TmpHygiene reclaims
+    * dead-pid copies). One generator per `tag` (s21 compaction, s24
+    * delete fold, prof9 store profile, …) so the lifecycle gates never
+    * collide on a path. */
+  private[operators] def idxStore(s: SparkSession, dir: String,
+                                  tag: String): String =
     sys.props("java.io.tmpdir") +
-      s"/graft-s21-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
+      s"/graft-$tag-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
       s"-p${ProcessHandle.current.pid}/idx"
+
+  private[operators] def s21Store(s: SparkSession, dir: String): String =
+    idxStore(s, dir, "s21")
 
   /** The arriving batch of the s15 fold, split into `parts` sub-batches
     * (modular cut on doc_id — deterministic, roughly even): the append
@@ -1446,43 +1453,72 @@ object Similarity {
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
   }
 
+  /** Tombstone doc rule of the s24 delete gate: doc_id ≡ [[s24DelRes]]
+    * (mod [[s24DelMod]]) — a modular cut (the d11 slice rationale)
+    * that hits BOTH the base snapshot and the appended batch, so the
+    * fold is exercised against rows in old and new files alike
+    * (~1/9 of docs retro-dropped, the curation-revocation story). */
+  private[operators] val s24DelMod = 9L
+  private[operators] val s24DelRes = 4L
+
+  /** The DELETE SET as it arrives in production — doc ids a curation
+    * gate retro-dropped, metadata-scale by contract (broadcast). */
+  private[operators] def s24Tombstones(s: SparkSession,
+                                       dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes))
+
+  /** Delete-aware serving while tombstones are PENDING (serve-through):
+    * broadcast anti-join on the delete key upstream of the probe join —
+    * a map-side filter on the index scan, no new shuffle, no store
+    * rewrite. This is what every query batch runs between a delete
+    * landing and the next compaction folding it; SimilaritySpec pins
+    * serve-through ≡ serve-over-the-folded-store row-for-row. */
+  private[graft] def serveThroughTombstones(q: DataFrame, idx: DataFrame,
+                                            tomb: DataFrame,
+                                            keyCols: Seq[String]): DataFrame =
+    retrieveTopK(q,
+      idx.join(broadcast(tomb.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_anti"),
+      planes, s10K)
+
+  /** S24: INDEX DELETE / TOMBSTONE FOLD (round-13 verdict item 2) —
+    * the delete leg that completes the store lifecycle s15/s21 opened:
+    * append-only index stores can't rewrite a file per revoked doc, so
+    * deletes land as TOMBSTONES (a metadata-scale doc-id set) and are
+    * FOLDED — physically removed — at the compaction cadence the store
+    * already pays for ([[graft.sources.Sinks.compactPartitioned]]'s
+    * tombstone parameter). The gated query replays the lifecycle:
+    * snapshot write of the base index (partitioned by bucket), one
+    * batch append (the s15 fold), the [[s24Tombstones]] delete set
+    * folded at compaction, then serves the s15 query window from the
+    * folded store. Oracle = the s15 serving SQL with the delete rule
+    * excluded in the index CTE (the s22 one-variable pattern: the
+    * predicate is the ONLY diff), so the gate verifies
+    * fold ≡ rebuild-minus-deleted end-to-end; the serve-THROUGH twin
+    * ([[serveThroughTombstones]], what queries run before the fold) is
+    * spec-pinned equal. Scale shape: the anti-join broadcasts the
+    * delete set (map-side against the store scan inside the rewrite);
+    * compaction cost is the store rewrite already budgeted by the s21
+    * cadence — the delete itself adds no pass. */
+  val s24IndexDelete: Q = (s, dir) => {
+    val store = idxStore(s, dir, "s24")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    baseRetrievalIndex(s, dir).repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(store)
+    encodedBatch(s, dir).repartition(col("bkt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bkt").parquet(store)
+    graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
+      Some(s24Tombstones(s, dir)), Seq("doc_id"))
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
+  }
+
   /** RRF constant (Cormack et al.'s k=60 — the published default). */
   private[operators] val rrfK = 60
-
-  /** Sparse POSTINGS artifact over the c3 chunk corpus — the inverted
-    * index of the hybrid-retrieval pair: (token, doc_id, chunk_idx,
-    * tf, idf6), persisted per (session, dir) like [[retrievalIndex]].
-    * idf6 = round(ln(n_chunks/df)·10⁶) as INTEGER micro-nats, so a
-    * chunk's query score Σ tf·idf6 is an exact integer sum —
-    * order-independent across partitions and engines (the t13
-    * rounding contract, hardened from round-to-6dp to integer
-    * arithmetic because this score SUMS across query tokens where
-    * t13's ranks a single product). */
-  private val postingsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def sparsePostings(s: SparkSession,
-                                        dir: String): DataFrame =
-    postingsReg.getOrCompute(s, dir) {
-      val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
-      val tf = chunks
-        .select(col("doc_id"), col("chunk_idx"),
-          explode(split(col("chunk_text"), " ")).as("token"))
-        .groupBy("token", "doc_id", "chunk_idx")
-        .agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val n = chunks.agg(count(lit(1)).cast("double").as("n_chunks"))
-      val post = tf.join(dfq, Seq("token"))
-        .crossJoin(broadcast(n))
-        .withColumn("idf6",
-          round(log(col("n_chunks") / col("df")) * lit(1e6)).cast("long"))
-        .select(col("token"), col("doc_id"), col("chunk_idx"), col("tf"),
-          col("idf6"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      post.count()
-      post
-    }
 
   /** The sparse-probe (qid, token) frame over a doc window — THE
     * query-token recipe for every sparse leg (s16 TF-IDF, s17/s19
@@ -1498,13 +1534,37 @@ object Similarity {
 
   /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
     * the spec can compute the dense∩sparse intersection independently
-    * of the fused output. */
+    * of the fused output.
+    *
+    * Served off the ONE postings layout ([[rawPostingsFull]] +
+    * [[fullTokenStats]] + [[fullCorpusCounts]] — the refresh-friendly
+    * artifacts s17/s18 already serve from): idf6 =
+    * round(ln(n_chunks/df)·10⁶) INTEGER micro-nats is realized AT
+    * QUERY TIME on the broadcast query side (the [[bm25TopK]] qstats
+    * pattern — the per-(qid, token) frame absorbs df and N, so the
+    * corpus-sized postings artifact is touched exactly once, via the
+    * broadcast token join), not baked into a second corpus-sized
+    * artifact at build time. A dedicated idf6-baked postings table
+    * existed through round 13 and was DELETED (round-13 verdict item
+    * 5): it duplicated the raw postings row-for-row (8.7 s / 218 MB
+    * redundant build at sf1) and its baked statistic made it
+    * unmaintainable by the s18 fold. Arithmetic is unchanged — the
+    * same log over the same double-cast counts, one rounding per
+    * (token), then the exact integer sum Σ tf·idf6 — so the committed
+    * s16 oracle (which recomputes idf relationally) gates this layout
+    * verbatim. */
   private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qtok = sparseQueryTokens(s, dir, col("doc_id") < s10QueryDocs)
     val wS = Window.partitionBy("qid")
       .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
-    sparsePostings(s, dir).join(broadcast(qtok), Seq("token"))
+    val qidf = fullTokenStats(s, dir).join(broadcast(qtok), Seq("token"))
+      .crossJoin(broadcast(fullCorpusCounts(s, dir)))
+      .withColumn("idf6",
+        round(log(col("n_chunks").cast("double") / col("df")) * lit(1e6))
+          .cast("long"))
+      .select(col("qid"), col("token"), col("idf6"))
+    rawPostingsFull(s, dir).join(broadcast(qidf), Seq("token"))
       .groupBy("qid", "doc_id", "chunk_idx")
       .agg(sum(col("tf") * col("idf6")).as("ssc"))
       .withColumn("sparse_rk", row_number().over(wS))
@@ -1516,7 +1576,7 @@ object Similarity {
     * standard production retrieval shape neither leg covers alone:
     * the DENSE leg is s10's serving path (persisted bucket-keyed
     * index, broadcast probes, exact rerank) and the SPARSE leg is a
-    * TF-IDF inverted-index probe of the [[sparsePostings]] artifact
+    * TF-IDF inverted-index probe of the [[rawPostingsFull]] artifact
     * (t13's scoring domain at chunk granularity); reciprocal-rank
     * fusion (Σ 1/(k+rank), k=[[rrfK]]) merges the two top-k lists.
     * Fusion is pure rank arithmetic — the oracle recomputes it exactly
@@ -1530,7 +1590,7 @@ object Similarity {
     * candidate volume = Σ posting-list lengths of the query's tokens,
     * the classic inverted-index bound; fusion joins two
     * batch×[[s10K]]-row frames. Determinism: sparse scores are exact
-    * integer sums (see [[sparsePostings]]); RRF terms are the same two
+    * integer sums (see [[s16SparseLeg]]); RRF terms are the same two
     * IEEE divisions + one add in both engines, rounded to 6 dp; all
     * ranks tie-break (doc_id, chunk_idx). */
   val s16HybridRrf: Q = (s, dir) =>
@@ -1584,9 +1644,12 @@ object Similarity {
     * refresh-friendly layout (s18): tf and len are pure per-chunk
     * values, so folding a batch in is a pure APPEND, and the corpus
     * statistics BM25 needs (df per token, N, avgdl) live in a separate
-    * additive stats frame ([[tokenStats]]) merged by + — unlike
-    * [[sparsePostings]], which bakes idf6 in at build time (fine for
-    * the frozen s16 gate, wrong shape for incremental maintenance). */
+    * additive stats frame ([[tokenStats]]) merged by +. Baking a
+    * statistic (idf) into the postings rows was tried and deleted:
+    * fine for a frozen gate, wrong shape for incremental maintenance,
+    * and a redundant corpus-sized build — every sparse leg (s16 TF-IDF
+    * included) now realizes its statistic query-side off this ONE
+    * layout. */
   private def rawPostings(chunks: DataFrame): DataFrame =
     chunks
       // one split per chunk: the alias is computed in the Project the
@@ -2493,6 +2556,15 @@ object Similarity {
   private lazy val s15Sql: String =
     s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}")
 
+  /** s24 oracle: the s15 serving SQL with the tombstone rule excluded
+    * in the index CTE — the delete predicate is the ONLY diff (the s22
+    * one-variable pattern), so the gate isolates exactly the fold:
+    * served-after-fold ≡ rebuild-minus-deleted. */
+  private lazy val s24Sql: String =
+    s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}",
+      probeMasksSql,
+      s"NOT (c3.doc_id % $s24DelMod = $s24DelRes)")
+
   /** s16 oracle: the s10 serving SQL as the dense leg, a relational
     * TF-IDF inverted-index recompute as the sparse leg (tf per
     * (token, chunk), df per token, idf in integer micro-nats — the
@@ -2592,6 +2664,7 @@ object Similarity {
     "s20_multiprobe_lsh" -> s20MultiprobeLsh,
     "s21_index_compaction" -> s21IndexCompaction,
     "s22_filtered_retrieve" -> s22FilteredRetrieve,
+    "s24_index_delete" -> s24IndexDelete,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
   )
@@ -2613,6 +2686,7 @@ object Similarity {
     "s20_multiprobe_lsh" -> s20Sql,
     "s21_index_compaction" -> s15Sql,
     "s22_filtered_retrieve" -> s22Sql,
+    "s24_index_delete" -> s24Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,
     "s1_cosine_topk" ->

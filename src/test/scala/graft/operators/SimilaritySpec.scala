@@ -859,6 +859,31 @@ class SimilaritySpec extends SparkSpec {
       s"staging leftovers: ${leftovers.map(_.getName).toSeq}")
   }
 
+  test("index delete (s24): serving the tombstone-folded store equals " +
+    "serve-THROUGH-tombstones over the pre-fold index row-for-row; no " +
+    "tombstoned doc survives on disk and non-deleted docs do") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val folded = graft.SparkEntry.queries("s24_index_delete")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // serve-through = what query batches run BETWEEN a delete landing
+    // and the next compaction folding it: anti-join at read time over
+    // the same logical index content the pre-fold store holds
+    val through = Similarity.serveThroughTombstones(
+      Similarity.s15QueryFrame(spark, dir),
+      Similarity.refreshedIndex(spark, dir),
+      Similarity.s24Tombstones(spark, dir), Seq("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(folded === through,
+      "serve-through and the folded store disagree")
+    val store = spark.read.parquet(Similarity.idxStore(spark, dir, "s24"))
+    assert(store.filter(pmod(col("doc_id"), lit(Similarity.s24DelMod))
+      === lit(Similarity.s24DelRes)).count() === 0,
+      "tombstoned rows survived the fold")
+    assert(store.filter(pmod(col("doc_id"), lit(Similarity.s24DelMod))
+      =!= lit(Similarity.s24DelRes)).count() > 0,
+      "fold deleted more than the tombstone set")
+  }
+
   test("s11 centroid refresh: matches a plain-Scala mini-batch update " +
     "exactly; refreshed model tracks the exact one-step union recompute " +
     "(movement tolerance); assignment parity vs that recompute is high") {
