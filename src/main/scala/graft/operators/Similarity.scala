@@ -1068,6 +1068,71 @@ object Similarity {
       .orderBy("bkt")
   }
 
+  /** Read-amplification budget of the compaction cadence: a probed
+    * bucket reading this many files (or more) per query batch is due
+    * for compaction. Base snapshot + up to 3 fold appends = up to 4
+    * files/bucket in the gated lifecycle; a fresh compaction resets to
+    * 1 — the budget sits between so the gate exercises both verdicts. */
+  private[operators] val prof9FileBudget = 3
+
+  /** PROF9: ON-DISK STORE HEALTH (round-13 verdict item 3) — prof8
+    * profiles the logical index (occupancy, re-bucket trigger); this
+    * reads the PHYSICAL store the s15/s21 cadence contract actually
+    * triggers on: files-per-bucket of the bucket-partitioned on-disk
+    * index, straight off a FileSystem listing — O(buckets) METADATA,
+    * the check a deployment runs per refresh tick BEFORE any query
+    * batch pays the file-listing + task-launch storm. The gated query
+    * replays the fragmentation lifecycle (base snapshot + the 3 s15
+    * batch-slice appends, each writing exactly one file per touched
+    * bucket — the repartition(bkt) write discipline s21 documents),
+    * lists the store, and emits per bucket: row count, file count,
+    * and compact_due = files ≥ [[prof9FileBudget]] — the trigger
+    * readout the BASELINE.md cadence contract names, as a query.
+    *
+    * Oracle-ability: under the gated lifecycle the file count is a
+    * DETERMINISTIC function of the data — each of the 4 writes lands
+    * one file in bucket b iff its doc slice has a chunk hashing to b —
+    * so the oracle RECOMPUTES the listing relationally from the same
+    * index CTE chain (presence indicator per write, summed), and the
+    * driver's hash gate covers the actual FileSystem-metadata path
+    * end-to-end. At 100 TB: the listing is one RPC per bucket dir
+    * (namenode metadata), the occupancy count is the prof8 map-side
+    * keyed count — no corpus reshuffle, no file opened. */
+  val prof9StoreHealth: Q = (s, dir) => {
+    import org.apache.hadoop.fs.Path
+    val store = idxStore(s, dir, "prof9")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    baseRetrievalIndex(s, dir).repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(store)
+    s15BatchSlices(s, dir, parts = 3L).foreach(
+      _.repartition(col("bkt"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("bkt").parquet(store))
+    val fs = new Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // one listStatus per bucket dir — O(buckets) driver-side metadata,
+    // the same scale class as the sinks' affected-partition collects
+    val perBucket = fs.listStatus(new Path(store))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+      .map { st =>
+        val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
+        val files = fs.listStatus(st.getPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (bkt, files.toLong)
+      }.toSeq
+    import s.implicits._
+    val filesDf = perBucket.toDF("bkt", "files")
+    s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+      .groupBy("bkt").agg(count(lit(1)).as("n_chunks"))
+      .join(broadcast(filesDf), Seq("bkt"))
+      .withColumn("compact_due",
+        (col("files") >= prof9FileBudget).cast("int"))
+      .select(col("bkt"), col("n_chunks"), col("files"), col("compact_due"))
+      .orderBy("bkt")
+  }
+
   /** Top-k of [[s10Retrieve]]; query set = documents with
     * doc_id < [[s10QueryDocs]], query text = the document's first
     * [[s10QueryTokens]] whitespace tokens (a corpus-prefix query set:
@@ -2495,6 +2560,26 @@ object Similarity {
             AS rebucket_due
         FROM occ, tot t ORDER BY occ.bkt"""
 
+  /** prof9 oracle: the deterministic-listing recompute — one presence
+    * indicator per lifecycle write (base slice, then each of the 3
+    * batch sub-slices), summed per bucket: a write lands exactly one
+    * file in bucket b iff its doc slice contributes a chunk hashing to
+    * b (the repartition-by-bucket write discipline). Slice predicates
+    * are generated from the SAME s15Mod/s15Res constants the engine
+    * slices by. Occupancy over the same index CTE chain as prof8. */
+  private lazy val prof9Sql: String = {
+    val base = s"doc_id % $s15Mod <> $s15Res"
+    val slices = (0 until 3).map(r =>
+      s"doc_id % $s15Mod = $s15Res AND doc_id % 3 = $r")
+    val presence = (base +: slices).map(p =>
+      s"max(CASE WHEN $p THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${cidxCtes()}
+        SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST($presence AS BIGINT) AS files,
+          CAST(($presence) >= $prof9FileBudget AS INT) AS compact_due
+        FROM cidx GROUP BY bkt ORDER BY bkt"""
+  }
+
   /** Parameterized s17/s18 oracle — a full relational BM25 recompute
     * over the c3 chunk chain: per-chunk tf + len, per-token df, corpus
     * (N, avgdl), then the SAME term expression as [[bm25TopK]] with
@@ -2667,6 +2752,7 @@ object Similarity {
     "s24_index_delete" -> s24IndexDelete,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
+    "prof9_store_health" -> prof9StoreHealth,
   )
 
   // lazy: s10's oracle composes TextAnalysis.c3Sql — a plain val here
@@ -2689,6 +2775,7 @@ object Similarity {
     "s24_index_delete" -> s24Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,
+    "prof9_store_health" -> prof9Sql,
     "s1_cosine_topk" ->
       s"""WITH $normCte,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
