@@ -884,6 +884,51 @@ class SimilaritySpec extends SparkSpec {
       "fold deleted more than the tombstone set")
   }
 
+  test("BM25 vs TF-IDF sparse legs on shared qids: overlap@5 and exact-" +
+    "rank agreement are measured and floored; the production-leg claim " +
+    "is quantified, not prose") {
+    // Same query window (doc_id < 8), same postings artifact, same
+    // tie-breaks — the ONLY variable is the scoring function (linear
+    // tf·idf vs saturated, length-normalized BM25), so the measured
+    // disagreement IS the scoring function's effect.
+    def legMap(rows: Array[org.apache.spark.sql.Row], rkCol: String) =
+      rows.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Any]("doc_id"), r.getAs[Any]("chunk_idx"))
+          -> r.getAs[Int](rkCol)).toMap
+      }
+    val tfidf = legMap(Similarity.s16SparseLeg(spark, dir).collect(),
+      "sparse_rk")
+    val bm25 = legMap(
+      graft.SparkEntry.queries("s17_bm25")(spark, dir).collect(), "rk")
+    assert(tfidf.keySet === bm25.keySet, "legs answered different qids")
+    val perQid = tfidf.keys.toSeq.sorted.map { q =>
+      val (a, b) = (tfidf(q), bm25(q))
+      val shared = a.keySet intersect b.keySet
+      val overlap = shared.size.toDouble / math.max(a.size, b.size)
+      val rankMatch = if (shared.isEmpty) 0.0
+        else shared.count(k => a(k) == b(k)).toDouble / shared.size
+      (q, overlap, rankMatch)
+    }
+    val meanOverlap = perQid.map(_._2).sum / perQid.size
+    val meanRankMatch = perQid.map(_._3).sum / perQid.size
+    info(f"overlap@5 mean=$meanOverlap%.3f  exact-rank match on shared=" +
+      f"$meanRankMatch%.3f  per-qid=${perQid.map(t => f"${t._1}:${t._2}%.1f").mkString(" ")}")
+    // Floors sit just under the MEASURED values on the committed
+    // fixture (deterministic legs; 2026-08-15: overlap@5 = 0.450,
+    // exact-rank match on shared = 0.217 — BM25's tf saturation +
+    // length normalization reorders roughly half the TF-IDF top-5,
+    // which is exactly why it ships as the production leg). A postings
+    // or scoring regression that collapses either leg moves these
+    // sharply in one direction or the other.
+    assert(meanOverlap >= 0.4 && meanOverlap <= 0.9,
+      f"BM25-vs-TF-IDF top-5 overlap left its measured band: $meanOverlap%.3f")
+    assert(meanRankMatch >= 0.1 && meanRankMatch <= 1.0)
+    // and the two scoring functions genuinely DISAGREE — if they were
+    // rank-identical the BM25 leg would be dead weight
+    assert(perQid.exists(t => t._2 < 1.0 || t._3 < 1.0),
+      "BM25 ranked identically to TF-IDF on every qid — suspicious")
+  }
+
   test("s11 centroid refresh: matches a plain-Scala mini-batch update " +
     "exactly; refreshed model tracks the exact one-step union recompute " +
     "(movement tolerance); assignment parity vs that recompute is high") {
