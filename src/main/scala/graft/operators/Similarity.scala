@@ -1350,6 +1350,58 @@ object Similarity {
         .filter(col("quality_score") >= s22QualityFloor),
       planes, s10K)
 
+  /** Quality-band count of the s25 banded store layout (fixed-width
+    * over [0,1], the prof3/u13 deterministic-edges argument) and the
+    * band the s22 floor lands in. Monotonicity makes band pruning
+    * SAFE: for any double x ≥ double(0.6), x·10 ≥ double(0.6)·10 = 6.0
+    * (IEEE multiplication is monotone), so every row passing the s22
+    * predicate lives in a band ≥ [[s25FloorBand]] partition; the exact
+    * predicate is re-applied as a residual filter on the pruned scan
+    * (a band-6 row just BELOW the floor — possible when x·10 rounds up
+    * across the boundary — is pruned there), so the result is
+    * bit-identical to s22's unpartitioned filter. */
+  private[operators] val s25Bands = 10
+  private[operators] val s25FloorBand =
+    math.floor(s22QualityFloor * s25Bands).toInt
+
+  private def withQband(df: DataFrame): DataFrame =
+    df.withColumn("qband",
+      least(floor(col("quality_score") * s25Bands), lit(s25Bands - 1))
+        .cast("int"))
+
+  /** S25: BANDED STORE LAYOUT (round-13 verdict item 6) — s22's
+    * metadata filter pushed into the s21 on-disk store layout: a
+    * deployment with a STABLE filter taxonomy partitions the store by
+    * (bkt, quality_band) so filtered serving PARTITION-PRUNES the
+    * excluded bands instead of map-filtering every row of the probed
+    * buckets — at 100 TB with τ=0.6 that is ~20% of bytes never
+    * listed, opened, or scanned (the exact trade s22's scaladoc
+    * names). The gated query writes the full index under the banded
+    * layout (one repartition-routed write, one file per (bkt, band)),
+    * then serves the s10 query window with the filter split into the
+    * pruning predicate (qband ≥ [[s25FloorBand]]) plus the exact
+    * residual (quality_score ≥ τ — see [[s25FloorBand]] for why the
+    * pair is lossless). Oracle = [[s22Sql]] VERBATIM: the layout must
+    * be invisible to results — only the plan changes (SimilaritySpec
+    * pins row-identity with s22 and the pruned scan shape).
+    * Scale shape: serving is s10's (corpus side never reshuffles;
+    * broadcast probes → BHJ with dynamic bucket pruning), with the
+    * band dimension pruned STATICALLY at the scan — both partition
+    * columns filter before a byte is read. */
+  val s25BandedStore: Q = (s, dir) => {
+    val store = idxStore(s, dir, "s25")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    withQband(retrievalIndex(s, dir))
+      .repartition(col("bkt"), col("qband"))
+      .write.partitionBy("bkt", "qband").parquet(store)
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+      .filter(col("qband") >= lit(s25FloorBand) &&
+        col("quality_score") >= s22QualityFloor)
+    retrieveTopK(s10QueryFrame(s, dir), idx, planes, s10K)
+  }
+
   /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
     * (the s14-on-s13 relationship, replayed on the LSH index): the
     * SAME query window, index artifact, and rerank, with the probe set
@@ -2750,6 +2802,7 @@ object Similarity {
     "s21_index_compaction" -> s21IndexCompaction,
     "s22_filtered_retrieve" -> s22FilteredRetrieve,
     "s24_index_delete" -> s24IndexDelete,
+    "s25_banded_store" -> s25BandedStore,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
@@ -2773,6 +2826,9 @@ object Similarity {
     "s21_index_compaction" -> s15Sql,
     "s22_filtered_retrieve" -> s22Sql,
     "s24_index_delete" -> s24Sql,
+    // the banded layout must be invisible to results: s22's oracle
+    // gates it verbatim (the s21/s15Sql sharing pattern)
+    "s25_banded_store" -> s22Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,
     "prof9_store_health" -> prof9Sql,

@@ -884,6 +884,25 @@ class SimilaritySpec extends SparkSpec {
       "fold deleted more than the tombstone set")
   }
 
+  test("banded store (s25): filtered serving is row-identical to s22's " +
+    "map-filter; the scan partition-prunes qband statically and bkt " +
+    "dynamically with the residual predicate pushed to parquet") {
+    val s25df = graft.SparkEntry.queries("s25_banded_store")(spark, dir)
+    val got = s25df.collect().map(_.toSeq).toSeq
+    val s22 = graft.SparkEntry.queries("s22_filtered_retrieve")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === s22, "the banded layout changed serving results")
+    val plan = s25df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.matches("(?s).*PartitionFilters:[^\\n]*qband[^\\n]*>= 6.*"),
+      "qband band floor is not a static partition filter")
+    assert(plan.matches("(?s).*PartitionFilters:[^\\n]*dynamicpruning[^\\n]*.*"),
+      "no dynamic bucket pruning on the banded store scan")
+    assert(plan.matches(
+      "(?s).*PushedFilters:[^\\n]*GreaterThanOrEqual\\(quality_score,0.6\\).*"),
+      "residual quality predicate not pushed to the parquet scan")
+  }
+
   test("BM25 vs TF-IDF sparse legs on shared qids: overlap@5 and exact-" +
     "rank agreement are measured and floored; the production-leg claim " +
     "is quantified, not prose") {
