@@ -209,6 +209,26 @@ object MlQueries {
       .orderBy("doc_id")
   }
 
+  /** The (n_docs, n_pos) GOLDEN-DISPATCH KEY — engine side. Every
+    * golden-VALUES oracle (m7/u14/c4, Similarity's s23) dispatches its
+    * pinned rows on this pair: corpus doc count + positive-label count
+    * under the m6 rule, jointly distinct across the swept scales
+    * (n_docs alone collides — sf0.001 and sf0.01 both hold 500 docs)
+    * and recomputable by DuckDB through the m6 chain
+    * ([[dispatchKeyCtes]] is the same key as SQL text). */
+  private[graft] def goldenDispatchKey(s: SparkSession,
+                                       dir: String): DataFrame =
+    annotFeatures(s, dir).agg(count(lit(1)).as("n_docs"),
+      sum(col("label")).cast("bigint").as("n_pos"))
+
+  /** The dispatch key as oracle CTEs (`lab`, `k`) — ONE text shared by
+    * every golden-VALUES oracle so the key rule cannot desynchronize
+    * across gates. */
+  private[graft] lazy val dispatchKeyCtes: String =
+    s"""lab AS (SELECT label FROM ($m6Sql)),
+          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)"""
+
   /** Feature columns of the TRAINED quality classifier (m7). lang_pred
     * is excluded — it is half the label rule (see [[qLabel]]). */
   private val qFeatures =
@@ -701,9 +721,7 @@ object MlQueries {
     // (6 dp) so such a failure is diagnosable as fit nondeterminism
     // rather than histogram plumbing.
     "m7_quality_histogram" ->
-      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
-          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+      s"""WITH $dispatchKeyCtes
           SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
             CAST(v.n_pos AS BIGINT) AS n_pos, v.bin,
             CAST(v.n AS BIGINT) AS n_docs_bin
@@ -752,9 +770,7 @@ object MlQueries {
     // Goldens from fresh-JVM runs per scale (2026-08-14); the m7 BLAS
     // caveat applies identically.
     "u14_trained_curriculum" ->
-      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
-          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+      s"""WITH $dispatchKeyCtes
           SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
             CAST(v.n_pos AS BIGINT) AS n_pos, v.phase, v.band,
             CAST(v.n AS BIGINT) AS n_docs_cell
@@ -769,9 +785,7 @@ object MlQueries {
     // DuckDB-recomputable (n_docs, n_pos) key (goldens from fresh-JVM
     // runs; the m7 BLAS caveat applies).
     "c4_trained_curation" ->
-      s"""WITH lab AS (SELECT label FROM ($m6Sql)),
-          k AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(label) AS BIGINT) AS n_pos FROM lab)
+      s"""WITH $dispatchKeyCtes
           SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
             CAST(v.n_pos AS BIGINT) AS n_pos, v.source,
             CAST(v.n_kept AS BIGINT) AS n_kept,

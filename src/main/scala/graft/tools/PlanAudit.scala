@@ -52,6 +52,10 @@ object PlanAudit {
     "s21_index_compaction", // serving read over the compacted bucket-partitioned store
     "s22_filtered_retrieve", // metadata pre-filter as a map-side predicate on the cached index
     "prof8_index_health", // one keyed count over the cached index + broadcast one-row aggregate
+    "s23_learned_embed", // trained embedder in the swap slot, same serving join shape as s10
+    "s24_index_delete",  // tombstone anti-join inside the compaction rewrite; pruned serving read
+    "s25_banded_store",  // static qband partition pruning + dynamic bucket pruning on one scan
+    "prof9_store_health", // O(buckets) FileSystem listing + keyed count over the store
   )
 
   def main(args: Array[String]): Unit = {

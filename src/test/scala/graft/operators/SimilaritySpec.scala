@@ -884,6 +884,42 @@ class SimilaritySpec extends SparkSpec {
       "fold deleted more than the tombstone set")
   }
 
+  test("learned-embedding serving (s23): the SAME retrieveTopK stack " +
+    "serves a trained Word2Vec embedder; recall vs the exact twin under " +
+    "the learned metric is measured and floored; refit is deterministic " +
+    "in-session") {
+    def topSets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r =>
+          (r.getAs[Any]("doc_id"), r.getAs[Any]("chunk_idx"))).toSet
+      }
+    val served = topSets(
+      graft.SparkEntry.queries("s23_learned_embed")(spark, dir).collect())
+    val exact = topSets(Similarity.exactTwin(
+      Similarity.s23QueryFrame(spark, dir),
+      Similarity.learnedIndex(spark, dir)).collect())
+    assert(served.keySet === exact.keySet,
+      "served and exact answered different qids")
+    val recall = exact.keys.toSeq.map { q =>
+      (served(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    info(f"learned-metric recall@5 vs exact twin: $recall%.3f")
+    // the multi-probe serving contract under the LEARNED metric — the
+    // same measurement s10's spec makes under the hash metric
+    assert(recall >= 0.5 && recall <= 1.0,
+      f"learned-metric serving recall collapsed: $recall%.3f")
+    // refit determinism (the property the golden-dispatch oracle rides
+    // on): two raw fits over the same content → identical vectors
+    def vecMap(m: org.apache.spark.ml.feature.Word2VecModel) =
+      m.getVectors.collect().map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq).toMap
+    val v1 = vecMap(Similarity.fitLearnedEmbedder(spark, dir))
+    val v2 = vecMap(Similarity.fitLearnedEmbedder(spark, dir))
+    assert(v1.keySet === v2.keySet, "refit changed the vocabulary")
+    assert(v1 === v2, "refit changed fitted vectors — fit is not " +
+      "content-deterministic; the s23 goldens would flap")
+  }
+
   test("banded store (s25): filtered serving is row-identical to s22's " +
     "map-filter; the scan partition-prunes qband statically and bkt " +
     "dynamically with the residual predicate pushed to parquet") {
