@@ -1075,6 +1075,12 @@ object Similarity {
     * 1 — the budget sits between so the gate exercises both verdicts. */
   private[operators] val prof9FileBudget = 3
 
+  /** Fold count of the prof9 fragmentation lifecycle — ONE constant for
+    * the engine's batch slicing AND the oracle's slice predicates (a
+    * cadence retune in one place would otherwise silently desync
+    * files/compact_due across the gate). */
+  private[operators] val prof9Parts = 3
+
   /** PROF9: ON-DISK STORE HEALTH (round-13 verdict item 3) — prof8
     * profiles the logical index (occupancy, re-bucket trigger); this
     * reads the PHYSICAL store the s15/s21 cadence contract actually
@@ -1100,15 +1106,10 @@ object Similarity {
     * keyed count — no corpus reshuffle, no file opened. */
   val prof9StoreHealth: Q = (s, dir) => {
     import org.apache.hadoop.fs.Path
-    val store = idxStore(s, dir, "prof9")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
-    baseRetrievalIndex(s, dir).repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(store)
-    s15BatchSlices(s, dir, parts = 3L).foreach(
-      _.repartition(col("bkt"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("bkt").parquet(store))
+    val store = freshStore(s, dir, "prof9")
+    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+    s15BatchSlices(s, dir, parts = prof9Parts.toLong).foreach(
+      writeStore(_, store, Seq("bkt"), append = true))
     val fs = new Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     // one listStatus per bucket dir — O(buckets) driver-side metadata,
@@ -1482,8 +1483,11 @@ object Similarity {
     * across the boundary — is pruned there), so the result is
     * bit-identical to s22's unpartitioned filter. */
   private[operators] val s25Bands = 10
+  // capped at the top band like withQband's least(): a floor retune to
+  // 1.0 must prune to band 9 (which holds qs ∈ [0.9, 1.0]), not to an
+  // empty band range
   private[operators] val s25FloorBand =
-    math.floor(s22QualityFloor * s25Bands).toInt
+    math.min(math.floor(s22QualityFloor * s25Bands).toInt, s25Bands - 1)
 
   private def withQband(df: DataFrame): DataFrame =
     df.withColumn("qband",
@@ -1510,12 +1514,9 @@ object Similarity {
     * band dimension pruned STATICALLY at the scan — both partition
     * columns filter before a byte is read. */
   val s25BandedStore: Q = (s, dir) => {
-    val store = idxStore(s, dir, "s25")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
-    withQband(retrievalIndex(s, dir))
-      .repartition(col("bkt"), col("qband"))
-      .write.partitionBy("bkt", "qband").parquet(store)
+    val store = freshStore(s, dir, "s25")
+    writeStore(withQband(retrievalIndex(s, dir)), store,
+      Seq("bkt", "qband"))
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
       .filter(col("qband") >= lit(s25FloorBand) &&
@@ -1637,6 +1638,28 @@ object Similarity {
   private[operators] def s21Store(s: SparkSession, dir: String): String =
     idxStore(s, dir, "s21")
 
+  /** [[idxStore]] wiped for a fresh gated-lifecycle replay — the
+    * delete-then-return preamble every store gate starts with. */
+  private def freshStore(s: SparkSession, dir: String, tag: String): String = {
+    val store = idxStore(s, dir, tag)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(store).getParentFile)
+    store
+  }
+
+  /** THE store write discipline (one definition for every lifecycle
+    * gate): repartition on the partition columns routes each value's
+    * rows to a single task, so every write lands exactly one file per
+    * touched partition dir — the fold cadence prof9 counts and s21
+    * compacts. `append` = the fold writes; false = the base snapshot. */
+  private def writeStore(df: DataFrame, store: String,
+                         partCols: Seq[String],
+                         append: Boolean = false): Unit = {
+    val w = df.repartition(partCols.map(col): _*).write
+    (if (append) w.mode(org.apache.spark.sql.SaveMode.Append) else w)
+      .partitionBy(partCols: _*).parquet(store)
+  }
+
   /** The arriving batch of the s15 fold, split into `parts` sub-batches
     * (modular cut on doc_id — deterministic, roughly even): the append
     * cadence that fragments the on-disk index s21 compacts. Slices of
@@ -1671,20 +1694,13 @@ object Similarity {
     * cast back to long before the serving join so both gates join in
     * one keyspace. */
   val s21IndexCompaction: Q = (s, dir) => {
-    val store = s21Store(s, dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
-    baseRetrievalIndex(s, dir).repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(store)
-    // one file per touched bucket per fold (repartition routes each
-    // bucket's rows to one task) — the batch-fold write discipline a
-    // production refresh uses; fragmentation is still linear in folds
-    // (base + 3 appends = up to 4 files/bucket), which the compaction
-    // below erases
+    val store = freshStore(s, dir, "s21")
+    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+    // one file per touched bucket per fold (the writeStore discipline) —
+    // fragmentation is still linear in folds (base + 3 appends = up to
+    // 4 files/bucket), which the compaction below erases
     s15BatchSlices(s, dir, parts = 3L).foreach(
-      _.repartition(col("bkt"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("bkt").parquet(store))
+      writeStore(_, store, Seq("bkt"), append = true))
     graft.sources.Sinks.compactPartitioned(s, store, "bkt")
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
@@ -1716,8 +1732,7 @@ object Similarity {
                                             tomb: DataFrame,
                                             keyCols: Seq[String]): DataFrame =
     retrieveTopK(q,
-      idx.join(broadcast(tomb.select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_anti"),
+      graft.sources.Sinks.antiJoinTombstones(idx, tomb, keyCols),
       planes, s10K)
 
   /** S24: INDEX DELETE / TOMBSTONE FOLD (round-13 verdict item 2) —
@@ -1740,14 +1755,9 @@ object Similarity {
     * compaction cost is the store rewrite already budgeted by the s21
     * cadence — the delete itself adds no pass. */
   val s24IndexDelete: Q = (s, dir) => {
-    val store = idxStore(s, dir, "s24")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
-    baseRetrievalIndex(s, dir).repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(store)
-    encodedBatch(s, dir).repartition(col("bkt"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bkt").parquet(store)
+    val store = freshStore(s, dir, "s24")
+    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+    writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
     graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
       Some(s24Tombstones(s, dir)), Seq("doc_id"))
     val idx = s.read.parquet(store)
@@ -2742,8 +2752,8 @@ object Similarity {
     * slices by. Occupancy over the same index CTE chain as prof8. */
   private lazy val prof9Sql: String = {
     val base = s"doc_id % $s15Mod <> $s15Res"
-    val slices = (0 until 3).map(r =>
-      s"doc_id % $s15Mod = $s15Res AND doc_id % 3 = $r")
+    val slices = (0 until prof9Parts).map(r =>
+      s"doc_id % $s15Mod = $s15Res AND doc_id % $prof9Parts = $r")
     val presence = (base +: slices).map(p =>
       s"max(CASE WHEN $p THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH ${cidxCtes()}

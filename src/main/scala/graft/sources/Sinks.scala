@@ -145,17 +145,33 @@ object Sinks {
     require(tombstones.isEmpty == keyCols.isEmpty,
       "tombstones and keyCols come together")
     val read = spark.read.parquet(path)
-    val df = tombstones.fold(read) { t =>
-      read.join(
-        org.apache.spark.sql.functions.broadcast(
-          t.select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_anti")
-    }
+    val df = tombstones.fold(read)(t =>
+      antiJoinTombstones(read, t, keyCols))
+    if (tombstones.isDefined)
+      // a fold that deletes EVERYTHING would swap in a dir holding only
+      // _SUCCESS — unreadable (no schema) — and brick the store; whole-
+      // store deletion is an explicit drop, not a compaction. limit(1)
+      // early-exits, so the guard costs ~one task, not a store scan.
+      require(!df.limit(1).isEmpty,
+        s"tombstone fold would delete every row of $path — refusing; " +
+          "drop the store explicitly instead")
     val staged = stagePath(path)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staged)
     swapInPlace(spark, path, staged)
   }
+
+  /** THE tombstone anti-join — one definition for the read-time
+    * serve-through path (Similarity.serveThroughTombstones) and the
+    * compaction fold above, so the two cannot drift apart (the s24
+    * gate's core claim is their row-identity). Tombstones broadcast by
+    * contract (delete sets are metadata-scale). */
+  private[graft] def antiJoinTombstones(df: DataFrame, tombstones: DataFrame,
+                                        keyCols: Seq[String]): DataFrame =
+    df.join(
+      org.apache.spark.sql.functions.broadcast(
+        tombstones.select(keyCols.map(col): _*).distinct()),
+      keyCols, "left_anti")
 
   /** S6: Delta `replaceWhere` emulation on plain Parquet — replace only
     * the `sliceCol = sliceValue` rows of a table partitioned by partCol

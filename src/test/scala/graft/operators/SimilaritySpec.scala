@@ -930,12 +930,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got === s22, "the banded layout changed serving results")
     val plan = s25df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.matches("(?s).*PartitionFilters:[^\\n]*qband[^\\n]*>= 6.*"),
+    // pinned to the committed CONSTANTS, not their current values — a
+    // floor retune keeps these assertions aligned with the contract
+    assert(plan.matches(
+      s"(?s).*PartitionFilters:[^\\n]*qband[^\\n]*>= ${Similarity.s25FloorBand}.*"),
       "qband band floor is not a static partition filter")
     assert(plan.matches("(?s).*PartitionFilters:[^\\n]*dynamicpruning[^\\n]*.*"),
       "no dynamic bucket pruning on the banded store scan")
     assert(plan.matches(
-      "(?s).*PushedFilters:[^\\n]*GreaterThanOrEqual\\(quality_score,0.6\\).*"),
+      s"(?s).*PushedFilters:[^\\n]*GreaterThanOrEqual\\(quality_score," +
+        s"${Similarity.s22QualityFloor}\\).*"),
       "residual quality predicate not pushed to the parquet scan")
   }
 
