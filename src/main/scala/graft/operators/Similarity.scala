@@ -1176,12 +1176,13 @@ object Similarity {
     * centroids (s11), nothing here depends on corpus statistics, so
     * fold-in is a pure per-row encode + append and the refreshed index
     * is row-identical to a full rebuild (the spec asserts it). */
-  private def encodeChunks(chunks: DataFrame): DataFrame =
+  private def encodeChunks(chunks: DataFrame,
+                           nPlanes: Int = planes): DataFrame =
     chunks
       .withColumn("ce", embedTokens(split(col("chunk_text"), " ")))
       .withColumn("cn", normD(col("ce")))
       .filter(col("cn") > 0)
-      .withColumn("bkt", bucketOf(col("ce"), planes))
+      .withColumn("bkt", bucketOf(col("ce"), nPlanes))
       .select(col("doc_id"), col("chunk_idx"), col("source"),
         col("quality_score"), col("chunk_text"), col("ce"), col("cn"),
         col("bkt"))
@@ -1325,6 +1326,51 @@ object Similarity {
         col("cosine"))
       .orderBy("qid", "rk")
   }
+
+  /** One-plane-up geometry of the s26 re-bucket gate: planes+1 is
+    * EXACTLY the action [[prof8IndexHealth]]'s rebucket_due prescribes
+    * — when corpus growth pushes planesFor(n_chunks) past the stored
+    * plane count it crosses by one power of two, so the rebuild adds
+    * one plane (halving expected occupancy back to target). */
+  private[operators] val s26Planes = planes + 1
+
+  /** The index REBUILT under the new geometry — the offline job the
+    * re-bucket trigger hands off to (s7-retrain's analog): a full
+    * re-encode of the corpus with one more sign plane. Embeddings and
+    * norms are unchanged (the embedder is geometry-independent); only
+    * the bucket key is recomputed, so the rebuild is the same map-only
+    * encode pass as the original build. Persisted per (session, dir);
+    * production writes it through the s21 store path and swaps. */
+  private val rebucketReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[graft] def rebucketIndex(s: SparkSession, dir: String): DataFrame =
+    rebucketReg.getOrCompute(s, dir) {
+      val df = encodeChunks(
+        TextAnalysis.queries("c3_chunk_corpus")(s, dir), s26Planes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** S26: RE-BUCKET REBUILD — the ACTION leg of prof8's re-bucket
+    * trigger, closing the last open loop of the index lifecycle
+    * (build → refresh → compact → delete → RE-BUCKET): rebuild the
+    * chunk index under planes+1 and serve the s10 query window through
+    * the SAME [[retrieveTopK]] with the new geometry on BOTH sides
+    * (query buckets and probe masks derive from the index's own plane
+    * count — the keyspace contract retrieveTopK documents). The gate
+    * isolates exactly one variable vs s10: the plane count — oracle =
+    * the s10 serving SQL with nPlanes = 7 through the SAME parameterized
+    * generators (bucketSql/probeMasks), so a geometry bug on either
+    * side desynchronizes loudly. Scale shape: the rebuild is one
+    * map-only encode pass (the original build's cost — paid once per
+    * trigger firing, amortized over the growth that fired it); serving
+    * cost per query RETURNS to target occupancy — probes·occupancy
+    * halves back, which is the entire point of the trigger. */
+  val s26RebucketRebuild: Q = (s, dir) =>
+    retrieveTopK(s10QueryFrame(s, dir), rebucketIndex(s, dir),
+      s26Planes, s10K)
 
   // ------------------------------------------------------------------ //
   // s23: learned embedder behind the SAME serving stack
@@ -2240,9 +2286,12 @@ object Similarity {
 
   // ---------------------------------------------------------------- oracles
 
-  /** DuckDB fragment: bucket id of `e.embedding` under the same planes. */
-  private def bucketSql(emb: String): String =
-    (0 until planes).map { p =>
+  /** DuckDB fragment: bucket id of `e.embedding` under `nPlanes` sign
+    * planes (default: the committed geometry) — the SAME planeVal
+    * constants the engine's bucketOf folds, so a geometry change can't
+    * desynchronize the two sides (s26 dials nPlanes up by one). */
+  private def bucketSql(emb: String, nPlanes: Int = planes): String =
+    (0 until nPlanes).map { p =>
       val terms = (0 until dims).map(d =>
         s"CAST($emb[${d + 1}] AS DOUBLE) * (${planeVal(p, d)})")
         .mkString(" + ")
@@ -2256,8 +2305,8 @@ object Similarity {
     * generator (and `planes` constant) the Spark side folds over — a
     * literal list here would silently desynchronize engine and oracle
     * if the committed geometry or radius set changed. */
-  private def probeMasksSqlFor(radius: Int): String =
-    probeMasks(planes, radius).mkString("[", ", ", "]")
+  private def probeMasksSqlFor(radius: Int, nPlanes: Int = planes): String =
+    probeMasks(nPlanes, radius).mkString("[", ", ", "]")
 
   private val probeMasksSql: String = probeMasksSqlFor(1)
 
@@ -2634,7 +2683,8 @@ object Similarity {
     * reads the serving index ([[s10SqlFor]]'s family and [[prof8Sql]]).
     * `cWhere` is the s22 metadata pre-filter — applied in the SAME CTE
     * the engine filters (the persisted index), default TRUE. */
-  private def cidxCtes(cWhere: String = "TRUE"): String = {
+  private def cidxCtes(cWhere: String = "TRUE",
+                       nPlanes: Int = planes): String = {
     val signSum = signSumSql
     s"""c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
         ctok AS (SELECT doc_id, chunk_idx,
@@ -2655,7 +2705,7 @@ object Similarity {
           SELECT c3.doc_id, c3.chunk_idx, c3.source, c3.quality_score,
             c3.chunk_text, e.ce,
             sqrt(list_sum(list_transform(e.ce, x -> x * x))) AS cn,
-            ${bucketSql("e.ce")} AS bkt
+            ${bucketSql("e.ce", nPlanes)} AS bkt
           FROM c3 JOIN cemb1 e ON e.doc_id = c3.doc_id
             AND e.chunk_idx = c3.chunk_idx
           WHERE sqrt(list_sum(list_transform(e.ce, x -> x * x))) > 0
@@ -2664,9 +2714,10 @@ object Similarity {
 
   private def s10SqlFor(qdWhere: String,
                         masksSql: String = probeMasksSql,
-                        cWhere: String = "TRUE"): String = {
+                        cWhere: String = "TRUE",
+                        nPlanes: Int = planes): String = {
     val signSum = signSumSql
-    s"""WITH ${cidxCtes(cWhere)},
+    s"""WITH ${cidxCtes(cWhere, nPlanes)},
         qd AS (
           SELECT doc_id AS qid,
             list_slice(string_split_regex(trim(text), '\\s+'), 1,
@@ -2686,7 +2737,7 @@ object Similarity {
         qx AS (
           SELECT qid, qe,
             sqrt(list_sum(list_transform(qe, x -> x * x))) AS qn,
-            ${bucketSql("qe")} AS bkt0
+            ${bucketSql("qe", nPlanes)} AS bkt0
           FROM qemb1
           WHERE sqrt(list_sum(list_transform(qe, x -> x * x))) > 0),
         qp AS (SELECT qid, qe, qn, xor(bkt0, m.m) AS bkt
@@ -2970,6 +3021,14 @@ object Similarity {
   private lazy val s15Sql: String =
     s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}")
 
+  /** s26 oracle: the s10 serving SQL with the plane count dialed to
+    * [[s26Planes]] through the SAME parameterized generators — the
+    * geometry is the ONLY diff from [[s10Sql]] (the one-variable
+    * pattern on the re-bucket dimension). */
+  private lazy val s26Sql: String =
+    s10SqlFor(s"doc_id < $s10QueryDocs",
+      probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes)
+
   /** s24 oracle: the s15 serving SQL with the tombstone rule excluded
     * in the index CTE — the delete predicate is the ONLY diff (the s22
     * one-variable pattern), so the gate isolates exactly the fold:
@@ -3081,6 +3140,7 @@ object Similarity {
     "s24_index_delete" -> s24IndexDelete,
     "s25_banded_store" -> s25BandedStore,
     "s23_learned_embed" -> s23LearnedEmbed,
+    "s26_rebucket_rebuild" -> s26RebucketRebuild,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
@@ -3108,6 +3168,7 @@ object Similarity {
     // gates it verbatim (the s21/s15Sql sharing pattern)
     "s25_banded_store" -> s22Sql,
     "s23_learned_embed" -> s23Sql,
+    "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,
     "prof9_store_health" -> prof9Sql,

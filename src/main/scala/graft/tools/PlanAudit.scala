@@ -56,6 +56,7 @@ object PlanAudit {
     "s24_index_delete",  // tombstone anti-join inside the compaction rewrite; pruned serving read
     "s25_banded_store",  // static qband partition pruning + dynamic bucket pruning on one scan
     "prof9_store_health", // O(buckets) FileSystem listing + keyed count over the store
+    "s26_rebucket_rebuild", // planes+1 rebuild served through the same probe join
   )
 
   def main(args: Array[String]): Unit = {

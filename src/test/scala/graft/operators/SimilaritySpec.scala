@@ -920,6 +920,50 @@ class SimilaritySpec extends SparkSpec {
       "content-deterministic; the s23 goldens would flap")
   }
 
+  test("re-bucket rebuild (s26): serving under the planes+1 geometry " +
+    "keeps measured recall vs the exact twin; the rebuilt index actually " +
+    "uses the widened keyspace and halves expected occupancy") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    def topSets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("qid")).map { case (q, rs) =>
+        q -> rs.map(r =>
+          (r.getAs[Any]("doc_id"), r.getAs[Any]("chunk_idx"))).toSet
+      }
+    val served = topSets(
+      graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir).collect())
+    // embeddings are geometry-independent, so the exact twin under the
+    // rebuilt index IS the s10 exact twin — the rebuild must not move
+    // the ground truth, only the probe geometry
+    val exact = topSets(Similarity.exactTwin(
+      Similarity.s10QueryFrame(spark, dir),
+      Similarity.rebucketIndex(spark, dir)).collect())
+    val recall = exact.keys.toSeq.map { q =>
+      (served.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble /
+        exact(q).size
+    }.sum / exact.size
+    info(f"recall@5 under planes+1 serving: $recall%.3f")
+    // measured 0.600 on the committed fixture (2026-08-15): one more
+    // plane on the TINY sf0.001 corpus over-partitions (the production
+    // pairing is rebuild-after-GROWTH, which returns occupancy to
+    // target rather than shrinking it) — the floor guards the serving
+    // path, the multi-probe dial (s20's radius) is the recall lever
+    assert(recall >= 0.4 && recall <= 1.0,
+      f"planes+1 serving recall left its measured band: $recall%.3f")
+    // the widened keyspace is real: buckets above the old 2^6 range are
+    // occupied, and the bucket count strictly exceeds the 6-plane
+    // index's — i.e. expected occupancy actually dropped, which is the
+    // entire point of firing the trigger
+    val b7 = Similarity.rebucketIndex(spark, dir)
+      .agg(countDistinct(col("bkt")), org.apache.spark.sql.functions
+        .max(col("bkt"))).collect()(0)
+    val b6 = Similarity.retrievalIndex(spark, dir)
+      .agg(countDistinct(col("bkt"))).collect()(0).getLong(0)
+    assert(b7.getLong(1) >= 64L,
+      "no chunk landed above the old 2^6 keyspace — plane 7 is dead")
+    assert(b7.getLong(0) > b6,
+      s"rebuild did not widen the occupied bucket set (${b7.getLong(0)} vs $b6)")
+  }
+
   test("banded store (s25): filtered serving is row-identical to s22's " +
     "map-filter; the scan partition-prunes qband statically and bkt " +
     "dynamically with the residual predicate pushed to parquet") {
