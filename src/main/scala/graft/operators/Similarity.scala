@@ -1327,6 +1327,64 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Per-call sink disambiguator of the s27 streaming-delete gate (the
+    * d12 sink-isolation pattern: concurrent runs in one JVM must not
+    * union each other's batch=<id> subdirs). */
+  private val s27SinkCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** S27: STREAMING DELETE INGEST — the operational arrival path of
+    * s24's tombstones: in production, deletes are CDC/curation EVENTS,
+    * not a frame someone hands the compactor, so this gate replays the
+    * s24 delete set as a genuinely multi-batch AvailableNow stream
+    * (2-file staging, maxFilesPerTrigger = 1 — the d12 harness) whose
+    * foreachBatch ACCUMULATES arrivals into a tombstone side table
+    * (idempotent batch=<id> overwrite subdirs — at-least-once retries
+    * cannot duplicate a batch, and the fold's distinct makes duplicate
+    * tombstone ROWS harmless anyway), then folds the accumulated set
+    * at the next compaction and serves from the folded store. No
+    * per-event store work: a delete costs one tiny append at arrival
+    * and rides the compaction rewrite at cadence — the same
+    * amortization s24 pins, now with the arrival leg real. Oracle =
+    * [[s24Sql]] verbatim: tombstone folding is batch-split invariant
+    * (the union of arrivals is the delete set), the d12-reuses-d11
+    * relationship replayed on the delete dimension. */
+  val s27StreamDelete: Q = (s, dir) => {
+    val store = freshStore(s, dir, "s27")
+    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+    writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
+    val tomb = s24Tombstones(s, dir)
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    // staging key carries the delete-rule constants (a retuned rule
+    // must not replay an old set); the helper adds pid + _SUCCESS
+    val streamDir = graft.streaming.Streams.stageForReplay(
+      tomb.repartitionByRange(2, col("doc_id")),
+      s"tomb-$fp-${s24DelMod}m$s24DelRes", shape = "r2")
+    val sinkDir = sys.props("java.io.tmpdir") +
+      s"/graft-s27-sink-$fp-p${ProcessHandle.current.pid}" +
+      s"-c${s27SinkCounter.incrementAndGet()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+    val q = s.readStream.schema(tomb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        mb.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // an empty delete set stages no files → zero micro-batches → no
+    // sink dir: compact without tombstones (nothing to fold)
+    val arrived =
+      if (new java.io.File(sinkDir).exists())
+        Some(s.read.parquet(sinkDir).select(col("doc_id")))
+      else None
+    graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
+      arrived, if (arrived.isDefined) Seq("doc_id") else Nil)
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
+  }
+
   /** One-plane-up geometry of the s26 re-bucket gate: planes+1 is
     * EXACTLY the action [[prof8IndexHealth]]'s rebucket_due prescribes
     * — when corpus growth pushes planesFor(n_chunks) past the stored
@@ -3141,6 +3199,7 @@ object Similarity {
     "s25_banded_store" -> s25BandedStore,
     "s23_learned_embed" -> s23LearnedEmbed,
     "s26_rebucket_rebuild" -> s26RebucketRebuild,
+    "s27_stream_delete" -> s27StreamDelete,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
@@ -3164,6 +3223,10 @@ object Similarity {
     "s21_index_compaction" -> s15Sql,
     "s22_filtered_retrieve" -> s22Sql,
     "s24_index_delete" -> s24Sql,
+    // s27 is s24's streaming arrival form: the tombstone fold is
+    // batch-split invariant, so the one-shot delete oracle gates it
+    // (the d12-reuses-d11 pattern on the delete dimension)
+    "s27_stream_delete" -> s24Sql,
     // the banded layout must be invisible to results: s22's oracle
     // gates it verbatim (the s21/s15Sql sharing pattern)
     "s25_banded_store" -> s22Sql,

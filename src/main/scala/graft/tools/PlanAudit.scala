@@ -57,6 +57,7 @@ object PlanAudit {
     "s25_banded_store",  // static qband partition pruning + dynamic bucket pruning on one scan
     "prof9_store_health", // O(buckets) FileSystem listing + keyed count over the store
     "s26_rebucket_rebuild", // planes+1 rebuild served through the same probe join
+    "s27_stream_delete", // streamed tombstone arrival -> accumulated fold at compaction
   )
 
   def main(args: Array[String]): Unit = {

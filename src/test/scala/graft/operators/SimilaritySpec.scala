@@ -920,6 +920,32 @@ class SimilaritySpec extends SparkSpec {
       "content-deterministic; the s23 goldens would flap")
   }
 
+  test("streaming delete ingest (s27): tombstones arriving over a " +
+    "genuinely multi-batch stream fold to the same served result as " +
+    "s24's one-shot delete; the staged replay really is multi-batch") {
+    import org.apache.spark.sql.functions.col
+    val s27 = graft.SparkEntry.queries("s27_stream_delete")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val s24 = graft.SparkEntry.queries("s24_index_delete")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(s27 === s24,
+      "streamed tombstone arrival changed the folded serving result")
+    // multi-batch by construction: the staged replay dir holds 2 data
+    // files and the stream reads maxFilesPerTrigger=1
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    val streamDir = new java.io.File(sys.props("java.io.tmpdir") +
+      s"/graft-stream-tomb-$fp-${Similarity.s24DelMod}m${Similarity.s24DelRes}" +
+      s"-r2-p${ProcessHandle.current.pid}")
+    val nFiles = streamDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles === 2, s"staged tombstone replay has $nFiles files")
+    // and the folded store holds no tombstoned doc (the s24 invariant,
+    // re-checked through the streamed path's own store)
+    val store = spark.read.parquet(Similarity.idxStore(spark, dir, "s27"))
+    assert(store.filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+      org.apache.spark.sql.functions.lit(Similarity.s24DelMod))
+      === Similarity.s24DelRes).count() === 0)
+  }
+
   test("re-bucket rebuild (s26): serving under the planes+1 geometry " +
     "keeps measured recall vs the exact twin; the rebuilt index actually " +
     "uses the widened keyspace and halves expected occupancy") {
