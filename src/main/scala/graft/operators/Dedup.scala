@@ -989,13 +989,6 @@ object Dedup {
           col("verdict"), col("cluster"))
     })
 
-  /** Per-call sink counter for the streaming-gate family. Staging goes
-    * through Streams.stageForReplay (pid-keyed + _SUCCESS + lock);
-    * sink dirs get a fresh per-CALL suffix: two concurrent invocations
-    * (any mix of threads/JVMs) each stream into their own dir, so
-    * neither can clobber the other's in-flight batch=<id> output. */
-  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** Shared streaming-ingest harness behind d12/d13: stage the arriving
     * (modular-slice) docs as a 2-file parquet dir, replay it as an
     * AvailableNow stream with `maxFilesPerTrigger = 1` (genuinely
@@ -1008,61 +1001,14 @@ object Dedup {
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === d11Res
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     // Staging key includes the batch-selection constants (a changed
-    // mod/res must not replay an old split); the helper adds the pid
-    // key, _SUCCESS completeness judgment and the in-JVM lock.
+    // mod/res must not replay an old split); the shared harness adds
+    // the pid key, _SUCCESS completeness judgment, the in-JVM lock,
+    // the per-call idempotent sink, and PlanEvidence recording.
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val streamDir = graft.streaming.Streams.stageForReplay(
-      arriving.repartitionByRange(2, col("doc_id")),
-      s"docs-$fp-${d11Mod}m$d11Res", shape = "r2")
-    // Per-call sink: idempotency only needs stability within ONE
-    // streaming query (batch=<id> overwrite covers foreachBatch's
-    // at-least-once retries); rows are verdict-scale (tiny), so leaving
-    // the per-call dirs to tmp cleanup costs nothing. Still DELETE any
-    // leftover at this exact path first: pid recycling across JVM
-    // restarts could otherwise union a killed run's stale batch=<id>
-    // subdirs into this run's output (round-11 review).
-    val sinkDir = sys.props("java.io.tmpdir") +
-      s"/graft-$tag-sink-$fp-p${ProcessHandle.current.pid}" +
-      s"-c${sinkCounter.incrementAndGet()}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
-    val q = s.readStream.schema(arriving.schema)
-      .option("maxFilesPerTrigger", 1).parquet(streamDir)
-      .writeStream
-      // foreachBatch is AT-LEAST-ONCE: a retried micro-batch must not
-      // duplicate verdict rows, so each batch OVERWRITES its own
-      // batch=<id> subdir (the canonical idempotent-foreachBatch sink
-      // pattern) instead of appending to a shared dir.
-      .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        val out = probe(mb)
-        out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        // audit evidence: the probe plan as EXECUTED (the sink write ran
-        // on a cloned execution, so finalize this one explicitly) — only
-        // under PlanAudit, so gated runs never pay the extra execution
-        if (graft.core.PlanEvidence.auditing) {
-          out.queryExecution.toRdd.count()
-          graft.core.PlanEvidence.record(tag, out.queryExecution
-            .explainString(org.apache.spark.sql.execution.FormattedMode))
-        }
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // An empty arriving slice stages no data files, AvailableNow runs
-    // zero micro-batches, and the sink dir is never created — the
-    // one-shot form returns an empty frame there, so this must too
-    // (probe over the empty arrival yields exactly that schema). Built
-    // ONCE: it serves both the fallback and the column projection, and
-    // building it twice would pay the probe's registry side effects
-    // (banded index / centroid artifact construction) twice on the
-    // empty path (round-11 review).
-    lazy val emptyProbe = probe(arriving.limit(0))
-    val out =
-      if (new java.io.File(sinkDir).exists()) s.read.parquet(sinkDir)
-        // partition discovery surfaces batch=<id> as a column — project
-        // to the probe's own columns
-        .select(emptyProbe.columns.toIndexedSeq.map(col): _*)
-      else emptyProbe
-    out.orderBy("doc_id")
+    graft.streaming.Streams.replayForeachBatch(s,
+        arriving.repartitionByRange(2, col("doc_id")),
+        s"docs-$fp-${d11Mod}m$d11Res", shape = "r2", tag = tag)(probe)
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -78,7 +78,8 @@ object Similarity {
   /** Pseudo-random-but-portable plane component in [-1, 1]:
     * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000.
     * Shared with Dedup's banded near-dup candidate generation (distinct
-    * plane indices — s2 uses 0-5, Dedup bands start at 10). */
+    * plane indices — s2/s10 use 0-5, s26's rebuild adds 6, Dedup bands
+    * start at 10; allocate new planes from 7-9 or above the bands). */
   private[operators] def planeVal(p: Int, d: Int): Double = {
     // Mirrors Portable.h60 on literals; computed once at plan build.
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1106,22 +1107,27 @@ object Similarity {
     * keyed count — no corpus reshuffle, no file opened. */
   val prof9StoreHealth: Q = (s, dir) => {
     import org.apache.hadoop.fs.Path
-    val store = freshStore(s, dir, "prof9")
-    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-    s15BatchSlices(s, dir, parts = prof9Parts.toLong).foreach(
-      writeStore(_, store, Seq("bkt"), append = true))
-    val fs = new Path(store)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // one listStatus per bucket dir — O(buckets) driver-side metadata,
-    // the same scale class as the sinks' affected-partition collects
-    val perBucket = fs.listStatus(new Path(store))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
-      .map { st =>
-        val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
-        val files = fs.listStatus(st.getPath).count(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-        (bkt, files.toLong)
-      }.toSeq
+    val store = idxStore(s, dir, "prof9")
+    val perBucket = withStoreLifecycle(store) {
+      wipeStore(store)
+      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+      s15BatchSlices(s, dir, parts = prof9Parts.toLong).foreach(
+        writeStore(_, store, Seq("bkt"), append = true))
+      val fs = new Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // one listStatus per bucket dir — O(buckets) driver-side
+      // metadata, the same scale class as the sinks' affected-
+      // partition collects; listed inside the lock so a concurrent
+      // replay cannot change the fragmentation mid-listing
+      fs.listStatus(new Path(store))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+        .map { st =>
+          val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
+          val files = fs.listStatus(st.getPath).count(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+          (bkt, files.toLong)
+        }.toSeq
+    }
     import s.implicits._
     val filesDf = perBucket.toDF("bkt", "files")
     s.read.parquet(store)
@@ -1327,10 +1333,24 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** Per-call sink disambiguator of the s27 streaming-delete gate (the
-    * d12 sink-isolation pattern: concurrent runs in one JVM must not
-    * union each other's batch=<id> subdirs). */
-  private val s27SinkCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** Per-store monitors for the lifecycle gates (s21/s24/s25/prof9/
+    * s27): each mutates a shared pid-keyed on-disk path (wipe → writes
+    * → compact → serve), so two concurrent in-JVM invocations of the
+    * SAME gate would wipe each other mid-lifecycle. The mutation
+    * window serializes per store path (different gates / source dirs
+    * stay independent — the stagingLocks rationale in Streams). The
+    * store CONTENT is a pure function of the source dir, so a caller
+    * entering after another's window rebuilds identical bytes and the
+    * returned LAZY serving frame reads a correct, fully-built store
+    * whenever it executes (the compaction swap itself is rename-
+    * based). Single-concurrent-consumer per store remains the contract
+    * for reads that race a rewrite mid-scan — the Sinks single-writer
+    * contract, restated for the gates. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withStoreLifecycle[T](store: String)(body: => T): T =
+    storeLocks.computeIfAbsent(store, _ => new Object).synchronized(body)
 
   /** S27: STREAMING DELETE INGEST — the operational arrival path of
     * s24's tombstones: in production, deletes are CDC/curation EVENTS,
@@ -1349,37 +1369,30 @@ object Similarity {
     * (the union of arrivals is the delete set), the d12-reuses-d11
     * relationship replayed on the delete dimension. */
   val s27StreamDelete: Q = (s, dir) => {
-    val store = freshStore(s, dir, "s27")
-    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-    writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
-    val tomb = s24Tombstones(s, dir)
-    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    // staging key carries the delete-rule constants (a retuned rule
-    // must not replay an old set); the helper adds pid + _SUCCESS
-    val streamDir = graft.streaming.Streams.stageForReplay(
-      tomb.repartitionByRange(2, col("doc_id")),
-      s"tomb-$fp-${s24DelMod}m$s24DelRes", shape = "r2")
-    val sinkDir = sys.props("java.io.tmpdir") +
-      s"/graft-s27-sink-$fp-p${ProcessHandle.current.pid}" +
-      s"-c${s27SinkCounter.incrementAndGet()}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
-    val q = s.readStream.schema(tomb.schema)
-      .option("maxFilesPerTrigger", 1).parquet(streamDir)
-      .writeStream
-      .foreachBatch { (mb: DataFrame, batchId: Long) =>
-        mb.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // an empty delete set stages no files → zero micro-batches → no
-    // sink dir: compact without tombstones (nothing to fold)
-    val arrived =
-      if (new java.io.File(sinkDir).exists())
-        Some(s.read.parquet(sinkDir).select(col("doc_id")))
-      else None
-    graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
-      arrived, if (arrived.isDefined) Seq("doc_id") else Nil)
+    val store = idxStore(s, dir, "s27")
+    withStoreLifecycle(store) {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+      writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
+      val tomb = s24Tombstones(s, dir)
+      val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+      // staging key carries the delete-rule constants (a retuned rule
+      // must not replay an old set); the shared harness (the d12/d13
+      // one) adds pid + _SUCCESS staging, the per-call idempotent
+      // batch=<id> sink, and PlanEvidence recording of the arrival leg
+      val arrived = graft.streaming.Streams.replayForeachBatch(s,
+        tomb.repartitionByRange(2, col("doc_id")),
+        s"tomb-$fp-${s24DelMod}m$s24DelRes", shape = "r2",
+        tag = "s27_stream_delete")(identity)
+      // an empty delete set streams zero micro-batches and the harness
+      // returns the empty frame: compact without tombstones (nothing
+      // to fold — compactPartitioned's empty-fold guard must not fire)
+      val any = !arrived.limit(1).isEmpty
+      graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
+        if (any) Some(arrived.select(col("doc_id"))) else None,
+        if (any) Seq("doc_id") else Nil)
+    }
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
@@ -1618,9 +1631,12 @@ object Similarity {
     * band dimension pruned STATICALLY at the scan — both partition
     * columns filter before a byte is read. */
   val s25BandedStore: Q = (s, dir) => {
-    val store = freshStore(s, dir, "s25")
-    writeStore(withQband(retrievalIndex(s, dir)), store,
-      Seq("bkt", "qband"))
+    val store = idxStore(s, dir, "s25")
+    withStoreLifecycle(store) {
+      wipeStore(store)
+      writeStore(withQband(retrievalIndex(s, dir)), store,
+        Seq("bkt", "qband"))
+    }
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
       .filter(col("qband") >= lit(s25FloorBand) &&
@@ -1742,14 +1758,12 @@ object Similarity {
   private[operators] def s21Store(s: SparkSession, dir: String): String =
     idxStore(s, dir, "s21")
 
-  /** [[idxStore]] wiped for a fresh gated-lifecycle replay — the
-    * delete-then-return preamble every store gate starts with. */
-  private def freshStore(s: SparkSession, dir: String, tag: String): String = {
-    val store = idxStore(s, dir, tag)
+  /** Wipe a gated-lifecycle store for a fresh replay — call INSIDE
+    * [[withStoreLifecycle]] (the wipe is the mutation the per-store
+    * monitor exists to serialize). */
+  private def wipeStore(store: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(store).getParentFile)
-    store
-  }
 
   /** THE store write discipline (one definition for every lifecycle
     * gate): repartition on the partition columns routes each value's
@@ -1798,14 +1812,17 @@ object Similarity {
     * cast back to long before the serving join so both gates join in
     * one keyspace. */
   val s21IndexCompaction: Q = (s, dir) => {
-    val store = freshStore(s, dir, "s21")
-    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-    // one file per touched bucket per fold (the writeStore discipline) —
-    // fragmentation is still linear in folds (base + 3 appends = up to
-    // 4 files/bucket), which the compaction below erases
-    s15BatchSlices(s, dir, parts = 3L).foreach(
-      writeStore(_, store, Seq("bkt"), append = true))
-    graft.sources.Sinks.compactPartitioned(s, store, "bkt")
+    val store = s21Store(s, dir)
+    withStoreLifecycle(store) {
+      wipeStore(store)
+      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+      // one file per touched bucket per fold (the writeStore
+      // discipline) — fragmentation is still linear in folds (base +
+      // 3 appends = up to 4 files/bucket), which the compaction erases
+      s15BatchSlices(s, dir, parts = 3L).foreach(
+        writeStore(_, store, Seq("bkt"), append = true))
+      graft.sources.Sinks.compactPartitioned(s, store, "bkt")
+    }
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
@@ -1859,11 +1876,14 @@ object Similarity {
     * compaction cost is the store rewrite already budgeted by the s21
     * cadence — the delete itself adds no pass. */
   val s24IndexDelete: Q = (s, dir) => {
-    val store = freshStore(s, dir, "s24")
-    writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-    writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
-    graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
-      Some(s24Tombstones(s, dir)), Seq("doc_id"))
+    val store = idxStore(s, dir, "s24")
+    withStoreLifecycle(store) {
+      wipeStore(store)
+      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
+      writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
+      graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
+        Some(s24Tombstones(s, dir)), Seq("doc_id"))
+    }
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)

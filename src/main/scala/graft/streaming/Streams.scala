@@ -164,6 +164,62 @@ object Streams {
       }
   }
 
+  /** Per-call sink disambiguator of [[replayForeachBatch]] (concurrent
+    * runs in one JVM must not union each other's batch=<id> subdirs). */
+  private val replaySinkCounter =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** THE shared multi-batch replay harness (one copy of the round-11
+    * hardenings — behind d12/d13's ingest gates and s27's streaming
+    * delete): stage the SHAPED arriving frame for replay (file count ×
+    * maxFilesPerTrigger(1) = micro-batch count — callers shape with
+    * e.g. repartitionByRange(2, key) and declare it via `shape`),
+    * run `probe` per micro-batch into an idempotent batch=<id>
+    * OVERWRITE sink (foreachBatch is at-least-once; a retried batch
+    * rewrites its own subdir instead of duplicating rows in a shared
+    * one), record the probe's executed plan under PlanAudit, and
+    * return the sink's union projected to the probe's own columns.
+    * The sink is per-call (counter) and pre-wiped (pid recycling
+    * across JVM restarts must not union a killed run's stale subdirs).
+    * An empty arriving frame stages no data files → zero micro-batches
+    * → no sink dir: returns probe over the empty frame. */
+  def replayForeachBatch(s: SparkSession, shaped: DataFrame,
+                         stagingKey: String, shape: String, tag: String)
+                        (probe: DataFrame => DataFrame): DataFrame = {
+    val streamDir = stageForReplay(shaped, stagingKey, shape)
+    val sinkDir = sys.props("java.io.tmpdir") +
+      s"/graft-$tag-sink-$stagingKey-p${ProcessHandle.current.pid}" +
+      s"-c${replaySinkCounter.incrementAndGet()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+    val q = s.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val out = probe(mb)
+        out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        // audit evidence: the probe plan as EXECUTED (the sink write
+        // ran on a cloned execution, so finalize this one explicitly)
+        // — only under PlanAudit, so gated runs never pay it
+        if (graft.core.PlanEvidence.auditing) {
+          out.queryExecution.toRdd.count()
+          graft.core.PlanEvidence.record(tag, out.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // built ONCE: serves both the empty fallback and the column
+    // projection; twice would pay the probe's registry side effects
+    // twice on the empty path
+    lazy val emptyProbe = probe(shaped.limit(0))
+    if (new java.io.File(sinkDir).exists()) s.read.parquet(sinkDir)
+      // partition discovery surfaces batch=<id> as a column — project
+      // to the probe's own columns
+      .select(emptyProbe.columns.toIndexedSeq.map(col): _*)
+    else emptyProbe
+  }
+
   /** Streaming backfill — the batch Ingestor's contract as a stream:
     * read available files once (Trigger.AvailableNow), and per
     * micro-batch replace each contained `sliceCol` slice of the store

@@ -931,12 +931,17 @@ class SimilaritySpec extends SparkSpec {
     assert(s27 === s24,
       "streamed tombstone arrival changed the folded serving result")
     // multi-batch by construction: the staged replay dir holds 2 data
-    // files and the stream reads maxFilesPerTrigger=1
+    // files and the stream reads maxFilesPerTrigger=1. Resolve the dir
+    // through stageForReplay itself (idempotent via _SUCCESS — returns
+    // the existing staging) instead of hand-rebuilding its naming.
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val streamDir = new java.io.File(sys.props("java.io.tmpdir") +
-      s"/graft-stream-tomb-$fp-${Similarity.s24DelMod}m${Similarity.s24DelRes}" +
-      s"-r2-p${ProcessHandle.current.pid}")
-    val nFiles = streamDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val streamDir = new java.io.File(graft.streaming.Streams.stageForReplay(
+      Similarity.s24Tombstones(spark, dir)
+        .repartitionByRange(2, col("doc_id")),
+      s"tomb-$fp-${Similarity.s24DelMod}m${Similarity.s24DelRes}",
+      shape = "r2"))
+    val files = Option(streamDir.listFiles()).getOrElse(Array.empty)
+    val nFiles = files.count(_.getName.endsWith(".parquet"))
     assert(nFiles === 2, s"staged tombstone replay has $nFiles files")
     // and the folded store holds no tombstoned doc (the s24 invariant,
     // re-checked through the streamed path's own store)
@@ -973,8 +978,8 @@ class SimilaritySpec extends SparkSpec {
     // pairing is rebuild-after-GROWTH, which returns occupancy to
     // target rather than shrinking it) — the floor guards the serving
     // path, the multi-probe dial (s20's radius) is the recall lever
-    assert(recall >= 0.4 && recall <= 1.0,
-      f"planes+1 serving recall left its measured band: $recall%.3f")
+    assert(recall >= 0.4,
+      f"planes+1 serving recall collapsed below its measured floor: $recall%.3f")
     // the widened keyspace is real: buckets above the old 2^6 range are
     // occupied, and the bucket count strictly exceeds the 6-plane
     // index's — i.e. expected occupancy actually dropped, which is the
