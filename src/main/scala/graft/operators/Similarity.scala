@@ -1371,8 +1371,7 @@ object Similarity {
   val s27StreamDelete: Q = (s, dir) => {
     val store = idxStore(s, dir, "s27")
     withStoreLifecycle(store) {
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(store).getParentFile)
+      wipeStore(store)
       writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
       writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
       val tomb = s24Tombstones(s, dir)
@@ -2896,7 +2895,17 @@ object Similarity {
   /** s23 golden VALUES rows — (n_docs, n_pos, qid, rk, doc_id,
     * chunk_idx) per committed scale; harvested from two byte-identical
     * fresh-JVM runs per scale (2026-08-15). The m7 BLAS caveat applies
-    * (Word2Vec's axpy rides netlib). */
+    * (Word2Vec's axpy rides netlib).
+    *
+    * RE-HARVEST RULE (new scale / changed corpus or embedder): the
+    * pinned keys are sf0.001 (500, 352), sf0.01 (500, 343), sf0.1
+    * (5000, 3468) — running the gate at any OTHER scale joins zero
+    * VALUES rows and fails as an oracle row-count mismatch (0 vs 40):
+    * that failure means "no golden harvested for this scale", not a
+    * serving bug. To extend: run the engine query twice in fresh JVMs
+    * at the new scale, assert byte-identical output, and append the
+    * rows here keyed by the new (n_docs, n_pos) — the m7/u14
+    * procedure. */
   private val s23Goldens: String =
     """(500, 352, 0, 1, 373, 0),
             (500, 352, 0, 2, 2, 1),
