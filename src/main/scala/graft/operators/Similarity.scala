@@ -1107,9 +1107,7 @@ object Similarity {
     * keyed count — no corpus reshuffle, no file opened. */
   val prof9StoreHealth: Q = (s, dir) => {
     import org.apache.hadoop.fs.Path
-    val store = idxStore(s, dir, "prof9")
-    val perBucket = withStoreLifecycle(store) {
-      wipeStore(store)
+    val (store, perBucket) = buildStoreVersion(s, dir, "prof9") { store =>
       writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
       s15BatchSlices(s, dir, parts = prof9Parts.toLong).foreach(
         writeStore(_, store, Seq("bkt"), append = true))
@@ -1117,8 +1115,8 @@ object Similarity {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       // one listStatus per bucket dir — O(buckets) driver-side
       // metadata, the same scale class as the sinks' affected-
-      // partition collects; listed inside the lock so a concurrent
-      // replay cannot change the fragmentation mid-listing
+      // partition collects; this version dir is immutable once built,
+      // so the listing cannot race a later rebuild
       fs.listStatus(new Path(store))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
         .map { st =>
@@ -1333,19 +1331,17 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** Per-store monitors for the lifecycle gates (s21/s24/s25/prof9/
-    * s27): each mutates a shared pid-keyed on-disk path (wipe → writes
-    * → compact → serve), so two concurrent in-JVM invocations of the
-    * SAME gate would wipe each other mid-lifecycle. The mutation
-    * window serializes per store path (different gates / source dirs
-    * stay independent — the stagingLocks rationale in Streams). The
-    * store CONTENT is a pure function of the source dir, so a caller
-    * entering after another's window rebuilds identical bytes and the
-    * returned LAZY serving frame reads a correct, fully-built store
-    * whenever it executes (the compaction swap itself is rename-
-    * based). Single-concurrent-consumer per store remains the contract
-    * for reads that race a rewrite mid-scan — the Sinks single-writer
-    * contract, restated for the gates. */
+  /** Per-store-ROOT monitors for the lifecycle gates (s21/s24/s25/
+    * s26/prof9/s27): builds of the same root serialize (two concurrent
+    * identical rebuilds would only burn CPU — content is a pure
+    * function of the source dir; different gates / source dirs stay
+    * independent — the stagingLocks rationale in Streams). Reader
+    * safety does NOT ride on this lock: [[buildStoreVersion]] gives
+    * every invocation its own immutable store version with
+    * previous-version retention, so a LAZY serving frame returned
+    * before a later rebuild keeps reading its own snapshot (round-15
+    * advice closed: the old wipe-in-place protocol documented a
+    * single-concurrent-consumer contract it could not enforce). */
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -1369,9 +1365,7 @@ object Similarity {
     * (the union of arrivals is the delete set), the d12-reuses-d11
     * relationship replayed on the delete dimension. */
   val s27StreamDelete: Q = (s, dir) => {
-    val store = idxStore(s, dir, "s27")
-    withStoreLifecycle(store) {
-      wipeStore(store)
+    val store = buildStoreVersion(s, dir, "s27") { store =>
       writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
       writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
       val tomb = s24Tombstones(s, dir)
@@ -1391,7 +1385,7 @@ object Similarity {
       graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
         if (any) Some(arrived.select(col("doc_id"))) else None,
         if (any) Seq("doc_id") else Nil)
-    }
+    }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
@@ -1630,12 +1624,10 @@ object Similarity {
     * band dimension pruned STATICALLY at the scan — both partition
     * columns filter before a byte is read. */
   val s25BandedStore: Q = (s, dir) => {
-    val store = idxStore(s, dir, "s25")
-    withStoreLifecycle(store) {
-      wipeStore(store)
+    val store = buildStoreVersion(s, dir, "s25") { store =>
       writeStore(withQband(retrievalIndex(s, dir)), store,
         Seq("bkt", "qband"))
-    }
+    }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
       .filter(col("qband") >= lit(s25FloorBand) &&
@@ -1743,26 +1735,75 @@ object Similarity {
     retrieveTopK(s15QueryFrame(s, dir), refreshedIndex(s, dir),
       planes, s10K)
 
-  /** On-disk index store of a gated lifecycle query — pid-keyed and
-    * wiped per call (the i1 store pattern; TmpHygiene reclaims
-    * dead-pid copies). One generator per `tag` (s21 compaction, s24
-    * delete fold, prof9 store profile, …) so the lifecycle gates never
-    * collide on a path. */
-  private[operators] def idxStore(s: SparkSession, dir: String,
-                                  tag: String): String =
+  /** Root dir of a gated lifecycle store — pid-keyed (the i1 store
+    * pattern; TmpHygiene reclaims dead-pid copies), one root per `tag`
+    * (s21 compaction, s24 delete fold, prof9 store profile, …) so the
+    * lifecycle gates never collide on a path. Store VERSIONS live
+    * under the root — see [[buildStoreVersion]]. */
+  private def storeRoot(s: SparkSession, dir: String, tag: String): String =
     sys.props("java.io.tmpdir") +
       s"/graft-$tag-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
-      s"-p${ProcessHandle.current.pid}/idx"
+      s"-p${ProcessHandle.current.pid}"
+
+  /** Monotone per-root version counters (JVM-wide: store content is a
+    * pure function of the source dir, so versions are interchangeable
+    * across sessions of one JVM). `alloc` hands out build targets;
+    * `published` trails it and only advances when a build SUCCEEDS, so
+    * [[idxStore]] never resolves to a half-built or failed version. */
+  private val storeAlloc = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private val storePublished = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def counter(m: java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong], root: String) =
+    m.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+
+  /** CURRENT version path of a gated lifecycle store — the one the
+    * gate most recently finished building in this JVM (the serving
+    * reads and the store-inspecting specs resolve through this). */
+  private[operators] def idxStore(s: SparkSession, dir: String,
+                                  tag: String): String = {
+    val root = storeRoot(s, dir, tag)
+    s"$root/v${counter(storePublished, root).get()}/idx"
+  }
 
   private[operators] def s21Store(s: SparkSession, dir: String): String =
     idxStore(s, dir, "s21")
 
-  /** Wipe a gated-lifecycle store for a fresh replay — call INSIDE
-    * [[withStoreLifecycle]] (the wipe is the mutation the per-store
-    * monitor exists to serialize). */
-  private def wipeStore(store: String): Unit =
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
+  /** Build a FRESH VERSION of a gated lifecycle store and return
+    * (path, build result) — SNAPSHOT ISOLATION for the lifecycle
+    * gates (round-15 advice: a wipe-in-place protocol let a later
+    * invocation delete the store a prior caller's LAZY serving frame
+    * was still scanning). Each invocation writes `$root/v<n>/idx` for
+    * a fresh monotone n, so a returned frame reads ITS OWN immutable
+    * version forever; retention then retires versions older than the
+    * PREVIOUS one — the Delta/Iceberg vacuum-retention contract: a
+    * reader is safe while at most one newer rebuild has completed,
+    * and the on-disk footprint is bounded at two versions per store.
+    * Builds of the SAME root serialize on the per-store monitor
+    * (concurrent identical rebuilds would only burn CPU — content is
+    * a pure function of the source dir). */
+  private def buildStoreVersion[T](s: SparkSession, dir: String,
+                                   tag: String)
+                                  (build: String => T): (String, T) = {
+    val root = storeRoot(s, dir, tag)
+    withStoreLifecycle(root) {
+      val v = counter(storeAlloc, root).incrementAndGet()
+      val store = s"$root/v$v/idx"
+      val out = build(store)
+      counter(storePublished, root)
+        .accumulateAndGet(v, math.max(_, _))
+      // vacuum: keep {v, v-1} (a reader on the previous version is
+      // still safe), retire everything older — including versions a
+      // failed build left unpublished
+      (1L until v - 1).foreach(old =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$root/v$old")))
+      (store, out)
+    }
+  }
 
   /** THE store write discipline (one definition for every lifecycle
     * gate): repartition on the partition columns routes each value's
@@ -1811,9 +1852,7 @@ object Similarity {
     * cast back to long before the serving join so both gates join in
     * one keyspace. */
   val s21IndexCompaction: Q = (s, dir) => {
-    val store = s21Store(s, dir)
-    withStoreLifecycle(store) {
-      wipeStore(store)
+    val store = buildStoreVersion(s, dir, "s21") { store =>
       writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
       // one file per touched bucket per fold (the writeStore
       // discipline) — fragmentation is still linear in folds (base +
@@ -1821,7 +1860,7 @@ object Similarity {
       s15BatchSlices(s, dir, parts = 3L).foreach(
         writeStore(_, store, Seq("bkt"), append = true))
       graft.sources.Sinks.compactPartitioned(s, store, "bkt")
-    }
+    }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
@@ -1875,14 +1914,12 @@ object Similarity {
     * compaction cost is the store rewrite already budgeted by the s21
     * cadence — the delete itself adds no pass. */
   val s24IndexDelete: Q = (s, dir) => {
-    val store = idxStore(s, dir, "s24")
-    withStoreLifecycle(store) {
-      wipeStore(store)
+    val store = buildStoreVersion(s, dir, "s24") { store =>
       writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
       writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
       graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
         Some(s24Tombstones(s, dir)), Seq("doc_id"))
-    }
+    }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
     retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)

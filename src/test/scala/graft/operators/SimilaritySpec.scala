@@ -1018,6 +1018,35 @@ class SimilaritySpec extends SparkSpec {
       "residual quality predicate not pushed to the parquet scan")
   }
 
+  test("lifecycle store versioning: a LAZY serving frame handed out " +
+    "before a later rebuild still reads its own immutable snapshot; " +
+    "vacuum retention keeps exactly the previous version") {
+    // Round-15 advice: the old wipe-in-place protocol let invocation
+    // N+1 delete the store invocation N's lazy frame was still reading
+    // (FileNotFound / mixed-lifecycle reads) — the contract was prose.
+    // Snapshot isolation makes it structural: each build lands in a
+    // fresh v<n> dir; the previous version survives one rebuild.
+    val first = graft.SparkEntry.queries("s25_banded_store")(spark, dir)
+    val firstStore = Similarity.idxStore(spark, dir, "s25")
+    graft.SparkEntry.queries("s25_banded_store")(spark, dir)
+    val secondStore = Similarity.idxStore(spark, dir, "s25")
+    assert(firstStore !== secondStore,
+      "rebuild did not allocate a fresh store version")
+    assert(new java.io.File(firstStore).exists(),
+      "previous version vacuumed while a reader could still hold it")
+    // the first frame EXECUTES only now, after the rebuild — it must
+    // serve its own snapshot, not race the new lifecycle
+    val s22 = graft.SparkEntry.queries("s22_filtered_retrieve")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(first.collect().map(_.toSeq).toSeq === s22,
+      "pre-rebuild frame did not serve its own snapshot")
+    // a third rebuild retires the first version (bounded footprint —
+    // the vacuum-retention window is {current, previous})
+    graft.SparkEntry.queries("s25_banded_store")(spark, dir)
+    assert(!new java.io.File(firstStore).exists(),
+      "vacuum retention did not retire versions beyond the window")
+  }
+
   test("BM25 vs TF-IDF sparse legs on shared qids: overlap@5 and exact-" +
     "rank agreement are measured and floored; the production-leg claim " +
     "is quantified, not prose") {
