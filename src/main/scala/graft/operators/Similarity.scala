@@ -1404,7 +1404,9 @@ object Similarity {
     * norms are unchanged (the embedder is geometry-independent); only
     * the bucket key is recomputed, so the rebuild is the same map-only
     * encode pass as the original build. Persisted per (session, dir);
-    * production writes it through the s21 store path and swaps. */
+    * the GATE writes it through the on-disk store path and swaps
+    * (see [[s26RebucketRebuild]]) — this frame is the staged content
+    * and the spec's ground truth for the swapped store. */
   private val rebucketReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
@@ -1420,21 +1422,43 @@ object Similarity {
   /** S26: RE-BUCKET REBUILD — the ACTION leg of prof8's re-bucket
     * trigger, closing the last open loop of the index lifecycle
     * (build → refresh → compact → delete → RE-BUCKET): rebuild the
-    * chunk index under planes+1 and serve the s10 query window through
-    * the SAME [[retrieveTopK]] with the new geometry on BOTH sides
-    * (query buckets and probe masks derive from the index's own plane
-    * count — the keyspace contract retrieveTopK documents). The gate
-    * isolates exactly one variable vs s10: the plane count — oracle =
-    * the s10 serving SQL with nPlanes = 7 through the SAME parameterized
-    * generators (bucketSql/probeMasks), so a geometry bug on either
-    * side desynchronizes loudly. Scale shape: the rebuild is one
-    * map-only encode pass (the original build's cost — paid once per
+    * chunk index under planes+1, commit it THROUGH THE ON-DISK STORE
+    * PATH (round-15 verdict item 1), and serve the s10 query window
+    * FROM THE SWAPPED STORE through the SAME [[retrieveTopK]] with the
+    * new geometry on BOTH sides (query buckets and probe masks derive
+    * from the index's own plane count — the keyspace contract
+    * retrieveTopK documents). The gate replays the full production
+    * sequence: the bucket-partitioned store a deployment holds under
+    * the COMMITTED geometry (what its readers are pruning on when the
+    * trigger fires), then the rebuild staged aside and committed by
+    * [[graft.sources.Sinks.rewritePartitioned]] — the same checked
+    * rename-aside protocol as compaction, which is exactly where a
+    * geometry swap earns it: the `bkt=` directory set itself changes,
+    * so a partition-pruned reader must see old or new geometry
+    * atomically, never a mix (SinksSpec pins sibling survival and the
+    * mid-swap states; SimilaritySpec pins store ≡ rebuilt index).
+    * Oracle = the s10 serving SQL with nPlanes = 7 through the SAME
+    * parameterized generators (bucketSql/probeMasks) — the store must
+    * be invisible to results, the plane count the only semantic diff
+    * from s10. Scale shape: the rebuild is one map-only encode pass +
+    * one store write (the original build's cost — paid once per
     * trigger firing, amortized over the growth that fired it); serving
     * cost per query RETURNS to target occupancy — probes·occupancy
     * halves back, which is the entire point of the trigger. */
-  val s26RebucketRebuild: Q = (s, dir) =>
-    retrieveTopK(s10QueryFrame(s, dir), rebucketIndex(s, dir),
-      s26Planes, s10K)
+  val s26RebucketRebuild: Q = (s, dir) => {
+    val store = buildStoreVersion(s, dir, "s26") { store =>
+      // the store serving holds BEFORE the trigger fires: the
+      // committed-geometry index under the s21 bucket layout
+      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
+      // the re-bucket ACTION: stage the planes+1 re-encode aside and
+      // swap it into the serving path (rename-aside, crash-safe)
+      graft.sources.Sinks.rewritePartitioned(s, store,
+        rebucketIndex(s, dir), Seq("bkt"))
+    }._1
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+    retrieveTopK(s10QueryFrame(s, dir), idx, s26Planes, s10K)
+  }
 
   // ------------------------------------------------------------------ //
   // s23: learned embedder behind the SAME serving stack

@@ -83,8 +83,16 @@ object Sinks {
                           staged: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val side = new Path(s"$path-staging-old-${UUID.randomUUID().toString.take(8)}")
+    // the same test-only crash hook the marker-commit path exposes —
+    // lets specs pin the documented mid-swap states (old table intact
+    // before rename #0; old at side + staged complete before #1)
+    def crashCheck(n: Int): Unit =
+      if (crashBeforeRename == n) throw new IllegalStateException(
+        s"graft test crash injection before rename #$n")
+    crashCheck(0)
     require(fs.rename(new Path(path), side),
       s"swap failed: could not move $path aside to $side (staged copy kept at $staged)")
+    crashCheck(1)
     require(fs.rename(new Path(staged), new Path(path)),
       s"swap failed: could not move staged $staged into $path (old table kept at $side)")
     fs.delete(side, true)
@@ -155,6 +163,30 @@ object Sinks {
       require(!df.limit(1).isEmpty,
         s"tombstone fold would delete every row of $path — refusing; " +
           "drop the store explicitly instead")
+    val staged = stagePath(path)
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(staged)
+    swapInPlace(spark, path, staged)
+  }
+
+  /** WHOLE-TABLE REWRITE under a possibly DIFFERENT partition keyspace
+    * — the third swap client next to [[compact]]/[[compactPartitioned]]
+    * and the commit step of an index RE-BUCKET (Similarity's s26): the
+    * trigger's offline job re-encodes the corpus under the new
+    * geometry, so unlike compaction the staged content does not derive
+    * from the old store — the caller provides it — and the directory
+    * LAYOUT itself is what changes (the bucket keyspace doubles), which
+    * is exactly why the commit must be the atomic swap and not an
+    * in-place mutation: a partition-pruned reader must see the old
+    * geometry or the new one, never a mix of `bkt=` dirs from both.
+    * Same checked rename-aside [[swapInPlace]] crash contract (data is
+    * never lost — worst case the old table sits at the side path with
+    * the staged copy intact), and the swap touches ONLY `path`:
+    * siblings survive (the standing destructive-utility rule,
+    * spec-pinned like the compaction rewrites). */
+  def rewritePartitioned(spark: SparkSession, path: String,
+                         df: DataFrame, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "rewritePartitioned needs partition columns")
     val staged = stagePath(path)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staged)

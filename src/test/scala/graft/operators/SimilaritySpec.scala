@@ -993,6 +993,27 @@ class SimilaritySpec extends SparkSpec {
       "no chunk landed above the old 2^6 keyspace — plane 7 is dead")
     assert(b7.getLong(0) > b6,
       s"rebuild did not widen the occupied bucket set (${b7.getLong(0)} vs $b6)")
+    // the gate serves from the PHYSICAL swapped store (round-15 verdict
+    // item 1): its content must equal the rebuilt index row-for-row,
+    // its directory layout must carry the widened keyspace, and the
+    // swap must leave no staging residue in the version dir
+    val storePath = Similarity.idxStore(spark, dir, "s26")
+    val store = spark.read.parquet(storePath)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("chunk_idx"),
+        col("bkt").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(keyed(store) === keyed(Similarity.rebucketIndex(spark, dir)),
+      "swapped store content diverges from the rebuilt index")
+    val bktDirs = new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(_.getName.stripPrefix("bkt=").toLong)
+    assert(bktDirs.exists(_ >= 64L),
+      "on-disk layout did not widen past the old 2^6 keyspace")
+    val leftovers = new java.io.File(storePath).getParentFile.listFiles()
+      .filter(_.getName.contains("-staging"))
+    assert(leftovers.isEmpty,
+      s"swap staging leftovers: ${leftovers.map(_.getName).toSeq}")
   }
 
   test("banded store (s25): filtered serving is row-identical to s22's " +
