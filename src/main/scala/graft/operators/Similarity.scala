@@ -34,7 +34,7 @@ object Similarity {
     * the count as a parameter; [[planesFor]] derives it from corpus
     * size so per-bucket occupancy — and with it the candidate volume of
     * the s5 self-join — stays flat as n grows. */
-  private val planes = 6
+  private[operators] val planes = 6
 
   /** Per-bucket occupancy [[planesFor]] aims for. Candidate volume of
     * the batch self-join is ≈ probes·occupancy per query vector, so the
@@ -1093,8 +1093,10 @@ object Similarity {
     * batch-slice appends, each writing exactly one file per touched
     * bucket — the repartition(bkt) write discipline s21 documents),
     * lists the store, and emits per bucket: row count, file count,
-    * and compact_due = files ≥ [[prof9FileBudget]] — the trigger
-    * readout the BASELINE.md cadence contract names, as a query.
+    * SIZE in KiB (round-15 verdict item 4 — the quantity operators
+    * actually alert on), and compact_due = files ≥
+    * [[prof9FileBudget]] — the trigger readout the BASELINE.md cadence
+    * contract names, as a query.
     *
     * Oracle-ability: under the gated lifecycle the file count is a
     * DETERMINISTIC function of the data — each of the 4 writes lands
@@ -1102,9 +1104,18 @@ object Similarity {
     * so the oracle RECOMPUTES the listing relationally from the same
     * index CTE chain (presence indicator per write, summed), and the
     * driver's hash gate covers the actual FileSystem-metadata path
-    * end-to-end. At 100 TB: the listing is one RPC per bucket dir
-    * (namenode metadata), the occupancy count is the prof8 map-side
-    * keyed count — no corpus reshuffle, no file opened. */
+    * end-to-end. BYTES are not relationally recomputable, but they ARE
+    * content-deterministic (writeStore's in-partition sort pins row
+    * order; parquet encoding is a pure function of rows for a fixed
+    * Spark version), so the KiB column is gated the s23 way: pinned
+    * per scale as golden VALUES, dispatched on the (n_docs, n_pos)
+    * key, harvested from two byte-identical fresh-JVM runs (same
+    * re-harvest rule as [[s23Goldens]]; a Spark/parquet version bump
+    * moves bytes and fails loudly here — re-harvest then). At 100 TB:
+    * the listing is one RPC per bucket dir (namenode metadata, sizes
+    * included in the same FileStatus), the occupancy count is the
+    * prof8 map-side keyed count — no corpus reshuffle, no file
+    * opened. */
   val prof9StoreHealth: Q = (s, dir) => {
     import org.apache.hadoop.fs.Path
     val (store, perBucket) = buildStoreVersion(s, dir, "prof9") { store =>
@@ -1120,21 +1131,28 @@ object Similarity {
       fs.listStatus(new Path(store))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
         .map { st =>
-          val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
-          val files = fs.listStatus(st.getPath).count(f =>
+          val data = fs.listStatus(st.getPath).filter(f =>
             f.isFile && f.getPath.getName.endsWith(".parquet"))
-          (bkt, files.toLong)
+          val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
+          // bytes ride the SAME listing (FileStatus.getLen — no extra
+          // RPC); KiB-banded for the readout, deterministic because
+          // writeStore's in-partition sort makes file bytes a pure
+          // function of content for a fixed Spark/parquet version
+          (bkt, data.length.toLong, data.map(_.getLen).sum / 1024L)
         }.toSeq
     }
     import s.implicits._
-    val filesDf = perBucket.toDF("bkt", "files")
+    val filesDf = perBucket.toDF("bkt", "files", "kib")
     s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
       .groupBy("bkt").agg(count(lit(1)).as("n_chunks"))
       .join(broadcast(filesDf), Seq("bkt"))
       .withColumn("compact_due",
         (col("files") >= prof9FileBudget).cast("int"))
-      .select(col("bkt"), col("n_chunks"), col("files"), col("compact_due"))
+      .crossJoin(broadcast(
+        graft.queries.MlQueries.goldenDispatchKey(s, dir)))
+      .select(col("n_docs"), col("n_pos"), col("bkt"), col("n_chunks"),
+        col("files"), col("kib"), col("compact_due"))
       .orderBy("bkt")
   }
 
@@ -1180,7 +1198,7 @@ object Similarity {
     * centroids (s11), nothing here depends on corpus statistics, so
     * fold-in is a pure per-row encode + append and the refreshed index
     * is row-identical to a full rebuild (the spec asserts it). */
-  private def encodeChunks(chunks: DataFrame,
+  private[operators] def encodeChunks(chunks: DataFrame,
                            nPlanes: Int = planes): DataFrame =
     chunks
       .withColumn("ce", embedTokens(split(col("chunk_text"), " ")))
@@ -1575,6 +1593,48 @@ object Similarity {
         col("doc_id"), col("chunk_idx"))
       .orderBy("qid", "rk")
 
+  /** The s23 learned-dense serving top-k as a fusion leg — the
+    * [[s10DenseLeg]] shape with the TRAINED embedder's index/query
+    * frames in the dense slot; shared by [[s28LearnedHybrid]] and its
+    * spec (which recomputes the fusion from this leg's own output). */
+  private[operators] def s23DenseLeg(s: SparkSession,
+                                     dir: String): DataFrame =
+    retrieveTopK(s23QueryFrame(s, dir), learnedIndex(s, dir), planes,
+      s10K)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"),
+        col("rk").as("dense_rk"))
+
+  /** S28: LEARNED-DENSE + BM25 HYBRID (round-15 verdict item 2) — the
+    * full production retrieval stack with the TRAINED embedder: s19's
+    * RRF fusion with s23's learned index/query frames in the dense
+    * slot and the unchanged BM25 sparse leg (s17). One variable vs
+    * each neighbor gate: vs s19, the dense leg's embedder (hashing
+    * trick → trained Word2Vec); vs s23, the fusion added — so the
+    * embedder-agnostic claim now covers the COMPOSED stack, not just
+    * the dense serving path. Oracle = the s23 golden-dispatch pattern:
+    * fusion is pure rank arithmetic over two deterministic legs
+    * (dense ranks content-deterministic per [[learnedEmbedder]],
+    * sparse ranks integer-exact), so the bounded per-qid fused top-k
+    * — WITH each leg's contributing rank, nulls where a leg missed —
+    * is a stable golden pinned per scale and dispatched on the
+    * (n_docs, n_pos) key; the rrf double stays engine-side (derivable
+    * from the pinned ranks; the spec recomputes it). Scale shape: both
+    * legs are the already-measured serving paths; fusion joins two
+    * batch×[[s10K]]-row frames — corpus-independent. */
+  val s28LearnedHybrid: Q = (s, dir) =>
+    rrfFuse(s23DenseLeg(s, dir),
+      s17Bm25(s, dir)
+        .select(col("qid"), col("doc_id"), col("chunk_idx"),
+          col("rk").as("sparse_rk")))
+      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("dense_rk"), col("sparse_rk"))
+      .crossJoin(broadcast(
+        graft.queries.MlQueries.goldenDispatchKey(s, dir)))
+      .select(col("n_docs"), col("n_pos"), col("qid"), col("rk"),
+        col("doc_id"), col("chunk_idx"), col("dense_rk"),
+        col("sparse_rk"))
+      .orderBy("qid", "rk")
+
   /** Metadata floor of the s22 filtered-retrieval gate (chunk
     * quality_score ≥ this; the c1 floor is 0.5, so the index retains a
     * real spread above it — τ=0.6 keeps ~80% of chunks at sf0.01).
@@ -1833,11 +1893,19 @@ object Similarity {
     * gate): repartition on the partition columns routes each value's
     * rows to a single task, so every write lands exactly one file per
     * touched partition dir — the fold cadence prof9 counts and s21
-    * compacts. `append` = the fold writes; false = the base snapshot. */
+    * compacts. The in-partition (doc_id, chunk_idx) sort makes each
+    * file's ROW ORDER content-deterministic (shuffle fetch order is
+    * not), so for a fixed Spark/parquet/codec version the written
+    * BYTES reproduce run-to-run — the property prof9's size readout
+    * gates on (and a generally good one: stable encodings, stable
+    * min/max stats). `append` = the fold writes; false = the base
+    * snapshot. */
   private def writeStore(df: DataFrame, store: String,
                          partCols: Seq[String],
                          append: Boolean = false): Unit = {
-    val w = df.repartition(partCols.map(col): _*).write
+    val sortCols = (partCols ++ Seq("doc_id", "chunk_idx")).map(col)
+    val w = df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*).write
     (if (append) w.mode(org.apache.spark.sql.SaveMode.Append) else w)
       .partitionBy(partCols: _*).parquet(store)
   }
@@ -1848,8 +1916,8 @@ object Similarity {
     * the LAZY [[encodedBatch]] — the slice filter pushes down to the
     * scan, so the three appends sum to one batch encode of work (the
     * measured trade-off documented there). */
-  private def s15BatchSlices(s: SparkSession, dir: String,
-                             parts: Long): Seq[DataFrame] = {
+  private[operators] def s15BatchSlices(s: SparkSession, dir: String,
+                                        parts: Long): Seq[DataFrame] = {
     val batch = encodedBatch(s, dir)
     (0L until parts).map(r =>
       batch.filter(pmod(col("doc_id"), lit(parts)) === lit(r)))
@@ -2082,7 +2150,7 @@ object Similarity {
     * and a redundant corpus-sized build — every sparse leg (s16 TF-IDF
     * included) now realizes its statistic query-side off this ONE
     * layout. */
-  private def rawPostings(chunks: DataFrame): DataFrame =
+  private[operators] def rawPostings(chunks: DataFrame): DataFrame =
     chunks
       // one split per chunk: the alias is computed in the Project the
       // Generate sits on, so len and the explode share the array
@@ -2821,7 +2889,7 @@ object Similarity {
     * reads the serving index ([[s10SqlFor]]'s family and [[prof8Sql]]).
     * `cWhere` is the s22 metadata pre-filter — applied in the SAME CTE
     * the engine filters (the persisted index), default TRUE. */
-  private def cidxCtes(cWhere: String = "TRUE",
+  private[operators] def cidxCtes(cWhere: String = "TRUE",
                        nPlanes: Int = planes): String = {
     val signSum = signSumSql
     s"""c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
@@ -2939,17 +3007,174 @@ object Similarity {
     * b (the repartition-by-bucket write discipline). Slice predicates
     * are generated from the SAME s15Mod/s15Res constants the engine
     * slices by. Occupancy over the same index CTE chain as prof8. */
+  /** prof9 golden VALUES rows — (n_docs, n_pos, bkt, kib) per
+    * committed scale: the per-bucket store size in KiB under the
+    * deterministic write discipline; harvested from two byte-identical
+    * fresh-JVM runs per scale (2026-08-15). Same re-harvest rule and
+    * pinned keys as [[s23Goldens]]. */
+  private val prof9Goldens: String =
+    """(500, 352, 0, 2),
+            (500, 352, 1, 2),
+            (500, 352, 2, 2),
+            (500, 352, 3, 2),
+            (500, 352, 4, 8),
+            (500, 352, 5, 5),
+            (500, 352, 7, 5),
+            (500, 352, 14, 2),
+            (500, 352, 16, 19),
+            (500, 352, 17, 14),
+            (500, 352, 18, 14),
+            (500, 352, 19, 12),
+            (500, 352, 20, 24),
+            (500, 352, 21, 22),
+            (500, 352, 22, 15),
+            (500, 352, 23, 18),
+            (500, 352, 24, 3),
+            (500, 352, 25, 8),
+            (500, 352, 26, 8),
+            (500, 352, 27, 6),
+            (500, 352, 28, 10),
+            (500, 352, 29, 13),
+            (500, 352, 30, 2),
+            (500, 352, 31, 9),
+            (500, 352, 32, 2),
+            (500, 352, 34, 2),
+            (500, 352, 36, 9),
+            (500, 352, 37, 2),
+            (500, 352, 38, 2),
+            (500, 352, 48, 13),
+            (500, 352, 49, 6),
+            (500, 352, 50, 7),
+            (500, 352, 51, 5),
+            (500, 352, 52, 29),
+            (500, 352, 53, 17),
+            (500, 352, 54, 16),
+            (500, 352, 55, 15),
+            (500, 352, 56, 2),
+            (500, 352, 58, 2),
+            (500, 352, 59, 2),
+            (500, 352, 60, 5),
+            (500, 352, 61, 9),
+            (500, 352, 62, 3),
+            (500, 352, 63, 6),
+            (500, 343, 0, 2),
+            (500, 343, 2, 2),
+            (500, 343, 3, 5),
+            (500, 343, 4, 6),
+            (500, 343, 5, 8),
+            (500, 343, 6, 2),
+            (500, 343, 7, 8),
+            (500, 343, 10, 2),
+            (500, 343, 13, 2),
+            (500, 343, 16, 18),
+            (500, 343, 17, 15),
+            (500, 343, 18, 14),
+            (500, 343, 19, 16),
+            (500, 343, 20, 24),
+            (500, 343, 21, 22),
+            (500, 343, 22, 15),
+            (500, 343, 23, 17),
+            (500, 343, 24, 6),
+            (500, 343, 25, 3),
+            (500, 343, 26, 5),
+            (500, 343, 27, 3),
+            (500, 343, 28, 13),
+            (500, 343, 29, 12),
+            (500, 343, 30, 5),
+            (500, 343, 31, 13),
+            (500, 343, 36, 2),
+            (500, 343, 38, 2),
+            (500, 343, 48, 14),
+            (500, 343, 49, 3),
+            (500, 343, 50, 10),
+            (500, 343, 51, 2),
+            (500, 343, 52, 26),
+            (500, 343, 53, 17),
+            (500, 343, 54, 15),
+            (500, 343, 55, 14),
+            (500, 343, 56, 3),
+            (500, 343, 58, 2),
+            (500, 343, 60, 6),
+            (500, 343, 61, 11),
+            (500, 343, 62, 2),
+            (500, 343, 63, 6),
+            (5000, 3468, 0, 9),
+            (5000, 3468, 1, 8),
+            (5000, 3468, 2, 6),
+            (5000, 3468, 3, 13),
+            (5000, 3468, 4, 16),
+            (5000, 3468, 5, 15),
+            (5000, 3468, 6, 15),
+            (5000, 3468, 7, 17),
+            (5000, 3468, 8, 2),
+            (5000, 3468, 12, 5),
+            (5000, 3468, 13, 5),
+            (5000, 3468, 14, 2),
+            (5000, 3468, 15, 5),
+            (5000, 3468, 16, 76),
+            (5000, 3468, 17, 45),
+            (5000, 3468, 18, 42),
+            (5000, 3468, 19, 48),
+            (5000, 3468, 20, 133),
+            (5000, 3468, 21, 101),
+            (5000, 3468, 22, 56),
+            (5000, 3468, 23, 78),
+            (5000, 3468, 24, 15),
+            (5000, 3468, 25, 16),
+            (5000, 3468, 26, 11),
+            (5000, 3468, 27, 16),
+            (5000, 3468, 28, 20),
+            (5000, 3468, 29, 29),
+            (5000, 3468, 30, 14),
+            (5000, 3468, 31, 25),
+            (5000, 3468, 32, 2),
+            (5000, 3468, 34, 5),
+            (5000, 3468, 35, 2),
+            (5000, 3468, 36, 9),
+            (5000, 3468, 37, 9),
+            (5000, 3468, 38, 9),
+            (5000, 3468, 39, 12),
+            (5000, 3468, 45, 5),
+            (5000, 3468, 47, 2),
+            (5000, 3468, 48, 45),
+            (5000, 3468, 49, 17),
+            (5000, 3468, 50, 24),
+            (5000, 3468, 51, 17),
+            (5000, 3468, 52, 157),
+            (5000, 3468, 53, 74),
+            (5000, 3468, 54, 51),
+            (5000, 3468, 55, 43),
+            (5000, 3468, 56, 12),
+            (5000, 3468, 57, 3),
+            (5000, 3468, 58, 9),
+            (5000, 3468, 59, 12),
+            (5000, 3468, 60, 20),
+            (5000, 3468, 61, 17),
+            (5000, 3468, 62, 10),
+            (5000, 3468, 63, 16)"""
+
   private lazy val prof9Sql: String = {
     val base = s"doc_id % $s15Mod <> $s15Res"
     val slices = (0 until prof9Parts).map(r =>
       s"doc_id % $s15Mod = $s15Res AND doc_id % $prof9Parts = $r")
     val presence = (base +: slices).map(p =>
       s"max(CASE WHEN $p THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH ${cidxCtes()}
-        SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks,
-          CAST($presence AS BIGINT) AS files,
-          CAST(($presence) >= $prof9FileBudget AS INT) AS compact_due
-        FROM cidx GROUP BY bkt ORDER BY bkt"""
+    s"""WITH ${graft.queries.MlQueries.dispatchKeyCtes},
+        ${cidxCtes()},
+        pb AS (
+          SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST($presence AS BIGINT) AS files,
+            CAST(($presence) >= $prof9FileBudget AS INT) AS compact_due
+          FROM cidx GROUP BY bkt),
+        g AS (
+          SELECT v.bkt, v.kib FROM (VALUES
+            $prof9Goldens)
+            v(n_docs, n_pos, bkt, kib)
+          JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos)
+        SELECT k.n_docs, k.n_pos, pb.bkt, pb.n_chunks, pb.files,
+          CAST(g.kib AS BIGINT) AS kib, pb.compact_due
+        FROM pb JOIN g ON g.bkt = pb.bkt, k
+        ORDER BY pb.bkt"""
   }
 
 
@@ -3105,6 +3330,158 @@ object Similarity {
         FROM (VALUES
             $s23Goldens)
             v(n_docs, n_pos, qid, rk, doc_id, chunk_idx)
+        JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
+        ORDER BY v.qid, v.rk"""
+
+  /** s28 golden VALUES rows — (n_docs, n_pos, qid, rk, doc_id,
+    * chunk_idx, dense_rk, sparse_rk) per committed scale, NULL where a
+    * leg missed the fused item; harvested from two byte-identical
+    * fresh-JVM runs per scale (2026-08-15). Same re-harvest rule and
+    * pinned keys as [[s23Goldens]] (a new scale joins zero rows and
+    * fails as an oracle row-count mismatch — harvest, verify two
+    * fresh-JVM runs byte-identical, append). The m7 BLAS caveat
+    * applies through the dense leg's Word2Vec fit. */
+  private val s28Goldens: String =
+    """(500, 352, 0, 1, 338, 1, NULL, 1),
+            (500, 352, 0, 2, 373, 0, 1, NULL),
+            (500, 352, 0, 3, 2, 1, 2, NULL),
+            (500, 352, 0, 4, 381, 1, NULL, 2),
+            (500, 352, 0, 5, 387, 0, NULL, 3),
+            (500, 352, 1, 1, 205, 0, 3, 3),
+            (500, 352, 1, 2, 1, 0, NULL, 1),
+            (500, 352, 1, 3, 499, 0, 1, NULL),
+            (500, 352, 1, 4, 227, 2, NULL, 2),
+            (500, 352, 1, 5, 420, 1, 2, NULL),
+            (500, 352, 2, 1, 2, 0, NULL, 1),
+            (500, 352, 2, 2, 249, 1, 1, NULL),
+            (500, 352, 2, 3, 187, 2, 2, NULL),
+            (500, 352, 2, 4, 453, 0, NULL, 2),
+            (500, 352, 2, 5, 236, 0, NULL, 3),
+            (500, 352, 3, 1, 212, 1, NULL, 1),
+            (500, 352, 3, 2, 452, 0, 1, NULL),
+            (500, 352, 3, 3, 30, 1, NULL, 2),
+            (500, 352, 3, 4, 390, 0, 2, NULL),
+            (500, 352, 3, 5, 19, 1, 3, NULL),
+            (500, 352, 4, 1, 110, 2, NULL, 1),
+            (500, 352, 4, 2, 412, 2, 1, NULL),
+            (500, 352, 4, 3, 111, 1, 2, NULL),
+            (500, 352, 4, 4, 467, 2, NULL, 2),
+            (500, 352, 4, 5, 148, 0, NULL, 3),
+            (500, 352, 5, 1, 124, 0, 1, 2),
+            (500, 352, 5, 2, 380, 1, 3, 5),
+            (500, 352, 5, 3, 113, 1, NULL, 1),
+            (500, 352, 5, 4, 173, 0, 2, NULL),
+            (500, 352, 5, 5, 99, 0, NULL, 3),
+            (500, 352, 6, 1, 44, 1, 1, NULL),
+            (500, 352, 6, 2, 224, 1, NULL, 1),
+            (500, 352, 6, 3, 76, 0, NULL, 2),
+            (500, 352, 6, 4, 177, 0, 2, NULL),
+            (500, 352, 6, 5, 6, 0, NULL, 3),
+            (500, 352, 7, 1, 7, 0, NULL, 1),
+            (500, 352, 7, 2, 240, 0, 1, NULL),
+            (500, 352, 7, 3, 272, 0, NULL, 2),
+            (500, 352, 7, 4, 316, 1, 2, NULL),
+            (500, 352, 7, 5, 453, 0, NULL, 3),
+            (500, 343, 0, 1, 0, 0, NULL, 1),
+            (500, 343, 0, 2, 409, 1, 1, NULL),
+            (500, 343, 0, 3, 99, 0, NULL, 2),
+            (500, 343, 0, 4, 137, 0, 2, NULL),
+            (500, 343, 0, 5, 215, 2, 3, NULL),
+            (500, 343, 1, 1, 22, 0, 1, NULL),
+            (500, 343, 1, 2, 252, 0, NULL, 1),
+            (500, 343, 1, 3, 1, 0, NULL, 2),
+            (500, 343, 1, 4, 218, 0, 2, NULL),
+            (500, 343, 1, 5, 285, 1, 3, NULL),
+            (500, 343, 2, 1, 35, 0, 2, 2),
+            (500, 343, 2, 2, 2, 0, NULL, 1),
+            (500, 343, 2, 3, 466, 3, 1, NULL),
+            (500, 343, 2, 4, 91, 0, 3, NULL),
+            (500, 343, 2, 5, 386, 2, NULL, 3),
+            (500, 343, 3, 1, 3, 0, 2, 1),
+            (500, 343, 3, 2, 311, 1, 1, NULL),
+            (500, 343, 3, 3, 14, 2, NULL, 2),
+            (500, 343, 3, 4, 131, 1, NULL, 3),
+            (500, 343, 3, 5, 294, 3, 3, NULL),
+            (500, 343, 4, 1, 174, 0, 4, 4),
+            (500, 343, 4, 2, 145, 0, NULL, 1),
+            (500, 343, 4, 3, 351, 0, 1, NULL),
+            (500, 343, 4, 4, 17, 0, 2, NULL),
+            (500, 343, 4, 5, 24, 0, NULL, 2),
+            (500, 343, 5, 1, 5, 0, 2, 4),
+            (500, 343, 5, 2, 188, 1, 1, NULL),
+            (500, 343, 5, 3, 437, 1, NULL, 1),
+            (500, 343, 5, 4, 430, 0, NULL, 2),
+            (500, 343, 5, 5, 173, 0, NULL, 3),
+            (500, 343, 6, 1, 436, 1, 1, 3),
+            (500, 343, 6, 2, 326, 0, NULL, 1),
+            (500, 343, 6, 3, 266, 1, 2, NULL),
+            (500, 343, 6, 4, 457, 0, NULL, 2),
+            (500, 343, 6, 5, 465, 2, 3, NULL),
+            (500, 343, 7, 1, 360, 2, 2, 2),
+            (500, 343, 7, 2, 215, 0, 1, 5),
+            (500, 343, 7, 3, 7, 0, NULL, 1),
+            (500, 343, 7, 4, 135, 1, 3, NULL),
+            (500, 343, 7, 5, 280, 1, NULL, 3),
+            (5000, 3468, 0, 1, 4652, 2, 2, 4),
+            (5000, 3468, 0, 2, 0, 0, NULL, 1),
+            (5000, 3468, 0, 3, 4486, 1, 1, NULL),
+            (5000, 3468, 0, 4, 3606, 0, NULL, 2),
+            (5000, 3468, 0, 5, 4048, 3, 3, NULL),
+            (5000, 3468, 1, 1, 212, 1, 5, 4),
+            (5000, 3468, 1, 2, 65, 0, NULL, 1),
+            (5000, 3468, 1, 3, 3728, 3, 1, NULL),
+            (5000, 3468, 1, 4, 985, 1, NULL, 2),
+            (5000, 3468, 1, 5, 1717, 0, 2, NULL),
+            (5000, 3468, 2, 1, 213, 0, NULL, 1),
+            (5000, 3468, 2, 2, 1132, 1, 1, NULL),
+            (5000, 3468, 2, 3, 1630, 1, 2, NULL),
+            (5000, 3468, 2, 4, 3495, 0, NULL, 2),
+            (5000, 3468, 2, 5, 2030, 0, 3, NULL),
+            (5000, 3468, 3, 1, 3, 0, 2, 2),
+            (5000, 3468, 3, 2, 1779, 2, 1, NULL),
+            (5000, 3468, 3, 3, 4792, 1, NULL, 1),
+            (5000, 3468, 3, 4, 190, 1, NULL, 3),
+            (5000, 3468, 3, 5, 3039, 1, 3, NULL),
+            (5000, 3468, 4, 1, 2201, 1, 1, NULL),
+            (5000, 3468, 4, 2, 4378, 2, NULL, 1),
+            (5000, 3468, 4, 3, 1125, 0, 2, NULL),
+            (5000, 3468, 4, 4, 1594, 0, NULL, 2),
+            (5000, 3468, 4, 5, 1922, 1, NULL, 3),
+            (5000, 3468, 5, 1, 5, 0, 1, 2),
+            (5000, 3468, 5, 2, 3919, 0, 3, 3),
+            (5000, 3468, 5, 3, 4749, 0, NULL, 1),
+            (5000, 3468, 5, 4, 88, 0, 2, NULL),
+            (5000, 3468, 5, 5, 3918, 0, NULL, 4),
+            (5000, 3468, 6, 1, 2444, 2, 1, NULL),
+            (5000, 3468, 6, 2, 4697, 0, NULL, 1),
+            (5000, 3468, 6, 3, 1480, 1, 2, NULL),
+            (5000, 3468, 6, 4, 3176, 0, NULL, 2),
+            (5000, 3468, 6, 5, 1324, 2, 3, NULL),
+            (5000, 3468, 7, 1, 7, 0, 3, 1),
+            (5000, 3468, 7, 2, 2736, 2, 1, NULL),
+            (5000, 3468, 7, 3, 481, 1, NULL, 2),
+            (5000, 3468, 7, 4, 2594, 0, 2, NULL),
+            (5000, 3468, 7, 5, 4488, 1, NULL, 3)"""
+
+  /** s28 oracle: the s23 golden-dispatch pattern on the FUSED stack —
+    * both legs' ranks ride in the pinned rows (ints, NULL where a leg
+    * missed), the rrf double stays engine-side (pure arithmetic over
+    * the pinned ranks; the spec recomputes it), and the rows dispatch
+    * on the (n_docs, n_pos) key DuckDB recomputes through the m6
+    * chain. */
+  private lazy val s28Sql: String =
+    s"""WITH ${graft.queries.MlQueries.dispatchKeyCtes}
+        SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
+          CAST(v.n_pos AS BIGINT) AS n_pos,
+          CAST(v.qid AS BIGINT) AS qid, CAST(v.rk AS INT) AS rk,
+          CAST(v.doc_id AS BIGINT) AS doc_id,
+          CAST(v.chunk_idx AS INT) AS chunk_idx,
+          CAST(v.dense_rk AS INT) AS dense_rk,
+          CAST(v.sparse_rk AS INT) AS sparse_rk
+        FROM (VALUES
+            $s28Goldens)
+            v(n_docs, n_pos, qid, rk, doc_id, chunk_idx, dense_rk,
+              sparse_rk)
         JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
         ORDER BY v.qid, v.rk"""
 
@@ -3290,6 +3667,7 @@ object Similarity {
     "s23_learned_embed" -> s23LearnedEmbed,
     "s26_rebucket_rebuild" -> s26RebucketRebuild,
     "s27_stream_delete" -> s27StreamDelete,
+    "s28_learned_hybrid" -> s28LearnedHybrid,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
@@ -3321,6 +3699,7 @@ object Similarity {
     // gates it verbatim (the s21/s15Sql sharing pattern)
     "s25_banded_store" -> s22Sql,
     "s23_learned_embed" -> s23Sql,
+    "s28_learned_hybrid" -> s28Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,

@@ -920,6 +920,92 @@ class SimilaritySpec extends SparkSpec {
       "content-deterministic; the s23 goldens would flap")
   }
 
+  test("prof9 write discipline: after the gated lifecycle each bkt dir " +
+    "holds exactly one file per write whose slice touches that bucket — " +
+    "a files-count regression is attributed to writeStore, not the " +
+    "prof9 oracle; the KiB readout is present and consistent") {
+    val rows = graft.SparkEntry.queries("prof9_store_health")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // expected presence per write, from the engine's own lifecycle
+    // frames: base snapshot + the 3 batch-slice appends each land one
+    // file in bucket b iff the slice has a chunk hashing to b
+    val writes = Similarity.baseRetrievalIndex(spark, dir) +:
+      Similarity.s15BatchSlices(spark, dir, Similarity.prof9Parts.toLong)
+    val expected = writes
+      .map(_.select("bkt").distinct().collect().map(_.getLong(0)).toSet)
+      .foldLeft(Map.empty[Long, Long]) { (m, bs) =>
+        bs.foldLeft(m)((mm, b) => mm.updated(b, mm.getOrElse(b, 0L) + 1L))
+      }
+    val store = new java.io.File(Similarity.idxStore(spark, dir, "prof9"))
+    val listed = store.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map { d =>
+        d.getName.stripPrefix("bkt=").toLong ->
+          d.listFiles().count(_.getName.endsWith(".parquet")).toLong
+      }.toMap
+    assert(listed === expected,
+      "on-disk files-per-bucket diverged from one-file-per-touching-" +
+        "write — the writeStore discipline regressed (maxRecordsPerFile" +
+        "/AQE split?), not the prof9 oracle")
+    // the engine's own files column agrees with the listing, and the
+    // size readout is wired (sizes ride the same FileStatus objects)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files") === listed(r.getAs[Long]("bkt")))
+      assert(r.getAs[Long]("kib") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("kib")).sum > 0L,
+      "size readout is all-zero — bytes not wired from the listing")
+  }
+
+  test("learned hybrid (s28): fused output recomputes in plain Scala " +
+    "from the two legs' own outputs (learned dense + BM25); leg ranks " +
+    "pass through; the dense leg IS s23's serving top-k") {
+    val k = 60
+    val dense = Similarity.s23DenseLeg(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int]("dense_rk")).toMap
+    val sparse = graft.SparkEntry.queries("s17_bm25")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int]("rk")).toMap
+    // one-variable check vs s23: the dense leg is s23's gated serving
+    // output re-shaped, nothing else
+    val s23 = graft.SparkEntry.queries("s23_learned_embed")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx")) -> r.getAs[Int]("rk")).toMap
+    assert(dense === s23, "s28's dense leg diverged from s23's serving")
+    // independent fusion recompute over the union of leg keys
+    val want = (dense.keySet ++ sparse.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { key =>
+          val rrf = BigDecimal(
+            dense.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+              sparse.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (key, rrf)
+        }.sortBy { case ((_, d, c), rrf) => (-rrf, d, c) }.take(5)
+        scored.zipWithIndex.map { case ((key, _), i) =>
+          key -> (i + 1, dense.get(key), sparse.get(key)) }
+    }
+    val rows = graft.SparkEntry.queries("s28_learned_hybrid")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    def optInt(r: org.apache.spark.sql.Row, c: String): Option[Int] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Int](c))
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"),
+      r.getAs[Int]("chunk_idx")) ->
+      (r.getAs[Int]("rk"), optInt(r, "dense_rk"), optInt(r, "sparse_rk")))
+      .toMap
+    assert(got === want,
+      "fused output differs from the two-leg recompute")
+    // the dense∩sparse intersection must survive fusion (2/(60+5) >
+    // 1/(60+1) — the s19 dominance argument under the learned leg)
+    val inter = dense.keySet intersect sparse.keySet
+    assert(inter.subsetOf(got.keySet),
+      s"intersection lost in fusion: ${inter -- got.keySet}")
+    info(s"fused rows=${rows.length}, both-leg survivors=${inter.size}")
+  }
+
   test("streaming delete ingest (s27): tombstones arriving over a " +
     "genuinely multi-batch stream fold to the same served result as " +
     "s24's one-shot delete; the staged replay really is multi-batch") {
