@@ -1011,6 +1011,148 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Base-side (pre-tick) index artifacts of the d16 tick: the dense
+    * retrieval index and the raw sparse postings over the NON-arriving
+    * doc slice — what a serving deployment holds when the micro-batch
+    * lands. The d11 slice (not s15's): the ONE arriving batch feeds
+    * verdict, tag, and both folds, so the tick tells one consistent
+    * story. Registry-persisted like Similarity's base artifacts. */
+  private val d16DenseReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def d16BaseDense(s: SparkSession,
+                                      dir: String): DataFrame =
+    d16DenseReg.getOrCompute(s, dir) {
+      val df = Similarity.encodeChunks(
+        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+          .filter(pmod(col("doc_id"), lit(d11Mod)) =!= lit(d11Res)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  private val d16SparseReg =
+    new graft.core.Registry[DataFrame](_.unpersist(false))
+
+  private[operators] def d16BasePostings(s: SparkSession,
+                                         dir: String): DataFrame =
+    d16SparseReg.getOrCompute(s, dir) {
+      val df = Similarity.rawPostings(
+        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+          .filter(pmod(col("doc_id"), lit(d11Mod)) =!= lit(d11Res))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** Per-call delta-root disambiguator (the replaySinkCounter
+    * rationale: concurrent ticks in one JVM must not union each
+    * other's — or a killed run's — batch=<id> fold subdirs). */
+  private val tickDeltaCounter =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The d16 tick body — returns (gated output, post-tick dense index,
+    * post-tick sparse postings) so the spec can pin tick-index ≡
+    * one-shot-rebuild equivalence and serve retrieval through the
+    * refreshed artifacts. */
+  private[operators] def d16Tick(s: SparkSession,
+                                 dir: String): (DataFrame, DataFrame,
+                                                DataFrame) = {
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    val deltaRoot = sys.props("java.io.tmpdir") +
+      s"/graft-d16-deltas-$fp-p${ProcessHandle.current.pid}" +
+      s"-c${tickDeltaCounter.incrementAndGet()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(deltaRoot))
+    val isBatch = pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res)
+    val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
+    val verdicts = graft.streaming.Streams.replayForeachBatch(s,
+      arriving.repartitionByRange(2, col("doc_id")),
+      s"docs-$fp-${d11Mod}m$d11Res", shape = "r2",
+      tag = "d16_ingest_tick")(
+      probe = { mb =>
+        // the d13 composition: dedup verdict + semantic-cluster tag
+        val ids = mb.select("doc_id")
+        val v = d11Probe(s, dir, ids)
+        val arrivingEmb = t(s, dir, "embeddings")
+          .join(maybeBroadcast(ids.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val tagged = Similarity
+          .kmeansAssign(arrivingEmb, Similarity.kmeansCentroids(s, dir))
+          .select(col("vec_id").as("doc_id"), col("cluster"))
+        v.join(tagged, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
+            col("verdict"), col("cluster"))
+      },
+      foldEach = { (mb, batchId) =>
+        // the s15 + s18 folds for THIS micro-batch's docs: encode once,
+        // land each fold in its own idempotent batch=<id> subdir (an
+        // at-least-once retry rewrites its own dir — the s27 sink rule)
+        val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+          .join(maybeBroadcast(mb.select("doc_id")), Seq("doc_id"))
+        Similarity.encodeChunks(chunks).write.mode("overwrite")
+          .parquet(s"$deltaRoot/dense/batch=$batchId")
+        Similarity.rawPostings(chunks
+            .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+          .write.mode("overwrite")
+          .parquet(s"$deltaRoot/sparse/batch=$batchId")
+      })
+    // post-tick serving state: base artifact + the accumulated fold
+    // deltas (what s21's compaction cadence later folds physically)
+    val dense = d16BaseDense(s, dir)
+    val denseRefreshed = dense.unionByName(
+      s.read.parquet(s"$deltaRoot/dense")
+        .select(dense.columns.toIndexedSeq.map(col): _*))
+    val post = d16BasePostings(s, dir)
+    val sparseRefreshed = post.unionByName(
+      s.read.parquet(s"$deltaRoot/sparse")
+        .select(post.columns.toIndexedSeq.map(col): _*))
+    val nChunks = denseRefreshed.filter(isBatch)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val nPost = sparseRefreshed.filter(isBatch)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_postings"),
+        sum("tf").as("n_tokens"))
+    val out = verdicts
+      .join(nChunks, Seq("doc_id"), "left")
+      .join(nPost, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
+        col("verdict"), col("cluster"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+    (out, denseRefreshed, sparseRefreshed)
+  }
+
+  /** D16: ONE STREAMING INGEST TICK (round-15 verdict item 3) — the
+    * arrival path a deployment actually runs PER MICRO-BATCH, composed
+    * in ONE foreachBatch: the d11 dedup verdict, the d13 semantic-
+    * cluster tag, the s15 dense-index fold, and the s18 sparse-postings
+    * fold — then serves from the refreshed indexes. Each micro-batch
+    * encodes its arriving docs ONCE and lands each fold in an
+    * idempotent batch=<id> delta dir next to the base artifact (the
+    * production delta-area shape whose physical fold-in is s21's
+    * compaction cadence); verdict+tag rows accumulate through the d12
+    * sink. The gated output joins, per arriving doc, the verdict+tag
+    * with READBACKS from the refreshed artifacts (chunks indexed,
+    * postings rows, token occurrences) — each column lands only if its
+    * stage actually folded, so one frame gates the whole tick.
+    * Oracle: the composition of the stages' own one-shot duals — the
+    * d13 SQL left-joined to relational recomputes of the arriving
+    * slice's chunk and posting counts (every stage is batch-split
+    * invariant: per-doc verdicts are independent, folds are pure
+    * appends over disjoint doc sets). The spec additionally pins tick
+    * indexes ≡ one-shot rebuilds row-for-row and serving equality
+    * through the refreshed dense index.
+    * Scale shape: zero streaming state rows (the probed artifacts are
+    * persisted session state; the folds are batch-sized writes);
+    * per-tick cost is O(batch × bucket occupancy) for the verdict,
+    * O(batch × k) for the tag, and O(batch) encode for the folds —
+    * never a corpus rescan, never a corpus reshuffle. */
+  val d16IngestTick: Q = (s, dir) => d16Tick(s, dir)._1
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -1028,6 +1170,7 @@ object Dedup {
     "d14_span_surgery" -> d14SpanSurgery,
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d12_stream_ingest_gate" -> d12StreamIngestGate,
+    "d16_ingest_tick" -> d16IngestTick,
     "d13_stream_cluster_tag" -> d13StreamClusterTag,
   )
 
@@ -1106,6 +1249,55 @@ object Dedup {
           FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
           WHERE d.doc_id % $d11Mod = $d11Res
           ORDER BY d.doc_id"""
+
+  /** d13 oracle: the d11 SQL left-joined to the Lloyd chain's final
+    * assignment CTE (s7's cluster of each arriving doc's embedding) —
+    * also the verdict+tag core of the d16 tick oracle. */
+  private lazy val d13Sql: String =
+    s"""WITH ${Similarity.s7ChainCtes},
+        v AS (SELECT * FROM ($d11OracleSql))
+        SELECT v.doc_id, v.n_dups, v.best_jaccard, v.verdict,
+          af.cell AS cluster
+        FROM v LEFT JOIN af ON af.vec_id = v.doc_id
+        ORDER BY v.doc_id""".stripMargin
+
+  /** d16 oracle: the d13 composition plus relational recomputes of the
+    * arriving slice's fold readbacks — chunks indexed (the norm-
+    * filtered cidx chain, nested because the Lloyd chain also names a
+    * `c3` CTE) and posting/token counts (the raw-postings tf chain
+    * over the c3 corpus). A doc the curation gate dropped has no
+    * chunks: COALESCE 0 on both sides. */
+  private lazy val d16Sql: String =
+    s"""WITH ${Similarity.s7ChainCtes},
+        v AS (SELECT * FROM ($d11OracleSql)),
+        dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+               FROM (WITH ${Similarity.cidxCtes()}
+                     SELECT doc_id FROM cidx
+                     WHERE doc_id % $d11Mod = $d11Res)
+               GROUP BY 1),
+        sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_postings,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens
+               FROM (WITH c3s AS (
+                       SELECT * FROM (${TextAnalysis.c3Sql})),
+                     pst AS (SELECT doc_id, chunk_idx,
+                               unnest(string_split(chunk_text, ' '))
+                                 AS token
+                             FROM c3s
+                             WHERE doc_id % $d11Mod = $d11Res),
+                     ptf AS (SELECT doc_id, chunk_idx, token,
+                               CAST(count(*) AS BIGINT) AS tf
+                             FROM pst GROUP BY 1, 2, 3)
+                     SELECT doc_id, tf FROM ptf)
+               GROUP BY 1)
+        SELECT v.doc_id, v.n_dups, v.best_jaccard, v.verdict,
+          af.cell AS cluster,
+          COALESCE(dn.n_chunks, 0) AS n_chunks,
+          COALESCE(sp.n_postings, 0) AS n_postings,
+          COALESCE(sp.n_tokens, 0) AS n_tokens
+        FROM v LEFT JOIN af ON af.vec_id = v.doc_id
+        LEFT JOIN dn ON dn.doc_id = v.doc_id
+        LEFT JOIN sp ON sp.doc_id = v.doc_id
+        ORDER BY v.doc_id"""
 
   lazy val oracle: Map[String, String] = Map(
     // Same shingle CTE; the contamination join is a plain relational
@@ -1208,13 +1400,13 @@ object Dedup {
     // arriving doc's embedding (vec_id ≡ doc_id in the synthetic
     // testdata): the one-shot dual is the d11 SQL left-joined to the
     // Lloyd chain's final assignment CTE.
-    "d13_stream_cluster_tag" ->
-      s"""WITH ${Similarity.s7ChainCtes},
-          v AS (SELECT * FROM ($d11OracleSql))
-          SELECT v.doc_id, v.n_dups, v.best_jaccard, v.verdict,
-            af.cell AS cluster
-          FROM v LEFT JOIN af ON af.vec_id = v.doc_id
-          ORDER BY v.doc_id""",
+    "d13_stream_cluster_tag" -> d13Sql,
+    // d16 composes the stages' own one-shot duals: every stage is
+    // batch-split invariant (per-doc verdicts independent, folds pure
+    // appends over disjoint doc sets), so the tick's accumulated state
+    // equals the one-shot recompute — d13's SQL left-joined to
+    // relational chunk/posting counts of the arriving slice.
+    "d16_ingest_tick" -> d16Sql,
     // Transitive closure via recursive CTE — a genuinely different
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.

@@ -185,7 +185,9 @@ object Streams {
     * → no sink dir: returns probe over the empty frame. */
   def replayForeachBatch(s: SparkSession, shaped: DataFrame,
                          stagingKey: String, shape: String, tag: String)
-                        (probe: DataFrame => DataFrame): DataFrame = {
+                        (probe: DataFrame => DataFrame,
+                         foldEach: (DataFrame, Long) => Unit =
+                           (_, _) => ()): DataFrame = {
     val streamDir = stageForReplay(shaped, stagingKey, shape)
     val sinkDir = sys.props("java.io.tmpdir") +
       s"/graft-$tag-sink-$stagingKey-p${ProcessHandle.current.pid}" +
@@ -195,6 +197,12 @@ object Streams {
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
       .writeStream
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        // index-fold side channel (d16's tick): runs INSIDE the same
+        // micro-batch as the probe, with the batch id so fold writes
+        // can land in their own idempotent batch=<id> subdirs; the
+        // empty-fallback probe below never invokes it (a zero-batch
+        // replay folds nothing)
+        foldEach(mb, batchId)
         val out = probe(mb)
         out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         // audit evidence: the probe plan as EXECUTED (the sink write

@@ -347,4 +347,55 @@ class DedupSpec extends SparkSpec {
         s"doc $id cluster $cl vs s7 ${clusters.get(id)}")
     }
   }
+
+  test("d16 ingest tick: the tick's folded indexes are row-identical " +
+    "to one-shot rebuilds (base ∪ arrivals = full corpus on both the " +
+    "dense and sparse side); verdict+tag ≡ d13; serving through the " +
+    "tick's dense index ≡ the s10 gate") {
+    val (out, denseRefreshed, sparseRefreshed) = Dedup.d16Tick(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // verdict+tag columns ≡ d13's gated output, row-for-row
+    val vt = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_dups"),
+        Option(r.getAs[java.lang.Double]("best_jaccard"))
+          .map(_.doubleValue),
+        r.getAs[String]("verdict"),
+        Option(r.get(4)).map(_.asInstanceOf[Int]))).toMap
+    val d13 = graft.SparkEntry.queries("d13_stream_cluster_tag")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dups"),
+          Option(r.getAs[java.lang.Double]("best_jaccard"))
+            .map(_.doubleValue),
+          r.getAs[String]("verdict"),
+          Option(r.get(4)).map(_.asInstanceOf[Int]))).toMap
+    assert(vt === d13, "tick verdict+tag drifted from d13")
+    // dense fold ≡ rebuild: the d11 base slice ∪ streamed arrivals is
+    // the whole corpus, so the tick's dense index must equal the
+    // full-corpus retrieval index row-for-row
+    def denseKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("chunk_idx"), col("bkt"), col("cn"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    assert(denseKeys(denseRefreshed)
+      === denseKeys(Similarity.retrievalIndex(spark, dir)),
+      "tick dense index diverged from a full rebuild")
+    // sparse fold ≡ rebuild on the postings artifact
+    def postKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("token"), col("doc_id"), col("chunk_idx"), col("tf"),
+        col("len")).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getLong(3), r.getInt(4))).sorted.toSeq
+    assert(postKeys(sparseRefreshed)
+      === postKeys(Similarity.rawPostingsFull(spark, dir)),
+      "tick sparse postings diverged from a full rebuild")
+    // serving the refreshed index: the s10 query window through the
+    // tick's dense artifact equals the s10 gate's own output
+    val served = Similarity.retrieveTopK(
+      Similarity.s10QueryFrame(spark, dir), denseRefreshed,
+      Similarity.planes, 5).collect().map(_.toSeq).toSeq
+    val s10 = graft.SparkEntry.queries("s10_retrieve")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === s10,
+      "serving through the tick's refreshed index diverged from s10")
+  }
 }
