@@ -1019,32 +1019,37 @@ object Dedup {
     * story. Registry-persisted like Similarity's base artifacts. */
   private val d16DenseReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def d16BaseDense(s: SparkSession,
-                                      dir: String): DataFrame =
-    d16DenseReg.getOrCompute(s, dir) {
-      val df = Similarity.encodeChunks(
-        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-          .filter(pmod(col("doc_id"), lit(d11Mod)) =!= lit(d11Res)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
   private val d16SparseReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
-  private[operators] def d16BasePostings(s: SparkSession,
-                                         dir: String): DataFrame =
-    d16SparseReg.getOrCompute(s, dir) {
-      val df = Similarity.rawPostings(
-        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-          .filter(pmod(col("doc_id"), lit(d11Mod)) =!= lit(d11Res))
-          .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+  /** The persist+count registry discipline in one place (the
+    * baseRetrievalIndex pattern, locally shared by both d16 base
+    * artifacts so a lifecycle change lands once). */
+  private def persistedBase(reg: graft.core.Registry[DataFrame],
+                            s: SparkSession, dir: String)
+                           (build: => DataFrame): DataFrame =
+    reg.getOrCompute(s, dir) {
+      val df = build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     }
+
+  /** The d16 base-slice chunk corpus (non-arriving docs). */
+  private def d16BaseChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+      .filter(pmod(col("doc_id"), lit(d11Mod)) =!= lit(d11Res))
+
+  private[operators] def d16BaseDense(s: SparkSession,
+                                      dir: String): DataFrame =
+    persistedBase(d16DenseReg, s, dir)(
+      Similarity.encodeChunks(d16BaseChunks(s, dir)))
+
+  private[operators] def d16BasePostings(s: SparkSession,
+                                         dir: String): DataFrame =
+    persistedBase(d16SparseReg, s, dir)(
+      Similarity.rawPostings(d16BaseChunks(s, dir)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))))
 
   /** Per-call delta-root disambiguator (the replaySinkCounter
     * rationale: concurrent ticks in one JVM must not union each
@@ -1087,28 +1092,41 @@ object Dedup {
             col("verdict"), col("cluster"))
       },
       foldEach = { (mb, batchId) =>
-        // the s15 + s18 folds for THIS micro-batch's docs: encode once,
-        // land each fold in its own idempotent batch=<id> subdir (an
-        // at-least-once retry rewrites its own dir — the s27 sink rule)
-        val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-          .join(maybeBroadcast(mb.select("doc_id")), Seq("doc_id"))
-        Similarity.encodeChunks(chunks).write.mode("overwrite")
-          .parquet(s"$deltaRoot/dense/batch=$batchId")
-        Similarity.rawPostings(chunks
-            .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
-          .write.mode("overwrite")
-          .parquet(s"$deltaRoot/sparse/batch=$batchId")
+        // the s15 + s18 folds for THIS micro-batch's docs, landing in
+        // idempotent batch=<id> subdirs (an at-least-once retry
+        // rewrites its own dir — the s27 sink rule). The batch is a
+        // CONTIGUOUS range of the arriving slice by construction
+        // (range-split staging × one file per trigger), so the chunk
+        // restriction is a doc_id BETWEEN + residue PREDICATE that
+        // pushes down the narrow c3 chain to the parquet scan (the
+        // encodedBatch measured choice) — a broadcast-join restriction
+        // was the first cut and cannot prune the scan, re-running the
+        // full chunking pipeline per fold write.
+        val bounds = mb.agg(min("doc_id"), max("doc_id")).collect()(0)
+        if (!bounds.isNullAt(0)) {
+          val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+            .filter(col("doc_id").between(bounds.getLong(0),
+                bounds.getLong(1)) &&
+              pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res))
+          Similarity.encodeChunks(chunks).write.mode("overwrite")
+            .parquet(s"$deltaRoot/dense/batch=$batchId")
+          Similarity.rawPostings(chunks
+              .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+            .write.mode("overwrite")
+            .parquet(s"$deltaRoot/sparse/batch=$batchId")
+        }
       })
     // post-tick serving state: base artifact + the accumulated fold
-    // deltas (what s21's compaction cadence later folds physically)
-    val dense = d16BaseDense(s, dir)
-    val denseRefreshed = dense.unionByName(
-      s.read.parquet(s"$deltaRoot/dense")
-        .select(dense.columns.toIndexedSeq.map(col): _*))
-    val post = d16BasePostings(s, dir)
-    val sparseRefreshed = post.unionByName(
-      s.read.parquet(s"$deltaRoot/sparse")
-        .select(post.columns.toIndexedSeq.map(col): _*))
+    // deltas (what s21's compaction cadence later folds physically).
+    // A zero-batch replay (empty arriving slice) folds nothing and
+    // writes no delta dir — serve the base artifact alone.
+    def withDeltas(base: DataFrame, sub: String): DataFrame =
+      if (new java.io.File(s"$deltaRoot/$sub").exists())
+        base.unionByName(s.read.parquet(s"$deltaRoot/$sub")
+          .select(base.columns.toIndexedSeq.map(col): _*))
+      else base
+    val denseRefreshed = withDeltas(d16BaseDense(s, dir), "dense")
+    val sparseRefreshed = withDeltas(d16BasePostings(s, dir), "sparse")
     val nChunks = denseRefreshed.filter(isBatch)
       .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
     val nPost = sparseRefreshed.filter(isBatch)

@@ -1876,15 +1876,26 @@ object Similarity {
     withStoreLifecycle(root) {
       val v = counter(storeAlloc, root).incrementAndGet()
       val store = s"$root/v$v/idx"
+      // pre-wipe the allocated dir: pid recycling across JVM restarts
+      // can revisit a killed run's version numbers (the replay-sink
+      // rationale), and writeStore's base write is ErrorIfExists
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$root/v$v"))
       val out = build(store)
-      counter(storePublished, root)
-        .accumulateAndGet(v, math.max(_, _))
-      // vacuum: keep {v, v-1} (a reader on the previous version is
-      // still safe), retire everything older — including versions a
-      // failed build left unpublished
-      (1L until v - 1).foreach(old =>
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$root/v$old")))
+      val prevPub = counter(storePublished, root)
+        .getAndAccumulate(v, math.max(_, _))
+      // vacuum: keep {v, previous PUBLISHED} — retention must be keyed
+      // on published versions, not allocation numbers, or a failed
+      // build in between would shift the window onto the version a
+      // live reader still holds; everything else (older published,
+      // failed partials) is retired
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          f.getName.startsWith("v") &&
+            f.getName.drop(1).toLongOption
+              .exists(n => n != v && n != prevPub)
+        }
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
       (store, out)
     }
   }

@@ -1154,6 +1154,38 @@ class SimilaritySpec extends SparkSpec {
       "vacuum retention did not retire versions beyond the window")
   }
 
+  test("store versioning under a FAILED build: retention keys on " +
+    "PUBLISHED versions — a failed partial neither publishes nor " +
+    "shifts the vacuum window off the version a reader still holds, " +
+    "and the partial itself is retired by the next success") {
+    // a published version a reader could be holding
+    graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir)
+    val held = Similarity.idxStore(spark, dir, "s26")
+    assert(new java.io.File(held).exists())
+    // inject a failure into the build's swap: the allocated version
+    // stays unpublished
+    graft.sources.Sinks.crashBeforeRename = 0
+    try intercept[IllegalStateException] {
+      graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir)
+    } finally graft.sources.Sinks.crashBeforeRename = -1
+    assert(Similarity.idxStore(spark, dir, "s26") === held,
+      "a failed build must not publish")
+    // the next SUCCESSFUL build keeps {new, held} — if retention were
+    // keyed on allocation numbers the failed partial would shift the
+    // window and delete `held` out from under its reader
+    graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir)
+    val current = Similarity.idxStore(spark, dir, "s26")
+    assert(current !== held)
+    assert(new java.io.File(held).exists(),
+      "failed build shifted the vacuum window onto a held version")
+    val versions = new java.io.File(held).getParentFile.getParentFile
+      .listFiles().filter(_.getName.startsWith("v")).map(_.getName).toSet
+    val expect = Set(held, current)
+      .map(p => new java.io.File(p).getParentFile.getName)
+    assert(versions === expect,
+      s"vacuum left unexpected versions: $versions (want $expect)")
+  }
+
   test("BM25 vs TF-IDF sparse legs on shared qids: overlap@5 and exact-" +
     "rank agreement are measured and floored; the production-leg claim " +
     "is quantified, not prose") {
