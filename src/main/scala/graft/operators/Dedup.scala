@@ -1120,16 +1120,23 @@ object Dedup {
     // deltas (what s21's compaction cadence later folds physically).
     // A zero-batch replay (empty arriving slice) folds nothing and
     // writes no delta dir — serve the base artifact alone.
-    def withDeltas(base: DataFrame, sub: String): DataFrame =
+    def deltas(base: DataFrame, sub: String): DataFrame =
       if (new java.io.File(s"$deltaRoot/$sub").exists())
-        base.unionByName(s.read.parquet(s"$deltaRoot/$sub")
-          .select(base.columns.toIndexedSeq.map(col): _*))
-      else base
-    val denseRefreshed = withDeltas(d16BaseDense(s, dir), "dense")
-    val sparseRefreshed = withDeltas(d16BasePostings(s, dir), "sparse")
-    val nChunks = denseRefreshed.filter(isBatch)
+        s.read.parquet(s"$deltaRoot/$sub")
+          .select(base.columns.toIndexedSeq.map(col): _*)
+      else base.limit(0)
+    val denseDeltas = deltas(d16BaseDense(s, dir), "dense")
+    val sparseDeltas = deltas(d16BasePostings(s, dir), "sparse")
+    val denseRefreshed = d16BaseDense(s, dir).unionByName(denseDeltas)
+    val sparseRefreshed = d16BasePostings(s, dir)
+      .unionByName(sparseDeltas)
+    // per-doc readbacks come from the BATCH-SIZED delta area alone —
+    // deltas hold exactly the arriving docs' fold output, so this is
+    // O(batch) and the base artifact is never rescanned per tick (at
+    // 100 TB the union-then-filter form would map-scan the whole base)
+    val nChunks = denseDeltas
       .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    val nPost = sparseRefreshed.filter(isBatch)
+    val nPost = sparseDeltas
       .groupBy("doc_id").agg(count(lit(1)).as("n_postings"),
         sum("tf").as("n_tokens"))
     val out = verdicts

@@ -1719,6 +1719,47 @@ object Similarity {
     retrieveTopK(s10QueryFrame(s, dir), idx, planes, s10K)
   }
 
+  /** S29: RE-BUCKET OF THE BANDED STORE — the two lifecycle dimensions
+    * the round-16 gates exercise separately, composed: a deployment
+    * running s25's (bkt, qband) layout fires prof8's re-bucket trigger,
+    * so the offline rebuild must re-encode the corpus under planes+1
+    * AND carry the metadata bands through the swap — the bucket
+    * keyspace doubles while the band dimension is untouched, and a
+    * pruned reader must see old or new layout atomically on BOTH
+    * partition columns (exactly [[graft.sources.Sinks
+    * .rewritePartitioned]]'s contract). Serving is s25's shape under
+    * the new geometry: static qband pruning + dynamic bucket pruning +
+    * the exact residual, through the SAME [[retrieveTopK]] with
+    * [[s26Planes]] on both sides. Two variables vs neighbors, each
+    * already gated alone: vs s26, the banded layout + filter (s22/s25's
+    * dimension); vs s25, the plane count (s26's dimension) — so the
+    * oracle is the SAME parameterized generator with both dials set:
+    * s10SqlFor(window, masks(radius 1, 7 planes), quality ≥ τ,
+    * 7 planes), fully relational, no goldens. Scale shape: one staged
+    * re-encode write + one swap per trigger firing (the s26 cost), and
+    * serving returns to target occupancy with ~20% of store bytes
+    * still never listed at τ=0.6 (the s25 trade) — the composition
+    * keeps both properties because the layout carries both partition
+    * columns. */
+  val s29BandedRebucket: Q = (s, dir) => {
+    val store = buildStoreVersion(s, dir, "s29") { store =>
+      // the banded store a deployment serves under the committed
+      // geometry (what its pruned readers hold when the trigger fires)
+      writeStore(withQband(retrievalIndex(s, dir)), store,
+        Seq("bkt", "qband"))
+      // the re-bucket ACTION on the banded layout: geometry and
+      // directory keyspace change together, bands carry over — one
+      // staged rewrite, one atomic swap
+      graft.sources.Sinks.rewritePartitioned(s, store,
+        withQband(rebucketIndex(s, dir)), Seq("bkt", "qband"))
+    }._1
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+      .filter(col("qband") >= lit(s25FloorBand) &&
+        col("quality_score") >= s22QualityFloor)
+    retrieveTopK(s10QueryFrame(s, dir), idx, s26Planes, s10K)
+  }
+
   /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
     * (the s14-on-s13 relationship, replayed on the LSH index): the
     * SAME query window, index artifact, and rerank, with the probe set
@@ -3565,6 +3606,13 @@ object Similarity {
     s10SqlFor(s"doc_id < $s10QueryDocs",
       probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes)
 
+  /** s29 oracle: the SAME parameterized generator with both gated
+    * dials set — s26's plane count and s22/s25's quality predicate. */
+  private lazy val s29Sql: String =
+    s10SqlFor(s"doc_id < $s10QueryDocs",
+      probeMasksSqlFor(1, s26Planes),
+      s"c3.quality_score >= $s22QualityFloor", s26Planes)
+
   /** s24 oracle: the s15 serving SQL with the tombstone rule excluded
     * in the index CTE — the delete predicate is the ONLY diff (the s22
     * one-variable pattern), so the gate isolates exactly the fold:
@@ -3679,6 +3727,7 @@ object Similarity {
     "s26_rebucket_rebuild" -> s26RebucketRebuild,
     "s27_stream_delete" -> s27StreamDelete,
     "s28_learned_hybrid" -> s28LearnedHybrid,
+    "s29_banded_rebucket" -> s29BandedRebucket,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
@@ -3711,6 +3760,9 @@ object Similarity {
     "s25_banded_store" -> s22Sql,
     "s23_learned_embed" -> s23Sql,
     "s28_learned_hybrid" -> s28Sql,
+    // both dials of the one generator: s26's plane count + s25/s22's
+    // quality predicate — the composition is oracled relationally
+    "s29_banded_rebucket" -> s29Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof8_index_health" -> prof8Sql,

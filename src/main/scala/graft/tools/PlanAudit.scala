@@ -58,6 +58,8 @@ object PlanAudit {
     "prof9_store_health", // O(buckets) FileSystem listing + keyed count over the store
     "s26_rebucket_rebuild", // planes+1 rebuild served through the same probe join
     "s27_stream_delete", // streamed tombstone arrival -> accumulated fold at compaction
+    "s28_learned_hybrid", // trained-dense + BM25 legs fused by RRF, golden-keyed
+    "d16_ingest_tick",   // one foreachBatch: verdict + tag + dense/sparse folds; readbacks off refreshed artifacts
   )
 
   def main(args: Array[String]): Unit = {

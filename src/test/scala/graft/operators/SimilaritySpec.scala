@@ -1125,6 +1125,49 @@ class SimilaritySpec extends SparkSpec {
       "residual quality predicate not pushed to the parquet scan")
   }
 
+  test("banded re-bucket (s29): the geometry swap carries the band " +
+    "layout — serving equals the in-memory filtered twin under planes+1, " +
+    "the swapped store partitions on BOTH dims with the widened " +
+    "keyspace, and the s25 pruning plan shape survives the re-bucket") {
+    import org.apache.spark.sql.functions.col
+    val s29df = graft.SparkEntry.queries("s29_banded_rebucket")(spark, dir)
+    val got = s29df.collect().map(_.toSeq).toSeq
+    // in-memory twin: the rebuilt (planes+1) index, filtered exactly —
+    // the banded layout must be invisible to results (the s25 claim,
+    // replayed under the new geometry)
+    val twin = Similarity.retrieveTopK(
+      Similarity.s10QueryFrame(spark, dir),
+      Similarity.rebucketIndex(spark, dir)
+        .filter(col("quality_score") >= Similarity.s22QualityFloor),
+      Similarity.s26Planes, 5).collect().map(_.toSeq).toSeq
+    assert(got === twin,
+      "banded re-bucket serving diverged from the filtered rebuilt index")
+    // the swapped store carries both partition dims, and the bucket
+    // keyspace actually widened past 2^6 on disk
+    val storePath = Similarity.idxStore(spark, dir, "s29")
+    val bktDirs = new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(bktDirs.nonEmpty)
+    assert(bktDirs.map(_.getName.stripPrefix("bkt=").toLong)
+      .exists(_ >= 64L), "on-disk keyspace did not widen past 2^6")
+    assert(bktDirs.forall(_.listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("qband="))),
+      "band dimension lost in the re-bucket rewrite")
+    // the s25 plan contract survives the geometry swap: static band
+    // pruning, dynamic bucket pruning, residual pushed to parquet
+    val plan = s29df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.matches(
+      s"(?s).*PartitionFilters:[^\\n]*qband[^\\n]*>= ${Similarity.s25FloorBand}.*"),
+      "qband band floor is not a static partition filter")
+    assert(plan.matches("(?s).*PartitionFilters:[^\\n]*dynamicpruning[^\\n]*.*"),
+      "no dynamic bucket pruning on the re-bucketed banded store scan")
+    assert(plan.matches(
+      s"(?s).*PushedFilters:[^\\n]*GreaterThanOrEqual\\(quality_score," +
+        s"${Similarity.s22QualityFloor}\\).*"),
+      "residual quality predicate not pushed to the parquet scan")
+  }
+
   test("lifecycle store versioning: a LAZY serving frame handed out " +
     "before a later rebuild still reads its own immutable snapshot; " +
     "vacuum retention keeps exactly the previous version") {
