@@ -1022,17 +1022,21 @@ object Dedup {
   private val d16SparseReg =
     new graft.core.Registry[DataFrame](_.unpersist(false))
 
-  /** The persist+count registry discipline in one place (the
+  /** The persist registry discipline in one place (the
     * baseRetrievalIndex pattern, locally shared by both d16 base
-    * artifacts so a lifecycle change lands once). */
+    * artifacts so a lifecycle change lands once). Deliberately NO
+    * eager count(): the GATED tick only touches these frames'
+    * schema (column projection + the empty-arrival fallback) — its
+    * readbacks come from the batch-sized delta area — so the base
+    * corpus encode must not run on the gated path at all; the persist
+    * materializes at first real action (the spec's refreshed-index
+    * legs), review-pass finding. */
   private def persistedBase(reg: graft.core.Registry[DataFrame],
                             s: SparkSession, dir: String)
                            (build: => DataFrame): DataFrame =
     reg.getOrCompute(s, dir) {
-      val df = build
+      build
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
     }
 
   /** The d16 base-slice chunk corpus (non-arriving docs). */
@@ -1065,11 +1069,21 @@ object Dedup {
                                  dir: String): (DataFrame, DataFrame,
                                                 DataFrame) = {
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val deltaRoot = sys.props("java.io.tmpdir") +
-      s"/graft-d16-deltas-$fp-p${ProcessHandle.current.pid}" +
-      s"-c${tickDeltaCounter.incrementAndGet()}"
+    val c = tickDeltaCounter.incrementAndGet()
+    def rootFor(n: Long) = sys.props("java.io.tmpdir") +
+      s"/graft-d16-deltas-$fp-p${ProcessHandle.current.pid}-c$n"
+    val deltaRoot = rootFor(c)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(deltaRoot))
+    // delta-area retention, the store-version rule: keep {current,
+    // previous} (an earlier tick's returned frames read their own
+    // delta dirs lazily), retire older roots — without this a
+    // long-lived session grows tmpdir by one encoded-slice copy per
+    // tick until TmpHygiene reclaims the dead pid (review-pass
+    // finding)
+    (1L until c - 1).foreach(old =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(rootFor(old))))
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res)
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     val verdicts = graft.streaming.Streams.replayForeachBatch(s,
@@ -1304,15 +1318,9 @@ object Dedup {
                  CAST(sum(tf) AS BIGINT) AS n_tokens
                FROM (WITH c3s AS (
                        SELECT * FROM (${TextAnalysis.c3Sql})),
-                     pst AS (SELECT doc_id, chunk_idx,
-                               unnest(string_split(chunk_text, ' '))
-                                 AS token
-                             FROM c3s
-                             WHERE doc_id % $d11Mod = $d11Res),
-                     ptf AS (SELECT doc_id, chunk_idx, token,
-                               CAST(count(*) AS BIGINT) AS tf
-                             FROM pst GROUP BY 1, 2, 3)
-                     SELECT doc_id, tf FROM ptf)
+                     ${Similarity.postingsTfCtes("c3s",
+                       s"doc_id % $d11Mod = $d11Res")}
+                     SELECT doc_id, tf FROM tf)
                GROUP BY 1)
         SELECT v.doc_id, v.n_dups, v.best_jaccard, v.verdict,
           af.cell AS cluster,

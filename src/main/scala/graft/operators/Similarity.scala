@@ -1902,10 +1902,12 @@ object Similarity {
     * gates (round-15 advice: a wipe-in-place protocol let a later
     * invocation delete the store a prior caller's LAZY serving frame
     * was still scanning). Each invocation writes `$root/v<n>/idx` for
-    * a fresh monotone n, so a returned frame reads ITS OWN immutable
-    * version forever; retention then retires versions older than the
-    * PREVIOUS one — the Delta/Iceberg vacuum-retention contract: a
-    * reader is safe while at most one newer rebuild has completed,
+    * a fresh monotone n, so a returned frame reads its own immutable
+    * version UNTIL VACUUM RETIRES IT; retention keeps {current,
+    * previous published} — the Delta/Iceberg vacuum-retention
+    * contract: a reader is safe while at most one newer rebuild has
+    * completed (a frame held across TWO completed rebuilds is outside
+    * the retention window and fails like any vacuumed Delta reader),
     * and the on-disk footprint is bounded at two versions per store.
     * Builds of the SAME root serialize on the per-store monitor
     * (concurrent identical rebuilds would only burn CPU — content is
@@ -3544,15 +3546,26 @@ object Similarity {
     * (Double.toString round-trips, so both engines see bit-identical
     * k1/b values); term weights cast to integer micro-units before the
     * exact integer sum, so the whole output compares exactly. */
-  private def bm25SqlFor(qdWhere: String): String =
-    s"""WITH c3s AS (SELECT * FROM (${TextAnalysis.c3Sql})),
-        st AS (SELECT doc_id, chunk_idx,
+  /** Raw-postings dual as CTE text — `st` (exploded tokens + chunk
+    * len) and `tf` (per-(token, doc, chunk) counts) over a
+    * chunk-corpus CTE `src` with an optional doc predicate: the ONE
+    * oracle-side twin of [[rawPostings]], shared by the s17/s18 BM25
+    * duals and d16's fold counts so a tokenization change cannot
+    * desynchronize the oracle copies (the engine side already has one
+    * definition for exactly this reason). */
+  private[operators] def postingsTfCtes(src: String,
+                                        where: String = "TRUE"): String =
+    s"""st AS (SELECT doc_id, chunk_idx,
                  len(string_split(chunk_text, ' ')) AS len,
                  unnest(string_split(chunk_text, ' ')) AS token
-               FROM c3s),
+               FROM $src WHERE $where),
         tf AS (SELECT token, doc_id, chunk_idx, len,
                  CAST(count(*) AS BIGINT) AS tf
-               FROM st GROUP BY 1, 2, 3, 4),
+               FROM st GROUP BY 1, 2, 3, 4)"""
+
+  private def bm25SqlFor(qdWhere: String): String =
+    s"""WITH c3s AS (SELECT * FROM (${TextAnalysis.c3Sql})),
+        ${postingsTfCtes("c3s")},
         dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
                 FROM tf GROUP BY 1),
         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,

@@ -187,6 +187,13 @@ object Sinks {
   def rewritePartitioned(spark: SparkSession, path: String,
                          df: DataFrame, partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "rewritePartitioned needs partition columns")
+    // same refusal as compactPartitioned's tombstone fold: swapping an
+    // EMPTY staged write in would serve a schema-less dir (_SUCCESS
+    // only) and brick the store — whole-store deletion is an explicit
+    // drop, not a rewrite. limit(1) early-exits (~one task).
+    require(!df.limit(1).isEmpty,
+      s"rewritePartitioned would swap an empty table into $path — " +
+        "refusing; drop the store explicitly instead")
     val staged = stagePath(path)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staged)
