@@ -376,6 +376,16 @@ class SinksSpec extends SparkSpec {
       .filter(_.contains("-staging")).toSeq
     assert(stagingDirs.isEmpty, s"staging leftovers: $stagingDirs")
 
+    // an EMPTY rewrite is refused before any rename (swapping a
+    // schema-less dir in would brick the store — the compaction
+    // guard's rationale, on the third swap client)
+    intercept[IllegalArgumentException] {
+      Sinks.rewritePartitioned(spark, path, newT.limit(0), Seq("k"))
+    }
+    assert(spark.read.parquet(path).select("k", "v")
+      .as[(Int, Int)].collect().sorted.toSeq === newRows,
+      "refused empty rewrite must leave the table untouched")
+
     // crash BEFORE rename #0: the serving table is untouched (still the
     // post-rewrite content) and the staged copy sits aside, complete
     Sinks.crashBeforeRename = 0
