@@ -187,16 +187,34 @@ object Sinks {
   def rewritePartitioned(spark: SparkSession, path: String,
                          df: DataFrame, partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "rewritePartitioned needs partition columns")
-    // same refusal as compactPartitioned's tombstone fold: swapping an
-    // EMPTY staged write in would serve a schema-less dir (_SUCCESS
-    // only) and brick the store — whole-store deletion is an explicit
-    // drop, not a rewrite. limit(1) early-exits (~one task).
-    require(!df.limit(1).isEmpty,
-      s"rewritePartitioned would swap an empty table into $path — " +
-        "refusing; drop the store explicitly instead")
     val staged = stagePath(path)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staged)
+    // same refusal as compactPartitioned's tombstone fold: swapping an
+    // EMPTY table in would serve a schema-less dir (_SUCCESS only) and
+    // brick the store — whole-store deletion is an explicit drop, not a
+    // rewrite. The guard runs on the STAGED OUTPUT, after the write
+    // (round-16 advice): checking the input frame cost an extra
+    // limit(1) job AND guarded the wrong thing — a frame racing to
+    // empty between check and write would still have swapped an empty
+    // table in; one listing of what would actually swap closes both.
+    // The empty staged dir is deleted before refusing: by definition it
+    // holds no data, so this cannot destroy the only copy of anything
+    // (unlike the swap failure paths, which keep everything).
+    val fs = new Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(staged), true)
+    var hasData = false
+    while (!hasData && it.hasNext) {
+      val name = it.next().getPath.getName
+      hasData = !name.startsWith("_") && !name.startsWith(".")
+    }
+    if (!hasData) {
+      fs.delete(new Path(staged), true)
+      throw new IllegalArgumentException(
+        s"requirement failed: rewritePartitioned would swap an empty " +
+          s"table into $path — refusing; drop the store explicitly instead")
+    }
     swapInPlace(spark, path, staged)
   }
 

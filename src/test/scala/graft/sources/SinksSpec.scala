@@ -378,13 +378,18 @@ class SinksSpec extends SparkSpec {
 
     // an EMPTY rewrite is refused before any rename (swapping a
     // schema-less dir in would brick the store — the compaction
-    // guard's rationale, on the third swap client)
+    // guard's rationale, on the third swap client). The guard runs on
+    // the STAGED content (round-16 advice: guarding the input frame
+    // left a check-to-write race) and cleans its empty staged dir up,
+    // so the refusal leaves neither the table changed nor leftovers.
     intercept[IllegalArgumentException] {
       Sinks.rewritePartitioned(spark, path, newT.limit(0), Seq("k"))
     }
     assert(spark.read.parquet(path).select("k", "v")
       .as[(Int, Int)].collect().sorted.toSeq === newRows,
       "refused empty rewrite must leave the table untouched")
+    assert(stagingDirs.isEmpty,
+      s"refused empty rewrite left staging dirs: $stagingDirs")
 
     // crash BEFORE rename #0: the serving table is untouched (still the
     // post-rewrite content) and the staged copy sits aside, complete
