@@ -1055,11 +1055,37 @@ object Dedup {
       Similarity.rawPostings(d16BaseChunks(s, dir)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))))
 
-  /** Per-call delta-root disambiguator (the replaySinkCounter
-    * rationale: concurrent ticks in one JVM must not union each
-    * other's — or a killed run's — batch=<id> fold subdirs). */
-  private val tickDeltaCounter =
-    new java.util.concurrent.atomic.AtomicLong(0)
+  /** Per-DELTA-ROOT tick counters (the storeAlloc pattern, round-16
+    * advice): the counter must be scoped to the fingerprint its roots
+    * are keyed by — a JVM-global counter interleaved across source
+    * dirs would let dir B's tick advance dir A's window and vacuum
+    * A's actual previous delta root out from under a lazy frame the
+    * prior A-tick returned (the wipe-under-reader hazard
+    * buildStoreVersion exists to prevent). Also per-call
+    * disambiguation (the replaySinkCounter rationale: concurrent
+    * ticks in one JVM must not union each other's — or a killed
+    * run's — batch=<id> fold subdirs). */
+  private val tickDeltaCounters = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** THE per-micro-batch probe of an ingest tick — the d13 composition
+    * (dedup verdict + semantic-cluster tag), factored out of d16 so the
+    * versioned-store ticks (d17/d18) run the IDENTICAL verdict leg. */
+  private[operators] def verdictTagProbe(s: SparkSession, dir: String)
+                                        (mb: DataFrame): DataFrame = {
+    val ids = mb.select("doc_id")
+    val v = d11Probe(s, dir, ids)
+    val arrivingEmb = t(s, dir, "embeddings")
+      .join(maybeBroadcast(ids.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val tagged = Similarity
+      .kmeansAssign(arrivingEmb, Similarity.kmeansCentroids(s, dir))
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    v.join(tagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
+        col("verdict"), col("cluster"))
+  }
 
   /** The d16 tick body — returns (gated output, post-tick dense index,
     * post-tick sparse postings) so the spec can pin tick-index ≡
@@ -1069,7 +1095,8 @@ object Dedup {
                                  dir: String): (DataFrame, DataFrame,
                                                 DataFrame) = {
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val c = tickDeltaCounter.incrementAndGet()
+    val c = tickDeltaCounters.computeIfAbsent(fp,
+      _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
     def rootFor(n: Long) = sys.props("java.io.tmpdir") +
       s"/graft-d16-deltas-$fp-p${ProcessHandle.current.pid}-c$n"
     val deltaRoot = rootFor(c)
@@ -1077,34 +1104,22 @@ object Dedup {
       new java.io.File(deltaRoot))
     // delta-area retention, the store-version rule: keep {current,
     // previous} (an earlier tick's returned frames read their own
-    // delta dirs lazily), retire older roots — without this a
-    // long-lived session grows tmpdir by one encoded-slice copy per
-    // tick until TmpHygiene reclaims the dead pid (review-pass
-    // finding)
-    (1L until c - 1).foreach(old =>
+    // delta dirs lazily), retire the one root that just left the
+    // window — roots are per-fp AND the counter is per-fp, so c-2 is
+    // exactly this dir's root that aged out (one delete per tick, not
+    // an O(c) rescan); without retention a long-lived session grows
+    // tmpdir by one encoded-slice copy per tick until TmpHygiene
+    // reclaims the dead pid (review-pass finding)
+    if (c - 2 >= 1)
       org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(rootFor(old))))
+        new java.io.File(rootFor(c - 2)))
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res)
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     val verdicts = graft.streaming.Streams.replayForeachBatch(s,
       arriving.repartitionByRange(2, col("doc_id")),
       s"docs-$fp-${d11Mod}m$d11Res", shape = "r2",
       tag = "d16_ingest_tick")(
-      probe = { mb =>
-        // the d13 composition: dedup verdict + semantic-cluster tag
-        val ids = mb.select("doc_id")
-        val v = d11Probe(s, dir, ids)
-        val arrivingEmb = t(s, dir, "embeddings")
-          .join(maybeBroadcast(ids.select(col("doc_id").as("vec_id"))),
-            Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-        val tagged = Similarity
-          .kmeansAssign(arrivingEmb, Similarity.kmeansCentroids(s, dir))
-          .select(col("vec_id").as("doc_id"), col("cluster"))
-        v.join(tagged, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
-            col("verdict"), col("cluster"))
-      },
+      probe = verdictTagProbe(s, dir),
       foldEach = { (mb, batchId) =>
         // the s15 + s18 folds for THIS micro-batch's docs, landing in
         // idempotent batch=<id> subdirs (an at-least-once retry
@@ -1192,6 +1207,269 @@ object Dedup {
     * never a corpus rescan, never a corpus reshuffle. */
   val d16IngestTick: Q = (s, dir) => d16Tick(s, dir)._1
 
+  // ------------------------------------------------------------------ //
+  // d17/d18/d19: the ingest tick ON the versioned store lineage
+  // ------------------------------------------------------------------ //
+
+  /** Token-hash shard count of a tick store's SPARSE side: postings
+    * have no low-cardinality natural partition key (token = vocab-sized,
+    * doc = corpus-sized), so the store is sharded on a hash of the token
+    * — a content-deterministic split that (a) gives the base snapshot
+    * write `tickSparseShards` parallel writer tasks instead of one
+    * (writeStore routes each partition value to a single task), and
+    * (b) keeps BM25-style per-shard aggregation disjoint if a serving
+    * leg ever wants it. At 100 TB this constant scales with the
+    * cluster; readers project it away. */
+  private[operators] val tickSparseShards = 8
+
+  private def withTsh(post: DataFrame): DataFrame =
+    post.withColumn("tsh",
+      pmod(xxhash64(col("token")), lit(tickSparseShards.toLong)))
+
+  /** The two sides of a tick store, with their partition layouts and
+    * reader projections — one definition for the builder, the folds,
+    * the readbacks, and the specs. Layout: `batch` LEADS (base snapshot
+    * = batch=-1, each fold = its own batch=<seq> dir), so per-tick
+    * readbacks prune to exactly the delta partitions and the
+    * maintenance fold's "deltas absorbed" state is visible in the
+    * directory tree itself. */
+  private[operators] val tickDenseCols = Seq("doc_id", "chunk_idx",
+    "source", "quality_score", "chunk_text", "ce", "cn", "bkt")
+  private[operators] val tickSparseCols =
+    Seq("token", "doc_id", "chunk_idx", "len", "tf")
+  private[operators] val tickDensePart = Seq("batch", "bkt")
+  private[operators] val tickSparsePart = Seq("batch", "tsh")
+
+  /** D17 MACHINERY — ONE VERSIONED TICK STORE (round-16 verdict item
+    * 1): d16 proved the tick's shape but parked its fold deltas in a
+    * hand-retained tmpdir area OUTSIDE the snapshot machinery every
+    * other lifecycle gate uses; this builder routes the SAME tick
+    * through [[Similarity.buildStoreVersion]]/[[Similarity.writeStore]]
+    * so arrival folds live on the store lineage that compaction,
+    * tombstone folds and re-buckets operate on — one crash/retention
+    * contract (publish-on-success, {current, previous} vacuum) for the
+    * whole production index lifecycle.
+    *
+    * One invocation = one store version holding: the base snapshot of
+    * BOTH index sides (dense chunk index under batch=-1/bkt=*, sparse
+    * postings under batch=-1/tsh=*), then one streaming replay per
+    * arrival slice in `arrivalResidues`, each micro-batch folding its
+    * dense+sparse encode into its own batch=<seq> partitions via
+    * DYNAMIC partition overwrite (an at-least-once retry rewrites its
+    * own partitions — the idempotent batch-subdir rule, expressed
+    * through the store writer instead of a hand-managed dir). The
+    * batch restriction is the d16 contiguous doc_id-range + residue
+    * predicate (pushes down the narrow c3 chain to the parquet scan).
+    * `afterTick(i, store)` runs after each slice's replay — the spec's
+    * convergence hook (d19 pins refreshed ≡ rebuild after EVERY tick).
+    * Returns (per-tick probe unions, store path).
+    *
+    * Scale shape: base snapshot cost is paid once per version (the s21
+    * precedent — the gated entries replay the lifecycle by design);
+    * each fold is O(batch) encode + one dynamic-overwrite write of
+    * batch-sized partitions; readbacks and convergence checks prune on
+    * the leading batch column. Nothing rescans or reshuffles the base. */
+  private[operators] def tickStore(s: SparkSession, dir: String,
+      tag: String, arrivalResidues: Seq[Long],
+      probe: DataFrame => DataFrame,
+      afterTick: (Int, String) => Unit = (_, _) => ())
+      : (Seq[DataFrame], String) = {
+    // the base-artifact registries are keyed to the d11 slice — every
+    // tick family arrives on residues of the SAME mod split, with the
+    // d11 residue always among them, so the persisted d16 base frames
+    // filter down to any base here without re-encoding anything
+    require(arrivalResidues.contains(d11Res) &&
+      arrivalResidues.distinct == arrivalResidues &&
+      arrivalResidues.forall(r => r >= 0 && r < d11Mod),
+      s"tick residues must be distinct mod-$d11Mod values incl. $d11Res")
+    val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
+    val notArriving = arrivalResidues
+      .map(r => pmod(col("doc_id"), lit(d11Mod)) =!= lit(r))
+      .reduce(_ && _)
+    val chunksAll = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
+    val (store, ticks) = Similarity.buildStoreVersion(s, dir, tag) { store =>
+      Similarity.writeStore(
+        d16BaseDense(s, dir).filter(notArriving)
+          .withColumn("batch", lit(-1L)),
+        s"$store/dense", tickDensePart)
+      Similarity.writeStore(
+        withTsh(d16BasePostings(s, dir).filter(notArriving))
+          .withColumn("batch", lit(-1L)),
+        s"$store/sparse", tickSparsePart)
+      arrivalResidues.zipWithIndex.map { case (res, i) =>
+        val isTick = pmod(col("doc_id"), lit(d11Mod)) === lit(res)
+        val arriving = t(s, dir, "documents").filter(isTick)
+          .select("doc_id")
+        val out = graft.streaming.Streams.replayForeachBatch(s,
+          arriving.repartitionByRange(2, col("doc_id")),
+          s"docs-$fp-${d11Mod}m$res", shape = "r2", tag = tag)(
+          probe = probe,
+          foldEach = { (mb, batchId) =>
+            val bounds = mb.agg(min("doc_id"), max("doc_id")).collect()(0)
+            if (!bounds.isNullAt(0)) {
+              // unique batch partition per (tick, micro-batch): batch
+              // ids restart at 0 per replay, and tick i's fold must
+              // never overwrite tick i-1's partitions
+              val seq = i * 100L + batchId
+              val chunks = chunksAll.filter(
+                col("doc_id").between(bounds.getLong(0),
+                  bounds.getLong(1)) && isTick)
+              Similarity.writeStore(
+                Similarity.encodeChunks(chunks)
+                  .withColumn("batch", lit(seq)),
+                s"$store/dense", tickDensePart, dynamicOverwrite = true)
+              Similarity.writeStore(
+                withTsh(Similarity.rawPostings(chunks.select(
+                  col("doc_id"), col("chunk_idx"), col("chunk_text"))))
+                  .withColumn("batch", lit(seq)),
+                s"$store/sparse", tickSparsePart, dynamicOverwrite = true)
+            }
+          })
+        afterTick(i, store)
+        out
+      }
+    }
+    (ticks, store)
+  }
+
+  /** A tick store side as its readers see it: the data columns plus the
+    * `batch` partition column (int after dir-name round-trip) for delta
+    * pruning; `bkt` recast to long so serving joins stay in one
+    * keyspace (the s21 partition-column type note). */
+  private[operators] def tickSide(s: SparkSession, store: String,
+                                  sub: String): DataFrame = {
+    val raw = s.read.parquet(s"$store/$sub")
+    val dataCols = if (sub == "dense") tickDenseCols else tickSparseCols
+    val projected = raw.select((dataCols :+ "batch").map(col): _*)
+    if (sub == "dense")
+      projected.withColumn("bkt", col("bkt").cast("long"))
+    else projected
+  }
+
+  /** D17: THE TICK ON THE VERSIONED STORE — d16's successor entry
+    * (round-16 verdict item 1): the identical ingest tick (same arrival
+    * slice, same verdict+tag probe, same fold encodes), with the fold
+    * deltas landing as batch=<seq> partitions of a
+    * [[Similarity.buildStoreVersion]] snapshot next to the base
+    * artifacts instead of a hand-retained tmpdir delta area. Per-doc
+    * readbacks prune on the leading batch partition column (batch >= 0
+    * — exactly the fold output, O(batch), base partitions never read).
+    * Oracle: [[d16Sql]] VERBATIM — the store lineage must be invisible
+    * to results; DedupSpec additionally pins store state (base + delta
+    * partitions, tick ≡ one-shot rebuild on both sides). */
+  val d17TickStore: Q = (s, dir) => {
+    val (ticks, store) = tickStore(s, dir, "d17", Seq(d11Res),
+      probe = verdictTagProbe(s, dir))
+    val denseDeltas = tickSide(s, store, "dense").filter(col("batch") >= 0)
+    val sparseDeltas = tickSide(s, store, "sparse").filter(col("batch") >= 0)
+    val nChunks = denseDeltas
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val nPost = sparseDeltas
+      .groupBy("doc_id").agg(count(lit(1)).as("n_postings"),
+        sum("tf").as("n_tokens"))
+    ticks.head
+      .join(nChunks, Seq("doc_id"), "left")
+      .join(nPost, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dups"), col("best_jaccard"),
+        col("verdict"), col("cluster"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The d18 maintenance pass over a freshly ticked store — split out
+    * so the spec can pin store state after each leg via `afterLeg`.
+    * Legs, in cadence order: (1) DELTA + TOMBSTONE FOLD — all rows of
+    * both sides, minus the [[Similarity.s24Tombstones]] delete set
+    * (broadcast anti-join, map-side against the store scan inside the
+    * staged rewrite), rewritten back into the single batch=-1 base
+    * layout through [[graft.sources.Sinks.rewritePartitioned]]'s atomic
+    * rename-aside swap (the batch-level directory set itself changes —
+    * delta dirs disappear — which is exactly the layout change that
+    * earns the swap over an in-place mutation); (2) REBUCKET-DUE
+    * readout — prof8's integer trigger rule over the folded index's
+    * n_total, the check that closes the daily loop. Returns the 1-row
+    * health frame. */
+  private[operators] def d18Maintain(s: SparkSession, dir: String,
+      store: String, afterLeg: String => Unit = _ => ()): DataFrame = {
+    val tomb = Similarity.s24Tombstones(s, dir)
+    Seq("dense", "sparse").foreach { sub =>
+      val partCols = if (sub == "dense") tickDensePart else tickSparsePart
+      val all = s.read.parquet(s"$store/$sub")
+      val kept = graft.sources.Sinks
+        .antiJoinTombstones(all, tomb, Seq("doc_id"))
+        .drop("batch").withColumn("batch", lit(-1L))
+      graft.sources.Sinks.rewritePartitioned(s, s"$store/$sub",
+        kept, partCols)
+    }
+    afterLeg("fold")
+    val health = tickSide(s, store, "dense")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("planes_committed", lit(Similarity.planes))
+      .withColumn("planes_recommended",
+        expr(Similarity.planesForCaseSql("n_total")).cast("int"))
+      .withColumn("rebucket_due",
+        (col("planes_recommended") > lit(Similarity.planes)).cast("int"))
+    afterLeg("health")
+    health
+  }
+
+  /** D18: TICK-THEN-MAINTAIN (round-16 verdict item 2) — the daily
+    * operations loop as ONE gated entry: run [[d17TickStore]]'s tick
+    * (same slice, same probe, same folds, own store lineage), then the
+    * maintenance cadence on the SAME store version ([[d18Maintain]]:
+    * delta+tombstone fold through the atomic swap, then the rebucket-due
+    * readout), then SERVE the s15 query window from the maintained
+    * store with the health readout riding every row (the one-frame-
+    * gates-the-whole-loop rule from d16). Oracle: the composition of
+    * the stages' own duals — [[Similarity.s24Sql]] (serving over
+    * rebuild-minus-deleted: base ∪ arrivals = corpus, so the ticked,
+    * folded store must serve exactly what s24's lifecycle serves)
+    * joined to a relational recompute of the folded index's n_total
+    * and prof8's integer trigger rule. Scale shape: tick as d17; the
+    * fold is the one store rewrite the maintenance cadence budgets
+    * (s21/s24's cost class); health is O(metadata); serving is the
+    * standard broadcast-probe join. */
+  val d18TickMaintain: Q = (s, dir) => {
+    val (_, store) = tickStore(s, dir, "d18", Seq(d11Res),
+      probe = verdictTagProbe(s, dir))
+    val health = d18Maintain(s, dir, store)
+    val served = Similarity.retrieveTopK(Similarity.s15QueryFrame(s, dir),
+      tickSide(s, store, "dense").drop("batch"),
+      Similarity.planes, Similarity.s10K)
+    served.crossJoin(broadcast(health))
+      .orderBy("qid", "rk")
+  }
+
+  /** Arrival slices of the d19 multi-tick replay: three DISJOINT
+    * residues of the d11 mod split, folded in three consecutive ticks.
+    * Base = the remaining residues, so after the final tick the store
+    * holds exactly the full corpus — the property d19's verbatim-s10
+    * oracle rides on. */
+  private[operators] val d19Residues = Seq(d11Res, 5L, 6L)
+
+  /** D19: MULTI-TICK CONVERGENCE (round-16 verdict item 3) — d16/d17
+    * replay ONE tick; this entry replays THREE over disjoint arrival
+    * slices into one store lineage, the compounding test that catches
+    * counter-merge drift (each fold must leave the store equal to a
+    * one-shot rebuild of everything folded SO FAR, not just the first).
+    * The gated output serves the s10 query window from the post-3-tick
+    * store; oracle = the s10 serving SQL VERBATIM (base ∪ the three
+    * slices = corpus — the d15-reuses-d9 pattern: same oracle,
+    * different physical path). The PER-TICK invariant — refreshed ≡
+    * one-shot rebuild after EVERY tick, on both sides, plus additive
+    * df/len counter-merge — is pinned by DedupSpec through
+    * [[tickStore]]'s afterTick hook. Probe = identity (the verdict leg
+    * is d16/d17's story; here the folds are under test). */
+  val d19MultiTick: Q = (s, dir) => {
+    val (_, store) = tickStore(s, dir, "d19", d19Residues,
+      probe = identity)
+    Similarity.retrieveTopK(Similarity.s10QueryFrame(s, dir),
+      tickSide(s, store, "dense").drop("batch"),
+      Similarity.planes, Similarity.s10K)
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -1210,6 +1488,9 @@ object Dedup {
     "d11_incremental_dedup" -> d11IncrementalDedup,
     "d12_stream_ingest_gate" -> d12StreamIngestGate,
     "d16_ingest_tick" -> d16IngestTick,
+    "d17_tick_store" -> d17TickStore,
+    "d18_tick_maintain" -> d18TickMaintain,
+    "d19_multi_tick" -> d19MultiTick,
     "d13_stream_cluster_tag" -> d13StreamClusterTag,
   )
 
@@ -1332,6 +1613,30 @@ object Dedup {
         LEFT JOIN sp ON sp.doc_id = v.doc_id
         ORDER BY v.doc_id"""
 
+  /** d18 oracle: the composition of the maintenance stages' own duals
+    * (round-16 verdict item 2) — [[Similarity.s24Sql]] as the serving
+    * leg (the ticked-then-folded store ≡ rebuild-minus-deleted: base ∪
+    * arrivals = corpus, and the tombstone fold is the only row-set
+    * mutation), joined to a relational recompute of the folded index's
+    * row count and prof8's INTEGER re-bucket trigger rule over it
+    * ([[Similarity.planesForCaseSql]] emits the same CASE text both
+    * engines evaluate). */
+  private lazy val d18Sql: String = {
+    val kept =
+      s"NOT (c3.doc_id % ${Similarity.s24DelMod} = ${Similarity.s24DelRes})"
+    s"""WITH srv AS (SELECT * FROM (${Similarity.s24Sql})),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+              FROM (WITH ${Similarity.cidxCtes(kept)}
+                    SELECT doc_id FROM cidx))
+        SELECT srv.*, n.n_total,
+          ${Similarity.planes} AS planes_committed,
+          CAST(${Similarity.planesForCaseSql("n.n_total")} AS INT)
+            AS planes_recommended,
+          CAST(${Similarity.planesForCaseSql("n.n_total")} >
+            ${Similarity.planes} AS INT) AS rebucket_due
+        FROM srv, n ORDER BY qid, rk"""
+  }
+
   lazy val oracle: Map[String, String] = Map(
     // Same shingle CTE; the contamination join is a plain relational
     // join in the oracle (no broadcast semantics to mirror).
@@ -1440,6 +1745,14 @@ object Dedup {
     // equals the one-shot recompute — d13's SQL left-joined to
     // relational chunk/posting counts of the arriving slice.
     "d16_ingest_tick" -> d16Sql,
+    // d17 gates on d16's composed dual VERBATIM: the versioned store
+    // lineage must be invisible to results (round-16 verdict item 1)
+    "d17_tick_store" -> d16Sql,
+    "d18_tick_maintain" -> d18Sql,
+    // base ∪ the three arrival slices = corpus, so the post-3-tick
+    // store must serve exactly the full-corpus serving SQL (the
+    // d15-reuses-d9 pattern; per-tick convergence is spec-pinned)
+    "d19_multi_tick" -> Similarity.s10Sql,
     // Transitive closure via recursive CTE — a genuinely different
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.

@@ -1912,7 +1912,7 @@ object Similarity {
     * Builds of the SAME root serialize on the per-store monitor
     * (concurrent identical rebuilds would only burn CPU — content is
     * a pure function of the source dir). */
-  private def buildStoreVersion[T](s: SparkSession, dir: String,
+  private[operators] def buildStoreVersion[T](s: SparkSession, dir: String,
                                    tag: String)
                                   (build: String => T): (String, T) = {
     val root = storeRoot(s, dir, tag)
@@ -1953,15 +1953,37 @@ object Similarity {
     * BYTES reproduce run-to-run — the property prof9's size readout
     * gates on (and a generally good one: stable encodings, stable
     * min/max stats). `append` = the fold writes; false = the base
-    * snapshot. */
-  private def writeStore(df: DataFrame, store: String,
+    * snapshot. `dynamicOverwrite` = the STREAMING fold writes (d17's
+    * tick): overwrite ONLY the partitions this frame touches — with a
+    * batch partition column that is exactly the write's own batch=<id>
+    * dirs, so an at-least-once foreachBatch retry REWRITES its own
+    * partitions instead of appending duplicates (the idempotent
+    * batch-subdir rule, expressed through the store writer). */
+  private[operators] def writeStore(df: DataFrame, store: String,
                          partCols: Seq[String],
-                         append: Boolean = false): Unit = {
+                         append: Boolean = false,
+                         dynamicOverwrite: Boolean = false): Unit = {
+    require(!(append && dynamicOverwrite),
+      "append and dynamicOverwrite are different fold disciplines")
     val sortCols = (partCols ++ Seq("doc_id", "chunk_idx")).map(col)
     val w = df.repartition(partCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*).write
-    (if (append) w.mode(org.apache.spark.sql.SaveMode.Append) else w)
-      .partitionBy(partCols: _*).parquet(store)
+      // pin the writer knobs the prof9 byte goldens depend on (round-16
+      // advice): codec and row-group size are otherwise AMBIENT defaults
+      // (spark.sql.parquet.compression.codec / parquet.block.size), so a
+      // config drift would move every store's bytes at once — pinned
+      // here, the golden's environment surface is the code plus the
+      // Spark/parquet library version (the documented re-harvest axis).
+      // Values = today's defaults, so committed goldens stay valid.
+      .option("compression", "snappy")
+      .option("parquet.block.size", (128L * 1024 * 1024).toString)
+    val modal =
+      if (dynamicOverwrite)
+        w.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+      else if (append) w.mode(org.apache.spark.sql.SaveMode.Append)
+      else w
+    modal.partitionBy(partCols: _*).parquet(store)
   }
 
   /** The arriving batch of the s15 fold, split into `parts` sub-batches
@@ -3017,7 +3039,7 @@ object Similarity {
         FROM ranked WHERE rk <= $s10K ORDER BY qid, rk"""
   }
 
-  private lazy val s10Sql: String =
+  private[operators] lazy val s10Sql: String =
     s10SqlFor(s"doc_id < $s10QueryDocs")
 
   /** s20 oracle: the s10 serving SQL with the radius-2 mask literal —
@@ -3630,7 +3652,7 @@ object Similarity {
     * in the index CTE — the delete predicate is the ONLY diff (the s22
     * one-variable pattern), so the gate isolates exactly the fold:
     * served-after-fold ≡ rebuild-minus-deleted. */
-  private lazy val s24Sql: String =
+  private[operators] lazy val s24Sql: String =
     s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}",
       probeMasksSql,
       s"NOT (c3.doc_id % $s24DelMod = $s24DelRes)")

@@ -398,4 +398,154 @@ class DedupSpec extends SparkSpec {
     assert(served === s10,
       "serving through the tick's refreshed index diverged from s10")
   }
+
+  // ---------------------------------------------------------------- //
+  // d17/d18/d19: the tick on the versioned store lineage
+  // ---------------------------------------------------------------- //
+
+  /** Canonical row keys of a dense index frame (store reads carry the
+    * batch partition column; comparisons project it away). */
+  private def denseSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("chunk_idx"), col("bkt").cast("long"),
+      col("cn")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+
+  private def sparseSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("token"), col("doc_id"), col("chunk_idx"), col("tf"),
+      col("len")).collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2), r.getLong(3), r.getInt(4))).sorted.toSeq
+
+  private def batchDirs(store: String, sub: String): Seq[Long] =
+    new java.io.File(s"$store/$sub").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
+
+  test("d17 tick store: fold deltas land as batch=<seq> partitions of " +
+    "ONE versioned snapshot next to the base artifacts (published via " +
+    "the lineage resolver); store ≡ one-shot rebuilds on both sides; " +
+    "the gated output is row-identical to d16 — the store lineage is " +
+    "invisible to results") {
+    val (ticks, store) = Dedup.tickStore(spark, dir, "d17",
+      Seq(Dedup.d11Res),
+      probe = Dedup.verdictTagProbe(spark, dir))
+    assert(ticks.size === 1)
+    assert(Similarity.idxStore(spark, dir, "d17") === store,
+      "built version was not the published one")
+    // layout: base snapshot at batch=-1, one delta partition per
+    // micro-batch (2-file staging → 2 batches), on BOTH sides
+    assert(batchDirs(store, "dense") === Seq(-1L, 0L, 1L),
+      s"dense layout: ${batchDirs(store, "dense")}")
+    assert(batchDirs(store, "sparse") === Seq(-1L, 0L, 1L),
+      s"sparse layout: ${batchDirs(store, "sparse")}")
+    // store ≡ one-shot rebuilds (base ∪ arrivals = full corpus)
+    assert(denseSet(Dedup.tickSide(spark, store, "dense"))
+      === denseSet(Similarity.retrievalIndex(spark, dir)),
+      "tick-store dense side diverged from a full rebuild")
+    assert(sparseSet(Dedup.tickSide(spark, store, "sparse"))
+      === sparseSet(Similarity.rawPostingsFull(spark, dir)),
+      "tick-store sparse side diverged from a full rebuild")
+    // the gated claim: d17's output ≡ d16's, row-for-row
+    val d17 = graft.SparkEntry.queries("d17_tick_store")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val d16 = graft.SparkEntry.queries("d16_ingest_tick")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(d17 === d16, "d17 gated output diverged from d16")
+  }
+
+  test("d18 tick-then-maintain: the fold collapses delta partitions " +
+    "into the batch=-1 base layout and physically removes tombstoned " +
+    "docs on BOTH sides; the health readout matches the integer " +
+    "trigger rule; a crash mid-swap leaves the store serving the " +
+    "pre-fold content (delta dirs + tombstones intact)") {
+    val (_, store) = Dedup.tickStore(spark, dir, "d18",
+      Seq(Dedup.d11Res), probe = identity)
+    val preDense = denseSet(Dedup.tickSide(spark, store, "dense"))
+    val preLayout = batchDirs(store, "dense")
+    assert(preLayout.exists(_ >= 0), "tick left no delta partitions")
+    // crash before rename #0 of the dense fold swap: the serving store
+    // is untouched — same rows, same delta layout — and the version
+    // stays recoverable by simply re-running the maintenance
+    graft.sources.Sinks.crashBeforeRename = 0
+    try intercept[IllegalStateException] {
+      Dedup.d18Maintain(spark, dir, store)
+    } finally graft.sources.Sinks.crashBeforeRename = -1
+    assert(batchDirs(store, "dense") === preLayout,
+      "crashed fold changed the store layout")
+    assert(denseSet(Dedup.tickSide(spark, store, "dense")) === preDense,
+      "crashed fold changed the served rows")
+    // the rerun folds through: single base partition, tombstoned rows
+    // physically gone, survivors ≡ rebuild-minus-deleted on both sides
+    val legs = scala.collection.mutable.ArrayBuffer[String]()
+    val health = Dedup.d18Maintain(spark, dir, store, legs += _)
+    assert(legs.toSeq === Seq("fold", "health"))
+    assert(batchDirs(store, "dense") === Seq(-1L), "delta dirs survived")
+    assert(batchDirs(store, "sparse") === Seq(-1L), "delta dirs survived")
+    val keep = pmod(col("doc_id"), lit(Similarity.s24DelMod)) =!=
+      lit(Similarity.s24DelRes)
+    assert(denseSet(Dedup.tickSide(spark, store, "dense"))
+      === denseSet(Similarity.retrievalIndex(spark, dir).filter(keep)),
+      "folded dense side != rebuild-minus-deleted")
+    assert(sparseSet(Dedup.tickSide(spark, store, "sparse"))
+      === sparseSet(Similarity.rawPostingsFull(spark, dir).filter(keep)),
+      "folded sparse side != rebuild-minus-deleted")
+    // health readout ≡ the prof8 trigger arithmetic over the folded rows
+    val h = health.collect()(0)
+    val nTotal = Similarity.retrievalIndex(spark, dir).filter(keep).count()
+    assert(h.getAs[Long]("n_total") === nTotal)
+    assert(h.getAs[Int]("planes_committed") === Similarity.planes)
+    assert(h.getAs[Int]("planes_recommended")
+      === Similarity.planesFor(nTotal))
+    assert(h.getAs[Int]("rebucket_due")
+      === (if (Similarity.planesFor(nTotal) > Similarity.planes) 1 else 0))
+  }
+
+  test("d19 multi-tick convergence: after EVERY tick the store equals " +
+    "a one-shot rebuild of base ∪ slices-so-far on both sides (the " +
+    "compounding invariant); df/len counters merge additively across " +
+    "batch partitions; final serving ≡ the s10 gate") {
+    val residues = Dedup.d19Residues
+    val ticked = scala.collection.mutable.ArrayBuffer[Int]()
+    val (_, store) = Dedup.tickStore(spark, dir, "d19", residues,
+      probe = identity,
+      afterTick = { (i, st) =>
+        ticked += i
+        // slices-so-far = corpus minus the residues NOT yet folded
+        val excluded = residues.drop(i + 1)
+        val soFar = excluded
+          .map(r => pmod(col("doc_id"), lit(Dedup.d11Mod)) =!= lit(r))
+          .foldLeft(lit(true))(_ && _)
+        assert(denseSet(Dedup.tickSide(spark, st, "dense"))
+          === denseSet(Similarity.retrievalIndex(spark, dir)
+            .filter(soFar)),
+          s"dense store after tick $i != rebuild of slices-so-far")
+        assert(sparseSet(Dedup.tickSide(spark, st, "sparse"))
+          === sparseSet(Similarity.rawPostingsFull(spark, dir)
+            .filter(soFar)),
+          s"sparse store after tick $i != rebuild of slices-so-far")
+      })
+    assert(ticked.toSeq === Seq(0, 1, 2), "not every tick ran the hook")
+    // counter additivity (the s18 df/len contract, compounded): per-
+    // batch-partition stats SUMMED equal the one-shot rebuild's stats —
+    // the merge a production stats table performs at every fold
+    val summed = spark.read.parquet(s"$store/sparse")
+      .groupBy("batch", "token").agg(count(lit(1)).as("df"),
+        sum(col("len")).as("ls"))
+      .groupBy("token").agg(sum("df").as("df"), sum("ls").as("ls"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rebuilt = Similarity.rawPostingsFull(spark, dir)
+      .groupBy("token").agg(count(lit(1)).as("df"),
+        sum(col("len")).as("ls"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(summed === rebuilt,
+      "per-batch df/len sums diverged from the rebuild stats")
+    // final serving through the converged store ≡ the s10 gate
+    val served = graft.SparkEntry.queries("d19_multi_tick")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val s10 = graft.SparkEntry.queries("s10_retrieve")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === s10, "post-3-tick serving diverged from s10")
+  }
 }
