@@ -1358,7 +1358,7 @@ object Dedup {
     * to results; DedupSpec additionally pins store state (base + delta
     * partitions, tick ≡ one-shot rebuild on both sides). */
   val d17TickStore: Q = (s, dir) => {
-    val (ticks, store) = tickStore(s, dir, "d17", Seq(d11Res),
+    val (ticks, store) = tickStore(s, dir, "d17_tick_store", Seq(d11Res),
       probe = verdictTagProbe(s, dir))
     val denseDeltas = tickSide(s, store, "dense").filter(col("batch") >= 0)
     val sparseDeltas = tickSide(s, store, "sparse").filter(col("batch") >= 0)
@@ -1432,7 +1432,7 @@ object Dedup {
     * (s21/s24's cost class); health is O(metadata); serving is the
     * standard broadcast-probe join. */
   val d18TickMaintain: Q = (s, dir) => {
-    val (_, store) = tickStore(s, dir, "d18", Seq(d11Res),
+    val (_, store) = tickStore(s, dir, "d18_tick_maintain", Seq(d11Res),
       probe = verdictTagProbe(s, dir))
     val health = d18Maintain(s, dir, store)
     val served = Similarity.retrieveTopK(Similarity.s15QueryFrame(s, dir),
@@ -1463,7 +1463,7 @@ object Dedup {
     * [[tickStore]]'s afterTick hook. Probe = identity (the verdict leg
     * is d16/d17's story; here the folds are under test). */
   val d19MultiTick: Q = (s, dir) => {
-    val (_, store) = tickStore(s, dir, "d19", d19Residues,
+    val (_, store) = tickStore(s, dir, "d19_multi_tick", d19Residues,
       probe = identity)
     Similarity.retrieveTopK(Similarity.s10QueryFrame(s, dir),
       tickSide(s, store, "dense").drop("batch"),

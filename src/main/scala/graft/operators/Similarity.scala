@@ -3086,8 +3086,10 @@ object Similarity {
   /** prof9 golden VALUES rows — (n_docs, n_pos, bkt, kib) per
     * committed scale: the per-bucket store size in KiB under the
     * deterministic write discipline; harvested from two byte-identical
-    * fresh-JVM runs per scale (2026-08-15). Same re-harvest rule and
-    * pinned keys as [[s23Goldens]]. */
+    * fresh-JVM runs per scale (2026-08-15; the sf1 key (50000, 49944)
+    * added 2026-08-15 round 17 per the verdict — the full sf1 sweep
+    * now exercises the size readout instead of failing the dispatch
+    * join). Same re-harvest rule and pinned keys as [[s23Goldens]]. */
   private val prof9Goldens: String =
     """(500, 352, 0, 2),
             (500, 352, 1, 2),
@@ -3227,7 +3229,71 @@ object Similarity {
             (5000, 3468, 60, 20),
             (5000, 3468, 61, 17),
             (5000, 3468, 62, 10),
-            (5000, 3468, 63, 16)"""
+            (5000, 3468, 63, 16),
+            (50000, 49944, 0, 1492),
+            (50000, 49944, 1, 210),
+            (50000, 49944, 2, 494),
+            (50000, 49944, 3, 80),
+            (50000, 49944, 4, 619),
+            (50000, 49944, 5, 102),
+            (50000, 49944, 6, 192),
+            (50000, 49944, 7, 41),
+            (50000, 49944, 8, 2166),
+            (50000, 49944, 9, 481),
+            (50000, 49944, 10, 1413),
+            (50000, 49944, 11, 366),
+            (50000, 49944, 12, 569),
+            (50000, 49944, 13, 169),
+            (50000, 49944, 14, 398),
+            (50000, 49944, 15, 128),
+            (50000, 49944, 16, 444),
+            (50000, 49944, 17, 98),
+            (50000, 49944, 18, 149),
+            (50000, 49944, 19, 43),
+            (50000, 49944, 20, 450),
+            (50000, 49944, 21, 120),
+            (50000, 49944, 22, 152),
+            (50000, 49944, 23, 48),
+            (50000, 49944, 24, 671),
+            (50000, 49944, 25, 255),
+            (50000, 49944, 26, 414),
+            (50000, 49944, 27, 177),
+            (50000, 49944, 28, 492),
+            (50000, 49944, 29, 220),
+            (50000, 49944, 30, 336),
+            (50000, 49944, 31, 167),
+            (50000, 49944, 32, 1037),
+            (50000, 49944, 33, 124),
+            (50000, 49944, 34, 301),
+            (50000, 49944, 35, 45),
+            (50000, 49944, 36, 905),
+            (50000, 49944, 37, 121),
+            (50000, 49944, 38, 249),
+            (50000, 49944, 39, 45),
+            (50000, 49944, 40, 3278),
+            (50000, 49944, 41, 684),
+            (50000, 49944, 42, 1888),
+            (50000, 49944, 43, 481),
+            (50000, 49944, 44, 1980),
+            (50000, 49944, 45, 479),
+            (50000, 49944, 46, 1115),
+            (50000, 49944, 47, 347),
+            (50000, 49944, 48, 268),
+            (50000, 49944, 49, 54),
+            (50000, 49944, 50, 79),
+            (50000, 49944, 51, 27),
+            (50000, 49944, 52, 608),
+            (50000, 49944, 53, 134),
+            (50000, 49944, 54, 179),
+            (50000, 49944, 55, 51),
+            (50000, 49944, 56, 781),
+            (50000, 49944, 57, 257),
+            (50000, 49944, 58, 419),
+            (50000, 49944, 59, 176),
+            (50000, 49944, 60, 1268),
+            (50000, 49944, 61, 531),
+            (50000, 49944, 62, 789),
+            (50000, 49944, 63, 396)"""
 
   private lazy val prof9Sql: String = {
     val base = s"doc_id % $s15Mod <> $s15Res"

@@ -426,11 +426,11 @@ class DedupSpec extends SparkSpec {
     "the lineage resolver); store ≡ one-shot rebuilds on both sides; " +
     "the gated output is row-identical to d16 — the store lineage is " +
     "invisible to results") {
-    val (ticks, store) = Dedup.tickStore(spark, dir, "d17",
+    val (ticks, store) = Dedup.tickStore(spark, dir, "d17_tick_store",
       Seq(Dedup.d11Res),
       probe = Dedup.verdictTagProbe(spark, dir))
     assert(ticks.size === 1)
-    assert(Similarity.idxStore(spark, dir, "d17") === store,
+    assert(Similarity.idxStore(spark, dir, "d17_tick_store") === store,
       "built version was not the published one")
     // layout: base snapshot at batch=-1, one delta partition per
     // micro-batch (2-file staging → 2 batches), on BOTH sides
@@ -458,7 +458,7 @@ class DedupSpec extends SparkSpec {
     "docs on BOTH sides; the health readout matches the integer " +
     "trigger rule; a crash mid-swap leaves the store serving the " +
     "pre-fold content (delta dirs + tombstones intact)") {
-    val (_, store) = Dedup.tickStore(spark, dir, "d18",
+    val (_, store) = Dedup.tickStore(spark, dir, "d18_tick_maintain",
       Seq(Dedup.d11Res), probe = identity)
     val preDense = denseSet(Dedup.tickSide(spark, store, "dense"))
     val preLayout = batchDirs(store, "dense")
@@ -506,7 +506,7 @@ class DedupSpec extends SparkSpec {
     "batch partitions; final serving ≡ the s10 gate") {
     val residues = Dedup.d19Residues
     val ticked = scala.collection.mutable.ArrayBuffer[Int]()
-    val (_, store) = Dedup.tickStore(spark, dir, "d19", residues,
+    val (_, store) = Dedup.tickStore(spark, dir, "d19_multi_tick", residues,
       probe = identity,
       afterTick = { (i, st) =>
         ticked += i

@@ -9,7 +9,7 @@ in DuckDB against views over <sfDir>/*.parquet, canonicalizes both results
 
 Dev tool only — the engine itself has no Python/DuckDB dependency.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,8 +35,12 @@ def canon(rows, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver-generated sf dirs hold single-file tables; ad-hoc
+        # Spark-written ones (e.g. the sf1 copy) hold directories
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
