@@ -1240,6 +1240,13 @@ object Dedup {
   private[operators] val tickDensePart = Seq("batch", "bkt")
   private[operators] val tickSparsePart = Seq("batch", "tsh")
 
+  /** Batch-partition ids per tick: tick i's micro-batch b folds into
+    * batch = i·span + b. The gated replays stage 2 micro-batches
+    * (shape r2); the span leaves production headroom and [[tickStore]]
+    * REQUIRES b < span — silent cross-tick overwrite is the one
+    * failure dynamic partition overwrite would not surface. */
+  private[operators] val tickBatchSpan = 100L
+
   /** D17 MACHINERY — ONE VERSIONED TICK STORE (round-16 verdict item
     * 1): d16 proved the tick's shape but parked its fold deltas in a
     * hand-retained tmpdir area OUTSIDE the snapshot machinery every
@@ -1309,8 +1316,15 @@ object Dedup {
             if (!bounds.isNullAt(0)) {
               // unique batch partition per (tick, micro-batch): batch
               // ids restart at 0 per replay, and tick i's fold must
-              // never overwrite tick i-1's partitions
-              val seq = i * 100L + batchId
+              // never overwrite tick i-1's partitions. The span guard
+              // is load-bearing BECAUSE the write is a dynamic
+              // overwrite: an unguarded batchId >= span would land in
+              // the NEXT tick's namespace and silently replace its
+              // fold (review-pass finding)
+              require(batchId >= 0 && batchId < tickBatchSpan,
+                s"micro-batch id $batchId outside the per-tick span " +
+                  s"$tickBatchSpan — widen tickBatchSpan")
+              val seq = i * tickBatchSpan + batchId
               val chunks = chunksAll.filter(
                 col("doc_id").between(bounds.getLong(0),
                   bounds.getLong(1)) && isTick)

@@ -155,18 +155,12 @@ object Sinks {
     val read = spark.read.parquet(path)
     val df = tombstones.fold(read)(t =>
       antiJoinTombstones(read, t, keyCols))
-    if (tombstones.isDefined)
-      // a fold that deletes EVERYTHING would swap in a dir holding only
-      // _SUCCESS — unreadable (no schema) — and brick the store; whole-
-      // store deletion is an explicit drop, not a compaction. limit(1)
-      // early-exits, so the guard costs ~one task, not a store scan.
-      require(!df.limit(1).isEmpty,
-        s"tombstone fold would delete every row of $path — refusing; " +
-          "drop the store explicitly instead")
-    val staged = stagePath(path)
-    df.repartition(partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(staged)
-    swapInPlace(spark, path, staged)
+    // a fold that deletes EVERYTHING would swap in a dir holding only
+    // _SUCCESS — unreadable (no schema) — and brick the store; whole-
+    // store deletion is an explicit drop, not a compaction. The guard
+    // is the shared staged-output check (see stageSwapChecked).
+    stageSwapChecked(spark, path, df, partCols,
+      "compactPartitioned")
   }
 
   /** WHOLE-TABLE REWRITE under a possibly DIFFERENT partition keyspace
@@ -187,20 +181,29 @@ object Sinks {
   def rewritePartitioned(spark: SparkSession, path: String,
                          df: DataFrame, partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "rewritePartitioned needs partition columns")
+    stageSwapChecked(spark, path, df, partCols, "rewritePartitioned")
+  }
+
+  /** THE guarded commit shared by every partitioned swap client
+    * (compaction's tombstone fold, the re-bucket rewrite): stage the
+    * partitioned write, REFUSE the swap if the staged output holds no
+    * data files — swapping a schema-less dir (_SUCCESS only) in would
+    * brick the store; whole-store deletion is an explicit drop, not a
+    * rewrite. The guard runs on the STAGED OUTPUT, after the write
+    * (round-16 advice): checking the input frame cost an extra
+    * limit(1) job AND guarded the wrong thing — a frame racing to
+    * empty between check and write would still have swapped an empty
+    * table in; one listing of what actually swaps closes both, for ALL
+    * swap clients (a review pass found the first cut fixed only one).
+    * The empty staged dir is deleted before refusing: by definition it
+    * holds no data, so this cannot destroy the only copy of anything
+    * (unlike the swap failure paths, which keep everything). */
+  private def stageSwapChecked(spark: SparkSession, path: String,
+                               df: DataFrame, partCols: Seq[String],
+                               what: String): Unit = {
     val staged = stagePath(path)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(staged)
-    // same refusal as compactPartitioned's tombstone fold: swapping an
-    // EMPTY table in would serve a schema-less dir (_SUCCESS only) and
-    // brick the store — whole-store deletion is an explicit drop, not a
-    // rewrite. The guard runs on the STAGED OUTPUT, after the write
-    // (round-16 advice): checking the input frame cost an extra
-    // limit(1) job AND guarded the wrong thing — a frame racing to
-    // empty between check and write would still have swapped an empty
-    // table in; one listing of what would actually swap closes both.
-    // The empty staged dir is deleted before refusing: by definition it
-    // holds no data, so this cannot destroy the only copy of anything
-    // (unlike the swap failure paths, which keep everything).
     val fs = new Path(staged)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(staged), true)
@@ -212,8 +215,8 @@ object Sinks {
     if (!hasData) {
       fs.delete(new Path(staged), true)
       throw new IllegalArgumentException(
-        s"requirement failed: rewritePartitioned would swap an empty " +
-          s"table into $path — refusing; drop the store explicitly instead")
+        s"requirement failed: $what would swap an empty table " +
+          s"into $path — refusing; drop the store explicitly instead")
     }
     swapInPlace(spark, path, staged)
   }

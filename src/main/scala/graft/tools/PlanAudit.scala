@@ -60,6 +60,9 @@ object PlanAudit {
     "s27_stream_delete", // streamed tombstone arrival -> accumulated fold at compaction
     "s28_learned_hybrid", // trained-dense + BM25 legs fused by RRF, golden-keyed
     "d16_ingest_tick",   // one foreachBatch: verdict + tag + dense/sparse folds; readbacks off refreshed artifacts
+    "d17_tick_store",    // tick folds as batch= partitions of a versioned snapshot; readbacks prune on batch
+    "d18_tick_maintain", // tick -> delta+tombstone fold swap -> rebucket-due readout -> pruned serving
+    "d19_multi_tick",    // 3-tick converged store served through the s10 probe join
   )
 
   def main(args: Array[String]): Unit = {
