@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis, ZOrder}
 import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Profile, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,6 +26,7 @@ object SparkEntry {
     (AsOfJoin.queries, AsOfJoin.oracle),
     (RangeJoin.queries, RangeJoin.oracle),
     (Profile.queries, Profile.oracle),
+    (ZOrder.queries, ZOrder.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
