@@ -839,6 +839,75 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Funnel stage names in pipeline order (cheap gates first — the
+    * production ordering: a doc dropped by an early stage never costs
+    * the later stages' compute). stage_ord is 1-based into this list;
+    * 'kept' closes the funnel. */
+  private[operators] val c5Stages =
+    Seq("exact_dup", "lang", "quality", "contaminated", "boilerplate",
+      "mix_dropped", "kept")
+
+  /** C5: CURATION FUNNEL AUDIT — the disposition report a corpus build
+    * publishes next to its output: for every document, the FIRST
+    * pipeline stage that rejected it (or 'kept'), aggregated per
+    * (stage, source). This is the operational dual of c2: c2 emits the
+    * survivors, c5 accounts for every input row — the audit that
+    * answers "where did 40% of source X go" before anyone trains on
+    * the output (and the regression tripwire when a stage's drop-rate
+    * moves between builds: prof6's PSI argument applied to the
+    * pipeline itself). Same stage predicates as c1/c2 (exact-dup
+    * keeper rule, langid, quality floor, contamination threshold,
+    * boilerplate ceiling) — the oracle composes the stages' SQL twins
+    * into one first-match CASE, so the gate checks that the funnel's
+    * accounting is exactly the pipeline's semantics, not a parallel
+    * reimplementation. Scale shape: all stage frames join on doc_id
+    * (co-partitioned after the first shuffle, same as c2 — no new
+    * shuffle class); the disposition is a map-side CASE; the output
+    * aggregate is O(stages × sources) with map-side partial counts.
+    * LEFT joins (not c2's filters): every doc must land in exactly one
+    * bucket, so sum(n_docs) = corpus size — the spec's conservation
+    * pin. */
+  val c5CurationFunnel: Q = (s, dir) => {
+    val keepers = Dedup.d1Exact(s, dir)
+      .select(col("keeper").as("doc_id")).distinct()
+      .withColumn("is_keeper", lit(true))
+    val lang = t3LangId(s, dir).select(col("doc_id"), col("lang_pred"))
+    val quality = t2Quality(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val contaminated = Dedup.queries("d9_decontaminate")(s, dir)
+      .filter(col("n_hits") >= c2ContaminationHits)
+      .select(col("doc_id")).withColumn("is_cont", lit(true))
+    val hot = Dedup.queries("d10_hot_spans")(s, dir)
+      .select(col("doc_id"), col("hot_ratio"))
+    // u10's temperature-sample MEMBERSHIP is a c2 gate too (the mixture
+    // subsample): docs outside it are 'mix_dropped', so 'kept' is
+    // exactly the c2 survivor set
+    val mix = u10TemperatureSample(s, dir)
+      .select(col("doc_id")).withColumn("in_mix", lit(true))
+    val stageNames = array(c5Stages.map(lit): _*)
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(hot, Seq("doc_id"), "left")
+      .join(mix, Seq("doc_id"), "left")
+      .withColumn("stage_ord",
+        when(col("is_keeper").isNull, 1)
+          .when(col("lang_pred") =!= "en", 2)
+          .when(col("quality_score") < c1QualityFloor, 3)
+          .when(col("is_cont"), 4)
+          .when(coalesce(col("hot_ratio"), lit(0.0)) > c2HotCeiling, 5)
+          .when(col("in_mix").isNull, 6)
+          .otherwise(7).cast("int"))
+      .groupBy("stage_ord", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("stage_ord"),
+        element_at(stageNames, col("stage_ord")).as("stage"),
+        col("source"), col("n_docs"))
+      .orderBy("stage_ord", "source")
+  }
+
   // ---------------------------------------------------------------- oracles
 
   private val h = Portable.h60Sql _
@@ -864,6 +933,7 @@ object TextAnalysis {
     "c1_curation" -> c1Curation,
     "c2_curation_full" -> c2CurationFull,
     "c3_chunk_corpus" -> c3ChunkCorpus,
+    "c5_curation_funnel" -> c5CurationFunnel,
   )
 
   /** T9 oracle: the same merge iterations as chained CTEs over the same
@@ -1100,8 +1170,47 @@ object TextAnalysis {
         FROM ch JOIN c1 ON c1.doc_id = ch.doc_id
         ORDER BY ch.doc_id, ch.chunk_idx"""
 
+  /** C5 oracle: the stage oracles composed into one first-match CASE —
+    * LEFT joins so every document lands in exactly one funnel bucket. */
+  private lazy val c5Sql: String = {
+    val stageCase = c5Stages.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+    s"""WITH keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+        l AS (SELECT doc_id, lang_pred FROM (${oracle("t3_langid")})),
+        q AS (SELECT doc_id, quality_score FROM (${oracle("t2_quality")})),
+        cont AS (
+          SELECT doc_id FROM (${Dedup.oracle("d9_decontaminate")})
+          WHERE n_hits >= $c2ContaminationHits),
+        hot AS (
+          SELECT doc_id, hot_ratio FROM (${Dedup.oracle("d10_hot_spans")})),
+        mix AS (SELECT doc_id FROM (${u10Sql})),
+        disp AS (
+          SELECT d.source,
+            CASE WHEN k.doc_id IS NULL THEN 1
+                 WHEN l.lang_pred <> 'en' THEN 2
+                 WHEN q.quality_score < $c1QualityFloor THEN 3
+                 WHEN c.doc_id IS NOT NULL THEN 4
+                 WHEN coalesce(h.hot_ratio, 0) > $c2HotCeiling THEN 5
+                 WHEN m.doc_id IS NULL THEN 6
+                 ELSE 7 END AS stage_ord
+          FROM documents d
+          LEFT JOIN keepers k ON k.doc_id = d.doc_id
+          JOIN l ON l.doc_id = d.doc_id
+          JOIN q ON q.doc_id = d.doc_id
+          LEFT JOIN cont c ON c.doc_id = d.doc_id
+          LEFT JOIN hot h ON h.doc_id = d.doc_id
+          LEFT JOIN mix m ON m.doc_id = d.doc_id)
+        SELECT CAST(stage_ord AS INT) AS stage_ord,
+          CASE stage_ord $stageCase END AS stage,
+          source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM disp GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+  }
+
   lazy val oracleAll: Map[String, String] =
     oracle + ("c1_curation" -> c1Sql) + ("c3_chunk_corpus" -> c3Sql) +
+      ("c5_curation_funnel" -> c5Sql) +
       ("t9_bpe_train" -> t9Sql) +
       ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
       ("u9_stratified_sample" -> u9Sql) +

@@ -335,6 +335,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("c5 funnel: conserves the corpus, kept bucket ≡ c2 survivors, " +
+    "first-match ordering") {
+    val dir = "/root/testdata/sf0.001"
+    val funnel = TextAnalysis.c5CurationFunnel(spark, dir).collect()
+    // conservation: every input document lands in exactly one bucket
+    val total = funnel.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.core.Tables.t(spark, dir, "documents").count()
+    assert(total === corpus)
+    // the terminal bucket is exactly the c2 survivor set
+    val kept = funnel.filter(_.getAs[String]("stage") == "kept")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(kept === TextAnalysis.c2CurationFull(spark, dir).count())
+    // first-match ordering: stage names ride their pipeline ordinals
+    funnel.foreach { r =>
+      assert(TextAnalysis.c5Stages(r.getAs[Int]("stage_ord") - 1)
+        === r.getAs[String]("stage"))
+    }
+    // the funnel actually splits (at least dup/kept buckets exist)
+    assert(funnel.map(_.getAs[String]("stage")).toSet.size >= 2)
+  }
+
   test("t12 chunking: coverage, stride, overlap, and reconstruction " +
     "invariants on the real corpus; oracle cap pinned") {
     val dir = "/root/testdata/sf0.001"
