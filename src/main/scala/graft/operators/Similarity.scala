@@ -1036,6 +1036,45 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** PROF10: EMBEDDING OUTLIER PROFILE — the data-quality readout the
+    * embedding families assume but nothing yet measures: per-vector L2
+    * distance to the corpus centroid plus its z-score over the distance
+    * distribution. Encoder faults (zero vectors, NaN-adjacent garbage,
+    * wrong-normalization batches) land as distance outliers long
+    * before they corrupt an index or a semdedup verdict — this is the
+    * pre-flight a deployment runs on every embedding delivery, next to
+    * prof7's drift check (prof7 asks "did the distribution move",
+    * prof10 asks "which rows are broken"). Centroid = per-dim mean
+    * ROUNDED to 6 dp (the kmeansRecomputeSql cross-engine rule — the
+    * rounding makes the artifact bit-identical in both engines, so the
+    * downstream algebra agrees exactly); distance via the |c|² − 2·e·c
+    * + |e|² expansion with [[graft.plans.FloatVecDot]]'s array-order
+    * double fold — the exact IEEE order of the oracle's list_sum.
+    * Scale shape: the centroid is one map-side partial aggregate
+    * (64 doubles per partition — constant-size merge, never a
+    * corpus-sized shuffle), broadcast back; distances are map-only;
+    * the (mu, sd) reduction is one scalar agg. Nothing all-pairs,
+    * nothing driver-side. */
+  val prof10EmbeddingOutliers: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy().agg(
+        array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(transform(col("pc"), x => x.getField("c")).as("cvec"))
+      .withColumn("cn2", dotD(col("cvec"), col("cvec")))
+    val d = e.crossJoin(broadcast(cent))
+      .withColumn("dist", sqrt(greatest(
+        col("cn2") - lit(2.0) * dotD(col("embedding"), col("cvec")) +
+          dotD(col("embedding"), col("embedding")), lit(0.0))))
+      .select("vec_id", "dist")
+    val stats = d.agg(avg("dist").as("mu"), stddev_samp("dist").as("sd"))
+    d.crossJoin(broadcast(stats))
+      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"),
+        round((col("dist") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy("vec_id")
+  }
+
   /** PROF8: RETRIEVAL-INDEX HEALTH PROFILE — the s9 pre-flight
     * replayed on the LSH serving index: per-bucket occupancy (count +
     * 6-dp share) over the persisted [[retrievalIndex]], global
@@ -2784,6 +2823,30 @@ object Similarity {
         FROM t2, ps ORDER BY cluster"""
   }
 
+  /** PROF10 oracle: the same 6-dp-rounded centroid, the same expansion
+    * algebra, the same list_sum fold order. */
+  private lazy val prof10Sql: String =
+    s"""WITH cent AS (
+          SELECT list(c ORDER BY pos) AS vec FROM (
+            SELECT r.i AS pos,
+              round(AVG(CAST(embedding[r.i] AS DOUBLE)), 6) AS c
+            FROM embeddings, range(1, ${dims + 1}) r(i) GROUP BY 1)),
+        d AS (
+          SELECT e.vec_id,
+            sqrt(greatest(
+              list_sum(list_transform(range(1, ${dims + 1}),
+                i -> c.vec[i] * c.vec[i]))
+              - 2 * list_sum(list_transform(range(1, ${dims + 1}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i]))
+              + list_sum(list_transform(range(1, ${dims + 1}),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))), 0)) AS dist
+          FROM embeddings e, cent c),
+        st AS (SELECT avg(dist) AS mu, stddev_samp(dist) AS sd FROM d)
+        SELECT d.vec_id, round(d.dist, 6) AS l2_dist,
+          round((d.dist - st.mu) / st.sd, 6) AS z
+        FROM d, st ORDER BY d.vec_id"""
+
   /** Parameterized s13/s14 oracle (the SQL twin of [[ivfpqAnn]]):
     * the s7 coarse chain + the four PQ subspace chains, with the
     * candidate restriction set by the `qprobe` CTE — each query ranked
@@ -3830,6 +3893,7 @@ object Similarity {
     "s28_learned_hybrid" -> s28LearnedHybrid,
     "s29_banded_rebucket" -> s29BandedRebucket,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
+    "prof10_embedding_outliers" -> prof10EmbeddingOutliers,
     "prof8_index_health" -> prof8IndexHealth,
     "prof9_store_health" -> prof9StoreHealth,
   )
@@ -3866,6 +3930,7 @@ object Similarity {
     "s29_banded_rebucket" -> s29Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
+    "prof10_embedding_outliers" -> prof10Sql,
     "prof8_index_health" -> prof8Sql,
     "prof9_store_health" -> prof9Sql,
     "s1_cosine_topk" ->

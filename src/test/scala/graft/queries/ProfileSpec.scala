@@ -116,6 +116,37 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("prof10: z-scores standardized, distance/z ranks agree, one row per vector") {
+    val out = graft.operators.Similarity
+      .queries("prof10_embedding_outliers")(spark, dir).collect()
+    val n = graft.core.Tables.t(spark, dir, "embeddings").count()
+    assert(out.length.toLong === n)
+    val dists = out.map(_.getAs[Double]("l2_dist"))
+    val zs = out.map(_.getAs[Double]("z"))
+    assert(dists.forall(_ >= 0.0))
+    // standardization: mean(z) ≈ 0, stddev_samp(z) ≈ 1 (6-dp rounding
+    // of per-row values bounds the drift)
+    val mu = zs.sum / zs.length
+    val sd = math.sqrt(zs.map(z => (z - mu) * (z - mu)).sum / (zs.length - 1))
+    assert(math.abs(mu) < 1e-4, s"mean(z)=$mu")
+    assert(math.abs(sd - 1.0) < 1e-3, s"stddev(z)=$sd")
+    // z is a monotone standardization of distance — up to the
+    // independent 6-dp rounding of both columns (a dist tie at 6 dp can
+    // split in z, whose scale is 1/sd larger): z sorted by dist must be
+    // non-decreasing within the rounding envelope
+    val muD = dists.sum / dists.length
+    val sdD = math.sqrt(
+      dists.map(d => (d - muD) * (d - muD)).sum / (dists.length - 1))
+    val eps = 1e-6 / sdD + 2e-6 // dist-rounding amplified + z-rounding
+    val zByDist = out.sortBy(r => (r.getAs[Double]("l2_dist"),
+      r.getAs[Long]("vec_id"))).map(_.getAs[Double]("z"))
+    zByDist.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - eps, s"z must track distance order: $a -> $b")
+    }
+    // the profile actually discriminates (not all rows identical)
+    assert(zs.max > zs.min)
+  }
+
   test("profiling plans stay single-scan: no join, no cartesian, one shuffle") {
     for ((name, q) <- Profile.queries) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
