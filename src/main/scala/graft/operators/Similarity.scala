@@ -1799,6 +1799,54 @@ object Similarity {
     retrieveTopK(s10QueryFrame(s, dir), idx, s26Planes, s10K)
   }
 
+  /** S30: PUBLISHED-VERSION DIFF — the audit that closes the versioned
+    * store lineage: every lifecycle gate now publishes snapshots with
+    * {current, previous} retention, and this operator READS that
+    * window — per document, the chunk-count delta between the two
+    * published versions, labeled added/removed. This is the "what
+    * changed between yesterday's index and today's" report a serving
+    * team publishes with every swap (and the tripwire when a fold
+    * silently drops or duplicates a slice: the diff must equal the
+    * arrival minus the tombstones, nothing else). The replayed
+    * lineage: previous = the index before the d11 arrival slice
+    * landed; current = the full index after the fold AND the s24
+    * tombstone maintenance — so the diff carries BOTH directions
+    * (arrivals 'added', tombstoned docs 'removed', and a doc in both
+    * sets appears only under its net effect). Oracle: per-doc chunk
+    * counts of the c3 chain with the two modular predicates — the
+    * diff is fully relational, the store is the physical path.
+    * Scale shape: each side is one doc-keyed count over its snapshot
+    * (partial-aggregated map-side), then a full-outer join of two
+    * doc-level count frames — O(docs), not O(chunks), and orders of
+    * magnitude under the corpus; on a batch-partitioned lineage
+    * (d17's) the added side is readable from the delta partitions
+    * alone — this operator is the GENERAL differ for post-fold
+    * snapshots where the batch dimension has been compacted away. */
+  val s30VersionDiff: Q = (s, dir) => {
+    val idx = retrievalIndex(s, dir)
+    val arriving = pmod(col("doc_id"), lit(Dedup.d11Mod)) ===
+      lit(Dedup.d11Res)
+    val tombstoned = pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes)
+    val prev = buildStoreVersion(s, dir, "s30") { st =>
+      writeStore(idx.filter(!arriving), st, Seq("bkt"))
+    }._1
+    val curr = buildStoreVersion(s, dir, "s30") { st =>
+      writeStore(idx.filter(!tombstoned), st, Seq("bkt"))
+    }._1
+    val np = s.read.parquet(prev)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_prev"))
+    val nc = s.read.parquet(curr)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_curr"))
+    np.join(nc, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+      .filter(col("n_prev") =!= col("n_curr"))
+      .withColumn("change",
+        when(col("n_prev") === 0, "added").otherwise("removed"))
+      .orderBy("doc_id")
+  }
+
   /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
     * (the s14-on-s13 relationship, replayed on the LSH index): the
     * SAME query window, index artifact, and rerank, with the probe set
@@ -3851,6 +3899,27 @@ object Similarity {
         SELECT qid, rk, doc_id, chunk_idx, rrf, dense_rk, sparse_rk
         FROM rankedf WHERE rk <= $s10K ORDER BY qid, rk"""
 
+  /** S30 oracle: per-doc chunk counts of the c3 chain under the two
+    * modular predicates — previous excludes the d11 arrival slice,
+    * current excludes the s24 tombstones; the diff is the full-outer
+    * count comparison. */
+  private lazy val s30Sql: String =
+    s"""WITH ch AS (
+          SELECT doc_id, count(*) AS n
+          FROM (${TextAnalysis.c3Sql}) GROUP BY doc_id),
+        prev AS (SELECT doc_id, n FROM ch
+                 WHERE doc_id % ${Dedup.d11Mod} != ${Dedup.d11Res}),
+        curr AS (SELECT doc_id, n FROM ch
+                 WHERE doc_id % $s24DelMod != $s24DelRes)
+        SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+          CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prev,
+          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_curr,
+          CASE WHEN COALESCE(p.n, 0) = 0 THEN 'added'
+               ELSE 'removed' END AS change
+        FROM prev p FULL JOIN curr c ON p.doc_id = c.doc_id
+        WHERE COALESCE(p.n, 0) != COALESCE(c.n, 0)
+        ORDER BY 1"""
+
   /** s19 oracle: the s10 dense serving SQL and the s17 BM25 SQL as
     * leg subqueries (each already an oracled contract of its own
     * gate), fused by the shared RRF tail — the oracle composes the
@@ -3892,6 +3961,7 @@ object Similarity {
     "s27_stream_delete" -> s27StreamDelete,
     "s28_learned_hybrid" -> s28LearnedHybrid,
     "s29_banded_rebucket" -> s29BandedRebucket,
+    "s30_version_diff" -> s30VersionDiff,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof10_embedding_outliers" -> prof10EmbeddingOutliers,
     "prof8_index_health" -> prof8IndexHealth,
@@ -3928,6 +3998,7 @@ object Similarity {
     // both dials of the one generator: s26's plane count + s25/s22's
     // quality predicate — the composition is oracled relationally
     "s29_banded_rebucket" -> s29Sql,
+    "s30_version_diff" -> s30Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof10_embedding_outliers" -> prof10Sql,

@@ -1197,6 +1197,37 @@ class SimilaritySpec extends SparkSpec {
       "vacuum retention did not retire versions beyond the window")
   }
 
+  test("s30 version diff: reads the {current, previous} retention " +
+    "window; diff reconciles with the modular slices; net-effect rule") {
+    val out = Similarity.queries("s30_version_diff")(spark, dir).collect()
+    // the two versions this invocation published are both still on
+    // disk (the retention window the audit exists to read)
+    val curr = Similarity.idxStore(spark, dir, "s30")
+    val v = curr.split("/v").last.stripSuffix("/idx").toLong
+    val prevDir = curr.replace(s"/v$v/", s"/v${v - 1}/")
+    assert(new java.io.File(curr).exists() &&
+      new java.io.File(prevDir).exists(),
+      "diff must run against both retained versions")
+    // reconcile against the defining slices: added = arrival docs not
+    // tombstoned; removed = tombstoned docs that were in previous
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ch = r.getAs[String]("change")
+      if (ch == "added") {
+        assert(id % Dedup.d11Mod === Dedup.d11Res)
+        assert(r.getAs[Long]("n_prev") === 0L)
+      } else {
+        assert(id % Similarity.s24DelMod === Similarity.s24DelRes)
+        assert(r.getAs[Long]("n_curr") === 0L)
+        // net-effect rule: an arriving doc that is ALSO tombstoned
+        // never reports as removed (it was absent from previous too)
+        assert(id % Dedup.d11Mod !== Dedup.d11Res)
+      }
+    }
+    assert(out.map(_.getAs[String]("change")).toSet === Set("added", "removed"),
+      "replayed lineage must exercise both diff directions")
+  }
+
   test("store versioning under a FAILED build: retention keys on " +
     "PUBLISHED versions — a failed partial neither publishes nor " +
     "shifts the vacuum window off the version a reader still holds, " +
