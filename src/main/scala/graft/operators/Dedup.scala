@@ -1508,6 +1508,21 @@ object Dedup {
     "d13_stream_cluster_tag" -> d13StreamClusterTag,
   )
 
+  /** Shared recursive-CTE connected-components closure over the d3 LSH
+    * pairs, ending in `cc(node, cluster_rep)` — the d7/d8 oracle core,
+    * also composed by TextAnalysis's u15 split oracle (cluster-keyed
+    * split assignment rides the same closure). */
+  private[operators] lazy val ccClosureCtes: String =
+    s"""pairs AS (SELECT a, b FROM ($d3OracleSql)),
+        edges AS (SELECT a, b FROM pairs
+                  UNION ALL SELECT b AS a, a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        walk(node, reach) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+        cc AS (SELECT node, MIN(reach) AS cluster_rep FROM walk GROUP BY 1)"""
+
   private lazy val d9OracleSql: String =
     s"""WITH $shingleCte,
         bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(hs) AS g
@@ -1771,15 +1786,7 @@ object Dedup {
     // algorithm from the Spark side's min-label propagation; both must
     // land on identical components.
     "d7_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($d3OracleSql)),
-          edges AS (SELECT a, b FROM pairs
-                    UNION ALL SELECT b AS a, a AS b FROM pairs),
-          nodes AS (SELECT DISTINCT a AS node FROM edges),
-          walk(node, reach) AS (
-            SELECT node, node FROM nodes
-            UNION
-            SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-          cc AS (SELECT node, MIN(reach) AS cluster_rep FROM walk GROUP BY 1),
+      s"""WITH RECURSIVE $ccClosureCtes,
           sizes AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
                     FROM cc GROUP BY 1)
           SELECT cc.node AS doc_id, cc.cluster_rep, s.n_members
@@ -1789,15 +1796,7 @@ object Dedup {
     // argmax'd with a window — vs the Spark side's min-label propagation
     // + map-side max_by.
     "d8_cluster_keep" ->
-      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($d3OracleSql)),
-          edges AS (SELECT a, b FROM pairs
-                    UNION ALL SELECT b AS a, a AS b FROM pairs),
-          nodes AS (SELECT DISTINCT a AS node FROM edges),
-          walk(node, reach) AS (
-            SELECT node, node FROM nodes
-            UNION
-            SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
-          cc AS (SELECT node, MIN(reach) AS cluster_rep FROM walk GROUP BY 1),
+      s"""WITH RECURSIVE $ccClosureCtes,
           q AS (SELECT doc_id, quality_score
                 FROM (${TextAnalysis.oracle("t2_quality")})),
           ranked AS (

@@ -842,6 +842,48 @@ object Similarity {
     * inherits s13's contract. */
   val s14MultiprobeIvfpq: Q = (s, dir) => ivfpqAnn(s, dir, ivfProbes)
 
+  /** Recall cutoff of the s31 eval — the ANN variants' own k (s13/s14
+    * emit top-3), so recall@k compares full result lists. */
+  private[operators] val s31K = 3
+
+  /** S31: ANN RECALL EVAL — the measurement loop every ANN deployment
+    * runs before trusting an index: recall@k of each approximate
+    * variant against the exact brute-force ground truth, per query and
+    * averaged. Recall was previously a SPEC assertion (s14 ≥ s13); this
+    * gates it as a first-class artifact — the number a re-bucket / PQ
+    * retrain / probe retune is accepted or rolled back on, computed by
+    * composing three already-oracled legs (s1 exact, s13/s14 variants)
+    * so the eval itself carries a fully relational oracle. Scale
+    * shape: the variants and the ground truth are batch×k frames
+    * (corpus-independent after their own serving paths); the recall
+    * join is a left-semi on (qid, cid) over those tiny frames and the
+    * means are O(variants). At production scale ground truth comes
+    * from an exact pass over a SAMPLED query set — exactly this shape
+    * with s1's query-window dial widened. */
+  val s31AnnRecall: Q = (s, dir) => {
+    val exact = s1CosineTopK(s, dir).filter(col("rk") <= s31K)
+      .select(col("qid"), col("cid"))
+    def recallOf(approx: DataFrame, name: String): DataFrame = {
+      val hits = approx.select(col("qid"), col("cid"))
+        .join(exact, Seq("qid", "cid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      exact.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall",
+          round(col("n_hits").cast("double") / s31K, 6))
+        .withColumn("variant", lit(name))
+    }
+    val rec = recallOf(s13IvfpqAnn(s, dir), "ivfpq_p1")
+      .unionByName(recallOf(s14MultiprobeIvfpq(s, dir), s"ivfpq_p$ivfProbes"))
+    val means = rec.groupBy("variant")
+      .agg(round(avg("recall"), 6).as("mean_recall"))
+    rec.join(broadcast(means), Seq("variant"))
+      .select(col("variant"), col("qid"), col("n_hits"), col("recall"),
+        col("mean_recall"))
+      .orderBy("variant", "qid")
+  }
+
   /** Shared s13/s14 core — the IVF-PQ serving pipeline with `probes`
     * as the nprobe dial: rank the query against ALL [[kmeansK]] coarse
     * centroids (one broadcast k-row model, k map-side dots per query;
@@ -2968,6 +3010,53 @@ object Similarity {
   private lazy val s13Sql: String = ivfpqSqlFor(1)
   private lazy val s14Sql: String = ivfpqSqlFor(ivfProbes)
 
+  /** S1 oracle (named so [[s31Sql]] can compose it as the ground-truth
+    * leg): exact all-pairs cosine top-5 over the query subset. */
+  private lazy val s1Sql: String =
+    s"""WITH $normCte,
+        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+              WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e),
+        scored AS (
+          SELECT qid, cid, $dotSql / (qn * cn) AS cosine
+          FROM q JOIN c ON qid <> cid),
+        ranked AS (
+          SELECT qid, cid, cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, cid) AS INT) AS rk
+          FROM scored)
+        SELECT qid, cid, cosine, rk FROM ranked
+        WHERE rk <= 5 ORDER BY qid, rk"""
+
+  /** S31 oracle: the three legs' own SQL contracts composed — exact
+    * top-3 from [[s1Sql]], each ANN variant from its parameterized
+    * generator, recall as the per-qid semi-join count over 3. */
+  private lazy val s31Sql: String = {
+    def leg(name: String, sql: String): String =
+      s"""SELECT '$name' AS variant, q.qid,
+            CAST(count(a.cid) AS BIGINT) AS n_hits
+          FROM (SELECT DISTINCT qid FROM exact) q
+          LEFT JOIN (
+            SELECT x.qid, x.cid FROM (SELECT qid, cid FROM ($sql)) x
+            JOIN exact e ON e.qid = x.qid AND e.cid = x.cid) a
+            ON a.qid = q.qid
+          GROUP BY q.qid"""
+    s"""WITH exact AS (
+          SELECT qid, cid FROM ($s1Sql) WHERE rk <= $s31K),
+        hits AS (${leg("ivfpq_p1", s13Sql)}
+          UNION ALL ${leg(s"ivfpq_p$ivfProbes", s14Sql)}),
+        rec AS (
+          SELECT variant, qid, n_hits,
+            round(CAST(n_hits AS DOUBLE) / $s31K, 6) AS recall
+          FROM hits),
+        mr AS (
+          SELECT variant, round(avg(recall), 6) AS mean_recall
+          FROM rec GROUP BY variant)
+        SELECT r.variant, r.qid, r.n_hits, r.recall, mr.mean_recall
+        FROM rec r JOIN mr ON mr.variant = r.variant
+        ORDER BY r.variant, r.qid"""
+  }
+
   private lazy val s7Sql: String =
     s"""WITH $s7ChainCtes
         SELECT vec_id, cell AS cluster,
@@ -3962,6 +4051,7 @@ object Similarity {
     "s28_learned_hybrid" -> s28LearnedHybrid,
     "s29_banded_rebucket" -> s29BandedRebucket,
     "s30_version_diff" -> s30VersionDiff,
+    "s31_ann_recall" -> s31AnnRecall,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof10_embedding_outliers" -> prof10EmbeddingOutliers,
     "prof8_index_health" -> prof8IndexHealth,
@@ -3999,26 +4089,13 @@ object Similarity {
     // quality predicate — the composition is oracled relationally
     "s29_banded_rebucket" -> s29Sql,
     "s30_version_diff" -> s30Sql,
+    "s31_ann_recall" -> s31Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof10_embedding_outliers" -> prof10Sql,
     "prof8_index_health" -> prof8Sql,
     "prof9_store_health" -> prof9Sql,
-    "s1_cosine_topk" ->
-      s"""WITH $normCte,
-          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
-                WHERE vec_id < 10),
-          c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e),
-          scored AS (
-            SELECT qid, cid, $dotSql / (qn * cn) AS cosine
-            FROM q JOIN c ON qid <> cid),
-          ranked AS (
-            SELECT qid, cid, cosine,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                ORDER BY cosine DESC, cid) AS INT) AS rk
-            FROM scored)
-          SELECT qid, cid, cosine, rk FROM ranked
-          WHERE rk <= 5 ORDER BY qid, rk""",
+    "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann" ->
       s"""WITH $normCte,
           eb AS (SELECT vec_id, embedding, nrm,

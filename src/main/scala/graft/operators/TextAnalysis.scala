@@ -839,6 +839,40 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** U15: DEDUP-CLUSTER-AWARE SPLIT — the leakage guard a training
+    * pipeline needs BEFORE any train/val/test cut: near-duplicate
+    * documents must never straddle splits (a val doc whose near-twin
+    * sits in train is a leaked eval), so the split is assigned at the
+    * DEDUP-CLUSTER granularity — split_key = the d7 connected-component
+    * representative (the doc's own id for singletons), and every
+    * member inherits its cluster's assignment. Assignment is the u8
+    * content-hash uniform (h60(key|salt) mod 10 → 8/1/1 train/val/
+    * test): deterministic, seedable, and independent of row order —
+    * the same doc lands in the same split on every run and every
+    * cluster size. This is U4's seeded-split-at-key-granularity rule
+    * (SURVEY U4: split at driver granularity, not row) applied to the
+    * granularity dedup actually creates. Oracle: the d7 closure CTE
+    * (shared fragment) + the same hash rule — fully relational. Scale
+    * shape: one LEFT join of the corpus against the cluster frame
+    * (cluster rows ≪ corpus, broadcast), then a map-side hash+CASE;
+    * no new shuffle class beyond d7's own. */
+  val u15ClusterSplit: Q = (s, dir) => {
+    val cl = Dedup.queries("d7_dedup_clusters")(s, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(broadcast(cl), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("h",
+        pmod(Portable.h60(concat_ws("|", col("split_key"), lit("split42"))),
+          lit(10L)))
+      .withColumn("split",
+        when(col("h") < 8, "train")
+          .when(col("h") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Funnel stage names in pipeline order (cheap gates first — the
     * production ordering: a doc dropped by an early stage never costs
     * the later stages' compute). stage_ord is 1-based into this list;
@@ -934,6 +968,7 @@ object TextAnalysis {
     "c2_curation_full" -> c2CurationFull,
     "c3_chunk_corpus" -> c3ChunkCorpus,
     "c5_curation_funnel" -> c5CurationFunnel,
+    "u15_cluster_split" -> u15ClusterSplit,
   )
 
   /** T9 oracle: the same merge iterations as chained CTEs over the same
@@ -1208,9 +1243,24 @@ object TextAnalysis {
         FROM disp GROUP BY 1, 2, 3 ORDER BY 1, 3"""
   }
 
+  /** U15 oracle: the shared d7 closure + the same hash-mod split rule. */
+  private lazy val u15Sql: String =
+    s"""WITH RECURSIVE ${Dedup.ccClosureCtes},
+        keyed AS (
+          SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS split_key
+          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        hashed AS (
+          SELECT doc_id, split_key,
+            ${h("(split_key || '|' || 'split42')")} % 10 AS hh
+          FROM keyed)
+        SELECT doc_id, split_key,
+          CASE WHEN hh < 8 THEN 'train' WHEN hh = 8 THEN 'val'
+               ELSE 'test' END AS split
+        FROM hashed ORDER BY doc_id"""
+
   lazy val oracleAll: Map[String, String] =
     oracle + ("c1_curation" -> c1Sql) + ("c3_chunk_corpus" -> c3Sql) +
-      ("c5_curation_funnel" -> c5Sql) +
+      ("c5_curation_funnel" -> c5Sql) + ("u15_cluster_split" -> u15Sql) +
       ("t9_bpe_train" -> t9Sql) +
       ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
       ("u9_stratified_sample" -> u9Sql) +

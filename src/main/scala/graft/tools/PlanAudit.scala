@@ -63,6 +63,10 @@ object PlanAudit {
     "d17_tick_store",    // tick folds as batch= partitions of a versioned snapshot; readbacks prune on batch
     "d18_tick_maintain", // tick -> delta+tombstone fold swap -> rebucket-due readout -> pruned serving
     "d19_multi_tick",    // 3-tick converged store served through the s10 probe join
+    "z1_zorder_prune",   // static Morton-cell partition pruning + pushed exact residual
+    "c5_curation_funnel", // doc-keyed LEFT-join disposition CASE, O(stages x sources) aggregate
+    "prof10_embedding_outliers", // constant-size per-dim partial agg, map-only distances
+    "s30_version_diff",  // two doc-level count frames full-outer joined: O(docs), not O(chunks)
   )
 
   def main(args: Array[String]): Unit = {

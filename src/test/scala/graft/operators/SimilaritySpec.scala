@@ -1228,6 +1228,31 @@ class SimilaritySpec extends SparkSpec {
       "replayed lineage must exercise both diff directions")
   }
 
+  test("s31 ann recall: bounded, per-variant means reconcile, " +
+    "multi-probe never below single-probe") {
+    val out = Similarity.queries("s31_ann_recall")(spark, dir).collect()
+    val byVariant = out.groupBy(_.getAs[String]("variant"))
+    assert(byVariant.keySet === Set("ivfpq_p1", s"ivfpq_p${Similarity.ivfProbes}"))
+    byVariant.foreach { case (_, rows) =>
+      assert(rows.length === 10) // one row per query
+      rows.foreach { r =>
+        val rec = r.getAs[Double]("recall")
+        assert(rec >= 0.0 && rec <= 1.0)
+        assert(math.abs(rec - r.getAs[Long]("n_hits").toDouble /
+          Similarity.s31K) < 1e-6)
+      }
+      // the mean column riding each row reconciles with its rows
+      val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+      rows.foreach(r =>
+        assert(math.abs(r.getAs[Double]("mean_recall") - mean) < 1e-5))
+    }
+    // the recall/cost dial: a superset candidate pool can only help
+    val m1 = byVariant("ivfpq_p1").head.getAs[Double]("mean_recall")
+    val m2 = byVariant(s"ivfpq_p${Similarity.ivfProbes}")
+      .head.getAs[Double]("mean_recall")
+    assert(m2 >= m1, s"multi-probe mean recall $m2 below single-probe $m1")
+  }
+
   test("store versioning under a FAILED build: retention keys on " +
     "PUBLISHED versions — a failed partial neither publishes nor " +
     "shifts the vacuum window off the version a reader still holds, " +

@@ -335,6 +335,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("u15 cluster split: near-dup cluster members never straddle " +
+    "splits; corpus covered exactly once; all splits populated") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.u15ClusterSplit(spark, dir).collect()
+    // exactly-once coverage
+    assert(out.length.toLong ===
+      graft.core.Tables.t(spark, dir, "documents").count())
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+    // THE leakage guard: every d7 cluster lands whole in one split
+    val splitOf = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clusters = Dedup.queries("d7_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_rep").collect()
+      .groupBy(_.getAs[Long]("cluster_rep"))
+    assert(clusters.nonEmpty, "testdata must contain near-dup clusters")
+    clusters.foreach { case (rep, members) =>
+      val splits = members.map(m => splitOf(m.getAs[Long]("doc_id"))).toSet
+      assert(splits.size === 1,
+        s"cluster $rep straddles splits: $splits")
+    }
+    // 8/1/1 rule: all populated, train dominant
+    val byName = out.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > byName("val") + byName("test"))
+  }
+
   test("c5 funnel: conserves the corpus, kept bucket ≡ c2 survivors, " +
     "first-match ordering") {
     val dir = "/root/testdata/sf0.001"
