@@ -501,11 +501,37 @@ object MlQueries {
       .orderBy("source")
   }
 
+  /** M8: CALIBRATION AUDIT (reliability table) — the model-ops readout
+    * every trained gate needs BEFORE its scores drive curation
+    * thresholds (u14/c4 consume score CUTOFFS; a miscalibrated scorer
+    * silently shifts every downstream mixture): m4's closed-form
+    * logistic scores binned into 10 fixed-width probability bins, per
+    * bin the count, mean predicted probability, observed positive
+    * rate, and the calibration gap (pred − actual) — the reliability
+    * diagram as a relational artifact. Fully oracled because the m4
+    * scorer is closed-form (the RF twin m5 stays distribution-golden);
+    * the gap is computed from the ROUNDED bin aggregates so both
+    * engines difference identical doubles. Scale shape: one map-side
+    * bin assignment over the scored frame + an O(bins) aggregate with
+    * partial map-side combine — profiling-class cost on any corpus. */
+  val m8Calibration: Q = (s, dir) => {
+    m4LogisticScore(s, dir)
+      .withColumn("bin",
+        least(floor(col("p_logistic") * 10), lit(9)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p_logistic"), 6).as("mean_pred"),
+        round(avg(col("fl_champ").cast("double")), 6).as("pos_rate"))
+      .withColumn("gap", round(col("mean_pred") - col("pos_rate"), 6))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "m1_rf_score" -> m1RfScore,
     "m2_feature_importance" -> m2FeatureImportance,
     "m3_top_trajectories" -> m3TopTrajectories,
     "m4_logistic_score" -> m4LogisticScore,
+    "m8_calibration" -> m8Calibration,
     "m5_score_histogram" -> m5ScoreHistogram,
     "m6_quality_score" -> m6QualityScore,
     "m7_quality_histogram" -> m7QualityHistogram,
@@ -804,5 +830,27 @@ object MlQueries {
               + avg_price * 1.0e-6
               + coalesce(avg_urgent_price, 99.0) * 1.0e-6
               + n_urgent * 0.1))) AS p_logistic
-          FROM abt WHERE yr = 1998 ORDER BY o_custkey""")
+          FROM abt WHERE yr = 1998 ORDER BY o_custkey""",
+    // m8: the same closed-form scorer, binned; gap differenced from the
+    // rounded aggregates so both engines subtract identical doubles
+    "m8_calibration" ->
+      s"""WITH $abtSql,
+          scored AS (
+            SELECT fl_champ,
+              1.0 / (1.0 + exp(-(-3.0
+                + n_orders * 0.05
+                + total_spent * 2.0e-7
+                + avg_price * 1.0e-6
+                + coalesce(avg_urgent_price, 99.0) * 1.0e-6
+                + n_urgent * 0.1))) AS p
+            FROM abt WHERE yr = 1998),
+          b AS (
+            SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, p, fl_champ
+            FROM scored)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            round(avg(p), 6) AS mean_pred,
+            round(avg(CAST(fl_champ AS DOUBLE)), 6) AS pos_rate,
+            round(round(avg(p), 6)
+              - round(avg(CAST(fl_champ AS DOUBLE)), 6), 6) AS gap
+          FROM b GROUP BY bin ORDER BY bin""")
 }

@@ -67,6 +67,8 @@ object PlanAudit {
     "c5_curation_funnel", // doc-keyed LEFT-join disposition CASE, O(stages x sources) aggregate
     "prof10_embedding_outliers", // constant-size per-dim partial agg, map-only distances
     "s30_version_diff",  // two doc-level count frames full-outer joined: O(docs), not O(chunks)
+    "u15_cluster_split", // broadcast cluster frame LEFT join + map-side hash/CASE
+    "s31_ann_recall",    // three serving legs + semi-joins over batch-x-k frames
   )
 
   def main(args: Array[String]): Unit = {

@@ -270,6 +270,28 @@ class MlSpec extends SparkSpec {
     assert(m5.map(_._3).sum === nOot)
   }
 
+  test("m8 calibration: bins partition the scored frame; aggregates " +
+    "bounded and internally consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.queries.MlQueries.queries("m4_logistic_score")(
+      spark, dir)
+    val m8 = graft.queries.MlQueries.queries("m8_calibration")(spark, dir)
+      .collect()
+    assert(m8.map(_.getAs[Long]("n")).sum === scored.count())
+    m8.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(bin >= 0 && bin <= 9)
+      // the bin's mean prediction lies inside the bin's edges (rounding
+      // slack at the boundary)
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean_pred $mp outside its edges")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - (mp - pr)) < 2e-6)
+    }
+  }
+
   test("raceTable: keep-last semantics + pivot + zero fill") {
     val df = Seq(
       (2024, "a", 0.1, 1), (2024, "a", 0.9, 2), // keep ord=2 → 0.9
