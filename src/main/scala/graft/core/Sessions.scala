@@ -96,19 +96,27 @@ object Sessions {
     import org.apache.logging.log4j.core.filter.AbstractFilter
     () => {
       val name = "org.apache.spark.sql.execution.window.WindowExec"
-      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-      val cfg = ctx.getConfiguration
-      if (cfg.getLoggerConfig(name).getName != name) {
-        val lc = new LoggerConfig(name, Level.WARN, true)
-        lc.addFilter(new AbstractFilter() {
-          override def filter(event: LogEvent): Filter.Result =
-            if (event.getMessage.getFormattedMessage
-                .contains("No Partition Defined for Window operation"))
-              Filter.Result.DENY
-            else Filter.Result.NEUTRAL
-        })
-        cfg.addLogger(name, lc)
-        ctx.updateLoggers()
+      // best-effort by contract (review-pass finding): an embedder may
+      // route log4j-api to a non-core provider (log4j-to-slf4j, or no
+      // log4j-core at all) — getContext then isn't a core
+      // LoggerContext, and a cosmetic log filter must never be fatal
+      // to session bootstrap
+      LogManager.getContext(false) match {
+        case ctx: LoggerContext =>
+          val cfg = ctx.getConfiguration
+          if (cfg.getLoggerConfig(name).getName != name) {
+            val lc = new LoggerConfig(name, Level.WARN, true)
+            lc.addFilter(new AbstractFilter() {
+              override def filter(event: LogEvent): Filter.Result =
+                if (event.getMessage.getFormattedMessage
+                    .contains("No Partition Defined for Window operation"))
+                  Filter.Result.DENY
+                else Filter.Result.NEUTRAL
+            })
+            cfg.addLogger(name, lc)
+            ctx.updateLoggers()
+          }
+        case _ => // non-core provider: leave the (noisy) default in place
       }
     }
   }

@@ -1068,6 +1068,12 @@ object Dedup {
   private val tickDeltaCounters = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
 
+  /** Delta roots whose retirement delete failed, re-attempted each tick
+    * (per-fp; see the retention comment in [[d16Tick]]). */
+  private val tickDeltaPendingDeletes =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.Set[java.lang.Long]]()
+
   /** THE per-micro-batch probe of an ingest tick — the d13 composition
     * (dedup verdict + semantic-cluster tag), factored out of d16 so the
     * versioned-store ticks (d17/d18) run the IDENTICAL verdict leg. */
@@ -1106,13 +1112,25 @@ object Dedup {
     // previous} (an earlier tick's returned frames read their own
     // delta dirs lazily), retire the one root that just left the
     // window — roots are per-fp AND the counter is per-fp, so c-2 is
-    // exactly this dir's root that aged out (one delete per tick, not
-    // an O(c) rescan); without retention a long-lived session grows
-    // tmpdir by one encoded-slice copy per tick until TmpHygiene
-    // reclaims the dead pid (review-pass finding)
-    if (c - 2 >= 1)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(rootFor(c - 2)))
+    // exactly this dir's root that aged out; without retention a
+    // long-lived session grows tmpdir by one encoded-slice copy per
+    // tick until TmpHygiene reclaims the dead pid. A failed
+    // deleteQuietly is RE-ATTEMPTED on later ticks (round-17 review:
+    // one-shot delete leaked the root for the session lifetime when a
+    // transient FS error or a still-open lazy scan blocked it) — the
+    // pending set is per-fp and bounded by the failure count, so this
+    // stays O(pending) per tick, not the old O(c) rescan
+    if (c - 2 >= 1) {
+      val pending = tickDeltaPendingDeletes
+        .computeIfAbsent(fp, _ => java.util.concurrent.ConcurrentHashMap
+          .newKeySet[java.lang.Long]())
+      pending.add(Long.box(c - 2))
+      pending.removeIf { (n: java.lang.Long) =>
+        val f = new java.io.File(rootFor(n.longValue()))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+        !f.exists()
+      }
+    }
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res)
     val arriving = t(s, dir, "documents").filter(isBatch).select("doc_id")
     val verdicts = graft.streaming.Streams.replayForeachBatch(s,

@@ -1854,9 +1854,17 @@ object Similarity {
     * landed; current = the full index after the fold AND the s24
     * tombstone maintenance — so the diff carries BOTH directions
     * (arrivals 'added', tombstoned docs 'removed', and a doc in both
-    * sets appears only under its net effect). Oracle: per-doc chunk
-    * counts of the c3 chain with the two modular predicates — the
-    * diff is fully relational, the store is the physical path.
+    * sets appears only under its net effect). The two logical versions
+    * are MATERIALIZED under ONE published snapshot (prev/ + curr/
+    * subtrees): holding two real published versions would consume the
+    * entire {current, previous} vacuum window in a single invocation,
+    * so one later rebuild would retire the prev side under a live lazy
+    * reader (round-17 review finding) — staged under one version, the
+    * diff's own readers keep the standard survive-one-rebuild
+    * retention contract every other gate's frames enjoy. Oracle:
+    * per-doc chunk counts of the c3 chain with the two modular
+    * predicates — the diff is fully relational, the store is the
+    * physical path.
     * Scale shape: each side is one doc-keyed count over its snapshot
     * (partial-aggregated map-side), then a full-outer join of two
     * doc-level count frames — O(docs), not O(chunks), and orders of
@@ -1869,15 +1877,13 @@ object Similarity {
     val arriving = pmod(col("doc_id"), lit(Dedup.d11Mod)) ===
       lit(Dedup.d11Res)
     val tombstoned = pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes)
-    val prev = buildStoreVersion(s, dir, "s30") { st =>
-      writeStore(idx.filter(!arriving), st, Seq("bkt"))
+    val store = buildStoreVersion(s, dir, "s30") { st =>
+      writeStore(idx.filter(!arriving), s"$st/prev", Seq("bkt"))
+      writeStore(idx.filter(!tombstoned), s"$st/curr", Seq("bkt"))
     }._1
-    val curr = buildStoreVersion(s, dir, "s30") { st =>
-      writeStore(idx.filter(!tombstoned), st, Seq("bkt"))
-    }._1
-    val np = s.read.parquet(prev)
+    val np = s.read.parquet(s"$store/prev")
       .groupBy("doc_id").agg(count(lit(1)).as("n_prev"))
-    val nc = s.read.parquet(curr)
+    val nc = s.read.parquet(s"$store/curr")
       .groupBy("doc_id").agg(count(lit(1)).as("n_curr"))
     np.join(nc, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -2091,10 +2097,15 @@ object Similarity {
   private[operators] def writeStore(df: DataFrame, store: String,
                          partCols: Seq[String],
                          append: Boolean = false,
-                         dynamicOverwrite: Boolean = false): Unit = {
+                         dynamicOverwrite: Boolean = false,
+                         rowKeyCols: Seq[String] = Seq("doc_id", "chunk_idx"))
+      : Unit = {
     require(!(append && dynamicOverwrite),
       "append and dynamicOverwrite are different fold disciplines")
-    val sortCols = (partCols ++ Seq("doc_id", "chunk_idx")).map(col)
+    // rowKeyCols parameterized (round-17 review): non-chunk stores
+    // (ZOrder's event layout) ride the same discipline with their own
+    // in-partition row key instead of forking the writer
+    val sortCols = (partCols ++ rowKeyCols).map(col)
     val w = df.repartition(partCols.map(col): _*)
       .sortWithinPartitions(sortCols: _*).write
       // pin the writer knobs the prof9 byte goldens depend on (round-16

@@ -114,10 +114,14 @@ object ZOrder {
 
   /** The z-layout store of a (session, dir): events partitioned by
     * Morton cell, with the writer's quantization bounds persisted as a
-    * 1-row `bounds` table next to the layout. Built once per corpus
-    * fingerprint through the versioned-snapshot machinery (publish on
-    * success, {current, previous} retention — every lifecycle gate's
-    * contract). */
+    * 1-row `bounds` table next to the layout. One layout build per
+    * invocation through the versioned-snapshot machinery (publish on
+    * success, {current, previous} retention) — the s25/s21
+    * lifecycle-replay precedent: the gated entry replays the layout
+    * build BY DESIGN; a deployment builds on its re-cluster cadence
+    * and serves many rectangles off one published version. The data
+    * write rides [[Similarity.writeStore]] (codec/block-size pinned,
+    * one file per cell) with the layout's own in-partition row key. */
   private def zStore(s: SparkSession, dir: String): String =
     Similarity.buildStoreVersion(s, dir, "z1") { store =>
       val b = dimensioned(s, dir)
@@ -130,9 +134,8 @@ object ZOrder {
           interleave(cellOf("user_id", "min_u", "max_u"),
             cellOf("day", "min_d", "max_d")))
         .drop("min_u", "max_u", "min_d", "max_d")
-      zed.repartition(col("zcell"))
-        .sortWithinPartitions("zcell", "user_id", "day")
-        .write.partitionBy("zcell").parquet(s"$store/data")
+      Similarity.writeStore(zed, s"$store/data", Seq("zcell"),
+        rowKeyCols = Seq("user_id", "day", "event_id"))
       b.unpersist()
     }._1
 

@@ -1200,14 +1200,14 @@ class SimilaritySpec extends SparkSpec {
   test("s30 version diff: reads the {current, previous} retention " +
     "window; diff reconciles with the modular slices; net-effect rule") {
     val out = Similarity.queries("s30_version_diff")(spark, dir).collect()
-    // the two versions this invocation published are both still on
-    // disk (the retention window the audit exists to read)
-    val curr = Similarity.idxStore(spark, dir, "s30")
-    val v = curr.split("/v").last.stripSuffix("/idx").toLong
-    val prevDir = curr.replace(s"/v$v/", s"/v${v - 1}/")
-    assert(new java.io.File(curr).exists() &&
-      new java.io.File(prevDir).exists(),
-      "diff must run against both retained versions")
+    // ONE published version holds both logical sides (round-17 review:
+    // two real published versions would consume the whole vacuum
+    // window in one invocation — a later rebuild would retire the prev
+    // side under a live lazy reader)
+    val store = Similarity.idxStore(spark, dir, "s30")
+    assert(new java.io.File(s"$store/prev").exists() &&
+      new java.io.File(s"$store/curr").exists(),
+      "one snapshot must materialize both diff sides")
     // reconcile against the defining slices: added = arrival docs not
     // tombstoned; removed = tombstoned docs that were in previous
     out.foreach { r =>
