@@ -12,6 +12,12 @@ package graft.core
   * keeps its dirs; a recycled-but-alive foreign pid merely defers the
   * cleanup to a later sweep (correctness never depends on it: every
   * path is re-judged by _SUCCESS or deleted at entry by its owner).
+  * Deliberately LOCAL (java.io.File over the JVM tmpdir): this is the
+  * local-disk janitor. When [[StoreFs]].base is repointed at a shared
+  * filesystem, lifecycle dirs live there instead and this sweep simply
+  * finds nothing — shared-FS retention is owned by the stores' own
+  * {current, previous} vacuum (buildStoreVersion) and delta
+  * retirement, which ride StoreFs.
   */
 object TmpHygiene {
 

@@ -1103,11 +1103,10 @@ object Dedup {
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
     val c = tickDeltaCounters.computeIfAbsent(fp,
       _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
-    def rootFor(n: Long) = sys.props("java.io.tmpdir") +
+    def rootFor(n: Long) = graft.core.StoreFs.base(s) +
       s"/graft-d16-deltas-$fp-p${ProcessHandle.current.pid}-c$n"
     val deltaRoot = rootFor(c)
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(deltaRoot))
+    graft.core.StoreFs.deleteQuietly(s, deltaRoot)
     // delta-area retention, the store-version rule: keep {current,
     // previous} (an earlier tick's returned frames read their own
     // delta dirs lazily), retire the one root that just left the
@@ -1126,9 +1125,7 @@ object Dedup {
           .newKeySet[java.lang.Long]())
       pending.add(Long.box(c - 2))
       pending.removeIf { (n: java.lang.Long) =>
-        val f = new java.io.File(rootFor(n.longValue()))
-        org.apache.commons.io.FileUtils.deleteQuietly(f)
-        !f.exists()
+        graft.core.StoreFs.deleteQuietly(s, rootFor(n.longValue()))
       }
     }
     val isBatch = pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res)
@@ -1168,7 +1165,7 @@ object Dedup {
     // A zero-batch replay (empty arriving slice) folds nothing and
     // writes no delta dir — serve the base artifact alone.
     def deltas(base: DataFrame, sub: String): DataFrame =
-      if (new java.io.File(s"$deltaRoot/$sub").exists())
+      if (graft.core.StoreFs.exists(s, s"$deltaRoot/$sub"))
         s.read.parquet(s"$deltaRoot/$sub")
           .select(base.columns.toIndexedSeq.map(col): _*)
       else base.limit(0)

@@ -228,11 +228,11 @@ object PointInTime {
   def backfillStore(s: SparkSession, dir: String): DataFrame = {
     // deterministic per-source path, wiped per call: repeated invocations
     // rebuild in place instead of leaking one temp store per call
-    val store = sys.props("java.io.tmpdir") +
+    val root = graft.core.StoreFs.base(s) +
       s"/graft-i1-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
-      s"-p${ProcessHandle.current.pid}/fs"
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
+      s"-p${ProcessHandle.current.pid}"
+    val store = s"$root/fs"
+    graft.core.StoreFs.deleteQuietly(s, root)
     val ing = new graft.etl.Ingestor(s, store)
     def build(d: String): DataFrame = singlePassCore(s, dir, d)
     ing.execRange(build, backfillDates)
@@ -253,11 +253,11 @@ object PointInTime {
     * batching lever: scan amortization across slices, one partition swap
     * per batch). */
   def backfillStoreBatched(s: SparkSession, dir: String): DataFrame = {
-    val store = sys.props("java.io.tmpdir") +
+    val root = graft.core.StoreFs.base(s) +
       s"/graft-i2-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
-      s"-p${ProcessHandle.current.pid}/fs"
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
+      s"-p${ProcessHandle.current.pid}"
+    val store = s"$root/fs"
+    graft.core.StoreFs.deleteQuietly(s, root)
     val ing = new graft.etl.Ingestor(s, store)
     // Materialize the slice union ONCE: the idempotent re-run must prove
     // the SINK path replays cleanly, not re-pay three percentile
@@ -289,10 +289,10 @@ object PointInTime {
     // pid-keyed root: the dir is deleted at entry, so a shared path
     // would let one JVM delete another's in-flight store (the same
     // concurrent-runs hazard the round-11 review closed for d12/e8)
-    val root = sys.props("java.io.tmpdir") +
+    val root = graft.core.StoreFs.base(s) +
       s"/graft-i3-store-${graft.core.Tables.sourceFingerprint(s"$dir/lineitem.parquet")}" +
       s"-p${ProcessHandle.current.pid}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.core.StoreFs.deleteQuietly(s, root)
     val (src, store, ckpt) = (s"$root/src", s"$root/fs", s"$root/ckpt")
     backfillDates.map(d => singlePassCore(s, dir, d))
       .reduce(_ unionByName _)
@@ -319,11 +319,11 @@ object PointInTime {
     * winners UNION inserts. */
   def upsertStore(s: SparkSession, dir: String): DataFrame = {
     // pid-keyed for the same concurrent-JVM delete hazard as i3
-    val store = sys.props("java.io.tmpdir") +
+    val root = graft.core.StoreFs.base(s) +
       s"/graft-i4-store-${graft.core.Tables.sourceFingerprint(s"$dir/orders.parquet")}" +
-      s"-p${ProcessHandle.current.pid}/orders"
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(store).getParentFile)
+      s"-p${ProcessHandle.current.pid}"
+    val store = s"$root/orders"
+    graft.core.StoreFs.deleteQuietly(s, root)
     val base = graft.core.Tables.t(s, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")).cast("int"))
     graft.sources.Sinks.upsert(s, base.withColumn("__seq", lit(0L)), store,

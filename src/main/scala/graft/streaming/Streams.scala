@@ -67,7 +67,7 @@ object Streams {
   private val stagingLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Stage `df` as a parquet dir under java.io.tmpdir for stream
+  /** Stage `df` as a parquet dir under StoreFs.base for stream
     * replay, hardened against the check-then-write races the round-11
     * review named: the dir is keyed by `key` AND the JVM pid (two
     * JVMs never share a staging dir, so neither can observe the
@@ -87,10 +87,11 @@ object Streams {
     * convention). Returns the dir path. */
   def stageForReplay(df: DataFrame, key: String, shape: String): String = {
     val fullKey = s"$key-$shape"
-    val dir = sys.props("java.io.tmpdir") +
+    val s = df.sparkSession
+    val dir = graft.core.StoreFs.base(s) +
       s"/graft-stream-$fullKey-p${ProcessHandle.current.pid}"
     stagingLocks.computeIfAbsent(fullKey, _ => new Object).synchronized {
-      if (!new java.io.File(dir, "_SUCCESS").exists())
+      if (!graft.core.StoreFs.exists(s, s"$dir/_SUCCESS"))
         df.write.mode("overwrite").parquet(dir)
     }
     dir
@@ -189,10 +190,10 @@ object Streams {
                          foldEach: (DataFrame, Long) => Unit =
                            (_, _) => ()): DataFrame = {
     val streamDir = stageForReplay(shaped, stagingKey, shape)
-    val sinkDir = sys.props("java.io.tmpdir") +
+    val sinkDir = graft.core.StoreFs.base(s) +
       s"/graft-$tag-sink-$stagingKey-p${ProcessHandle.current.pid}" +
       s"-c${replaySinkCounter.incrementAndGet()}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+    graft.core.StoreFs.deleteQuietly(s, sinkDir)
     val q = s.readStream.schema(shaped.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
       .writeStream
@@ -221,7 +222,7 @@ object Streams {
     // projection; twice would pay the probe's registry side effects
     // twice on the empty path
     lazy val emptyProbe = probe(shaped.limit(0))
-    if (new java.io.File(sinkDir).exists()) s.read.parquet(sinkDir)
+    if (graft.core.StoreFs.exists(s, sinkDir)) s.read.parquet(sinkDir)
       // partition discovery surfaces batch=<id> as a column — project
       // to the probe's own columns
       .select(emptyProbe.columns.toIndexedSeq.map(col): _*)
