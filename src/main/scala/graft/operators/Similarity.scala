@@ -884,6 +884,56 @@ object Similarity {
       .orderBy("variant", "qid")
   }
 
+  /** S32: POST-EVENT RECALL EVAL — s31's accept/rollback measurement
+    * composed with the lifecycle event it exists to adjudicate
+    * (round-17 verdict item 3): replay the s26 re-bucket (committed-
+    * geometry store → staged planes+1 rebuild → rename-aside swap),
+    * then emit the recall frame ENTIRELY off the post-event artifacts.
+    * The served leg is [[retrieveTopK]] over the SWAPPED store under
+    * the new geometry (s26's serving, verbatim); the ground truth is
+    * the brute-force [[exactTwin]] over the SAME swapped store — both
+    * legs read one store lineage, so this is the number a deployment
+    * accepts or rolls back the re-bucket on, measured where it will
+    * serve, not on a parallel in-memory copy. Closes the loop the s31
+    * scaladoc names: build → event → measure → accept/rollback.
+    * Oracle: s26's serving SQL and the exact (bucketless) variant of
+    * the SAME parameterized generator, fused by s31's recall tail —
+    * fully relational, the store invisible to results (d17 pattern).
+    * Scale shape: the event replay is s26's (one map-only re-encode +
+    * one swap, paid per trigger firing); the eval legs are batch×k
+    * frames; the exact leg is O(queries × index) BY DESIGN — in
+    * production ground truth runs over a SAMPLED query set, exactly
+    * this shape with the s10 query window as the sample. */
+  val s32PostEventRecall: Q = (s, dir) => {
+    val store = buildStoreVersion(s, dir, "s32") { store =>
+      // serving state BEFORE the trigger: committed-geometry index
+      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
+      // the re-bucket event: staged planes+1 rebuild, atomic swap
+      graft.sources.Sinks.rewritePartitioned(s, store,
+        rebucketIndex(s, dir), Seq("bkt"))
+    }._1
+    val idx = s.read.parquet(store)
+      .withColumn("bkt", col("bkt").cast("long"))
+    val q = s10QueryFrame(s, dir)
+    val served = retrieveTopK(q, idx, s26Planes, s10K)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"))
+    val exact = exactTwin(q, idx)
+      .select(col("qid"), col("doc_id"), col("chunk_idx"))
+    val hits = served
+      .join(exact, Seq("qid", "doc_id", "chunk_idx"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    val rec = exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / s10K, 6))
+    val mean = rec.agg(round(avg("recall"), 6).as("mean_recall"))
+    rec.crossJoin(broadcast(mean))
+      .select(col("qid"), col("n_hits"), col("recall"),
+        col("mean_recall"))
+      .orderBy("qid")
+  }
+
   /** Shared s13/s14 core — the IVF-PQ serving pipeline with `probes`
     * as the nprobe dial: rank the query against ALL [[kmeansK]] coarse
     * centroids (one broadcast k-row model, k map-side dots per query;
@@ -2001,7 +2051,7 @@ object Similarity {
     * lifecycle gates never collide on a path. Store VERSIONS live
     * under the root — see [[buildStoreVersion]]. */
   private def storeRoot(s: SparkSession, dir: String, tag: String): String =
-    sys.props("java.io.tmpdir") +
+    graft.core.StoreFs.base(s) +
       s"/graft-$tag-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
       s"-p${ProcessHandle.current.pid}"
 
@@ -2057,8 +2107,7 @@ object Similarity {
       // pre-wipe the allocated dir: pid recycling across JVM restarts
       // can revisit a killed run's version numbers (the replay-sink
       // rationale), and writeStore's base write is ErrorIfExists
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$root/v$v"))
+      graft.core.StoreFs.deleteQuietly(s, s"$root/v$v")
       val out = build(store)
       val prevPub = counter(storePublished, root)
         .getAndAccumulate(v, math.max(_, _))
@@ -2067,13 +2116,13 @@ object Similarity {
       // build in between would shift the window onto the version a
       // live reader still holds; everything else (older published,
       // failed partials) is retired
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter { f =>
-          f.getName.startsWith("v") &&
-            f.getName.drop(1).toLongOption
+      graft.core.StoreFs.listNames(s, root)
+        .filter { name =>
+          name.startsWith("v") &&
+            name.drop(1).toLongOption
               .exists(n => n != v && n != prevPub)
         }
-        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        .foreach(n => graft.core.StoreFs.deleteQuietly(s, s"$root/$n"))
       (store, out)
     }
   }
@@ -3205,10 +3254,16 @@ object Similarity {
             AND ($cWhere))"""
   }
 
+  /** `bucketed = false` drops the LSH candidate restriction entirely —
+    * the scored CTE becomes the brute-force cross join, i.e. the SQL
+    * twin of [[exactTwin]]; everything else (embedders, cosine, rank,
+    * k) is shared, so the exact and served oracles can only diverge on
+    * the one variable the eval measures (s32's contract). */
   private def s10SqlFor(qdWhere: String,
                         masksSql: String = probeMasksSql,
                         cWhere: String = "TRUE",
-                        nPlanes: Int = planes): String = {
+                        nPlanes: Int = planes,
+                        bucketed: Boolean = true): String = {
     val signSum = signSumSql
     s"""WITH ${cidxCtes(cWhere, nPlanes)},
         qd AS (
@@ -3233,12 +3288,20 @@ object Similarity {
             ${bucketSql("qe", nPlanes)} AS bkt0
           FROM qemb1
           WHERE sqrt(list_sum(list_transform(qe, x -> x * x))) > 0),
-        qp AS (SELECT qid, qe, qn, xor(bkt0, m.m) AS bkt
+        ${
+      if (bucketed)
+        s"""qp AS (SELECT qid, qe, qn, xor(bkt0, m.m) AS bkt
                FROM qx, (SELECT unnest($masksSql) AS m) m),
         scored AS (
           SELECT q.qid, c.doc_id, c.chunk_idx, c.source, c.quality_score,
             c.chunk_text, $dotSql / (q.qn * c.cn) AS cosine
-          FROM qp q JOIN cidx c USING (bkt)),
+          FROM qp q JOIN cidx c USING (bkt)),"""
+      else
+        s"""scored AS (
+          SELECT q.qid, c.doc_id, c.chunk_idx, c.source, c.quality_score,
+            c.chunk_text, $dotSql / (q.qn * c.cn) AS cosine
+          FROM qx q CROSS JOIN cidx c),"""
+    }
         ranked AS (
           SELECT qid, doc_id, chunk_idx, source, quality_score,
             chunk_text, cosine,
@@ -3918,6 +3981,34 @@ object Similarity {
     s10SqlFor(s"doc_id < $s10QueryDocs",
       probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes)
 
+  /** S32 oracle: s26's serving SQL (the post-event served leg) and the
+    * bucketless exact variant of the SAME generator (the post-event
+    * ground truth), fused by s31's recall tail — the three pieces the
+    * engine composes, each already an oracled contract. */
+  private lazy val s32Sql: String = {
+    val exactSql = s10SqlFor(s"doc_id < $s10QueryDocs",
+      probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes, bucketed = false)
+    s"""WITH served AS (
+          SELECT qid, doc_id, chunk_idx FROM ($s26Sql)),
+        exact AS (
+          SELECT qid, doc_id, chunk_idx FROM ($exactSql)),
+        hits AS (
+          SELECT q.qid, CAST(count(a.doc_id) AS BIGINT) AS n_hits
+          FROM (SELECT DISTINCT qid FROM exact) q
+          LEFT JOIN (
+            SELECT s.qid, s.doc_id FROM served s
+            JOIN exact e ON e.qid = s.qid AND e.doc_id = s.doc_id
+              AND e.chunk_idx = s.chunk_idx) a ON a.qid = q.qid
+          GROUP BY q.qid),
+        rec AS (
+          SELECT qid, n_hits,
+            round(CAST(n_hits AS DOUBLE) / $s10K, 6) AS recall
+          FROM hits),
+        mr AS (SELECT round(avg(recall), 6) AS mean_recall FROM rec)
+        SELECT r.qid, r.n_hits, r.recall, mr.mean_recall
+        FROM rec r CROSS JOIN mr ORDER BY r.qid"""
+  }
+
   /** s29 oracle: the SAME parameterized generator with both gated
     * dials set — s26's plane count and s22/s25's quality predicate. */
   private lazy val s29Sql: String =
@@ -3999,14 +4090,20 @@ object Similarity {
         SELECT qid, rk, doc_id, chunk_idx, rrf, dense_rk, sparse_rk
         FROM rankedf WHERE rk <= $s10K ORDER BY qid, rk"""
 
-  /** S30 oracle: per-doc chunk counts of the c3 chain under the two
-    * modular predicates — previous excludes the d11 arrival slice,
-    * current excludes the s24 tombstones; the diff is the full-outer
-    * count comparison. */
+  /** S30 oracle: per-doc chunk counts of the INDEX chain (the cidx
+    * CTE, not raw c3 chunks) under the two modular predicates —
+    * previous excludes the d11 arrival slice, current excludes the s24
+    * tombstones; the diff is the full-outer count comparison. cidx is
+    * the row basis by construction (round-17 advice): the engine
+    * snapshots [[retrievalIndex]], whose encode drops zero-norm chunks
+    * (cn > 0), so an oracle counting raw c3 chunks would diverge the
+    * moment any chunk embeds to the zero vector — both sides now share
+    * the cn > 0 predicate through the one cidx definition. */
   private lazy val s30Sql: String =
-    s"""WITH ch AS (
+    s"""WITH ${cidxCtes()},
+        ch AS (
           SELECT doc_id, count(*) AS n
-          FROM (${TextAnalysis.c3Sql}) GROUP BY doc_id),
+          FROM cidx GROUP BY doc_id),
         prev AS (SELECT doc_id, n FROM ch
                  WHERE doc_id % ${Dedup.d11Mod} != ${Dedup.d11Res}),
         curr AS (SELECT doc_id, n FROM ch
@@ -4063,6 +4160,7 @@ object Similarity {
     "s29_banded_rebucket" -> s29BandedRebucket,
     "s30_version_diff" -> s30VersionDiff,
     "s31_ann_recall" -> s31AnnRecall,
+    "s32_post_event_recall" -> s32PostEventRecall,
     "prof7_embedding_drift" -> prof7EmbeddingDrift,
     "prof10_embedding_outliers" -> prof10EmbeddingOutliers,
     "prof8_index_health" -> prof8IndexHealth,
@@ -4101,6 +4199,7 @@ object Similarity {
     "s29_banded_rebucket" -> s29Sql,
     "s30_version_diff" -> s30Sql,
     "s31_ann_recall" -> s31Sql,
+    "s32_post_event_recall" -> s32Sql,
     "s26_rebucket_rebuild" -> s26Sql,
     "prof7_embedding_drift" -> prof7Sql,
     "prof10_embedding_outliers" -> prof10Sql,

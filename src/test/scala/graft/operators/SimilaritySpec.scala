@@ -1416,6 +1416,39 @@ class SimilaritySpec extends SparkSpec {
     assert(parity >= 0.95, f"parity $parity%.4f")
   }
 
+  test("s32 post-event recall: both legs read the swapped store — " +
+    "store ≡ planes+1 rebuild, recall reconciles, served ⊆ exact domain") {
+    val out = Similarity.queries("s32_post_event_recall")(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.length <= Similarity.s10QueryDocs)
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - r.getAs[Long]("n_hits").toDouble /
+        Similarity.s10K) < 1e-6)
+    }
+    val mean = out.map(_.getAs[Double]("recall")).sum / out.length
+    out.foreach(r =>
+      assert(math.abs(r.getAs[Double]("mean_recall") - mean) < 1e-5))
+    // the post-event artifact the eval ran on IS the planes+1 rebuild:
+    // swapped store content ≡ the staged rebucket index (the s26 pin,
+    // re-asserted on s32's own lineage — recall measured anywhere else
+    // would not adjudicate THIS store)
+    val store = Similarity.idxStore(spark, dir, "s32")
+    val stored = spark.read.parquet(store)
+      .select("doc_id", "chunk_idx", "bkt")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Any]("bkt").toString.toLong))
+      .toSet
+    val rebuilt = Similarity.rebucketIndex(spark, dir)
+      .select("doc_id", "chunk_idx", "bkt")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[Long]("bkt")))
+      .toSet
+    assert(stored === rebuilt,
+      "s32 store after the swap must equal the planes+1 rebuild")
+  }
+
   test("kForCorpus: K tracks corpus size at fixed occupancy") {
     assert(Similarity.kForCorpus(1000) === 1)
     assert(Similarity.kForCorpus(4096) === 1)
