@@ -901,7 +901,13 @@ object TextAnalysis {
     * LEFT joins (not c2's filters): every doc must land in exactly one
     * bucket, so sum(n_docs) = corpus size — the spec's conservation
     * pin. */
-  val c5CurationFunnel: Q = (s, dir) => {
+  /** Per-document funnel disposition (doc_id, source, stage_ord) —
+    * factored out of c5 (round-17 verdict item 4) so the audit (c5)
+    * and the drift tripwire (c6) share ONE set of stage predicates by
+    * construction: a stage rule change moves both, and the tripwire
+    * can never drift against the funnel it monitors. */
+  private[operators] def c5Dispositions(s: SparkSession,
+                                        dir: String): DataFrame = {
     val keepers = Dedup.d1Exact(s, dir)
       .select(col("keeper").as("doc_id")).distinct()
       .withColumn("is_keeper", lit(true))
@@ -918,7 +924,6 @@ object TextAnalysis {
     // exactly the c2 survivor set
     val mix = u10TemperatureSample(s, dir)
       .select(col("doc_id")).withColumn("in_mix", lit(true))
-    val stageNames = array(c5Stages.map(lit): _*)
     t(s, dir, "documents").select(col("doc_id"), col("source"))
       .join(keepers, Seq("doc_id"), "left")
       .join(lang, Seq("doc_id"))
@@ -934,12 +939,60 @@ object TextAnalysis {
           .when(coalesce(col("hot_ratio"), lit(0.0)) > c2HotCeiling, 5)
           .when(col("in_mix").isNull, 6)
           .otherwise(7).cast("int"))
+      .select(col("doc_id"), col("source"), col("stage_ord"))
+  }
+
+  val c5CurationFunnel: Q = (s, dir) => {
+    val stageNames = array(c5Stages.map(lit): _*)
+    c5Dispositions(s, dir)
       .groupBy("stage_ord", "source")
       .agg(count(lit(1)).as("n_docs"))
       .select(col("stage_ord"),
         element_at(stageNames, col("stage_ord")).as("stage"),
         col("source"), col("n_docs"))
       .orderBy("stage_ord", "source")
+  }
+
+  /** C6: FUNNEL DRIFT TRIPWIRE — the between-builds alarm c5's
+    * scaladoc promises (round-17 verdict item 4): PSI of the funnel
+    * disposition distribution, per source, between the BASE corpus and
+    * the d11 ARRIVAL slice (the modular cut that stands in for "last
+    * build vs this build" everywhere in the incremental family). A
+    * stage whose drop-rate moves for some source — a quality regression
+    * upstream, a contamination wave, a language-mix shift — shows up
+    * as that source's PSI before anyone trains on the output; prof6
+    * owns the PSI machinery (same formula, same [[graft.queries
+    * .Profile.driftEps]] floor), c5 owns the dispositions, this entry
+    * composes them. Scale shape: ONE disposition pass (c5's join
+    * chain), map-side side split + partial counts into an
+    * O(sources × stages) bins frame — the totals window and the PSI
+    * reduction run on that metadata-scale frame, never the corpus
+    * (the prof6 argument verbatim). Oracle: c5's disposition CTEs +
+    * prof6's PSI SQL, both already gated. */
+  val c6FunnelDrift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val eps = graft.queries.Profile.driftEps
+    val bins = c5Dispositions(s, dir)
+      .withColumn("is_cur",
+        pmod(col("doc_id"), lit(Dedup.d11Mod)) === lit(Dedup.d11Res))
+      .groupBy("source", "stage_ord")
+      .agg(count(when(!col("is_cur"), 1)).as("n_ref"),
+        count(when(col("is_cur"), 1)).as("n_cur"))
+    val w = Window.partitionBy("source")
+    bins
+      .withColumn("ref_tot", sum("n_ref").over(w))
+      .withColumn("cur_tot", sum("n_cur").over(w))
+      .withColumn("p", greatest(
+        col("n_ref").cast("double") / col("ref_tot"), lit(eps)))
+      .withColumn("q", greatest(
+        col("n_cur").cast("double") / col("cur_tot"), lit(eps)))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        max("ref_tot").as("n_ref"),
+        max("cur_tot").as("n_cur"),
+        round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+          .as("psi"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------- oracles
@@ -968,6 +1021,7 @@ object TextAnalysis {
     "c2_curation_full" -> c2CurationFull,
     "c3_chunk_corpus" -> c3ChunkCorpus,
     "c5_curation_funnel" -> c5CurationFunnel,
+    "c6_funnel_drift" -> c6FunnelDrift,
     "u15_cluster_split" -> u15ClusterSplit,
   )
 
@@ -1205,12 +1259,14 @@ object TextAnalysis {
         FROM ch JOIN c1 ON c1.doc_id = ch.doc_id
         ORDER BY ch.doc_id, ch.chunk_idx"""
 
-  /** C5 oracle: the stage oracles composed into one first-match CASE —
-    * LEFT joins so every document lands in exactly one funnel bucket. */
-  private lazy val c5Sql: String = {
-    val stageCase = c5Stages.zipWithIndex
-      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
-    s"""WITH keepers AS (
+  /** The c5 disposition CTE chain (stage oracles composed into one
+    * first-match CASE; LEFT joins so every document lands in exactly
+    * one funnel bucket), shared by the c5 audit and the c6 drift
+    * tripwire — the engine-side [[c5Dispositions]] sharing, mirrored
+    * in the oracle. disp carries doc_id so c6 can split it on the d11
+    * modular cut. */
+  private lazy val c5DispCtes: String =
+    s"""keepers AS (
           SELECT min(doc_id) AS doc_id FROM documents
           GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
         l AS (SELECT doc_id, lang_pred FROM (${oracle("t3_langid")})),
@@ -1222,7 +1278,7 @@ object TextAnalysis {
           SELECT doc_id, hot_ratio FROM (${Dedup.oracle("d10_hot_spans")})),
         mix AS (SELECT doc_id FROM (${u10Sql})),
         disp AS (
-          SELECT d.source,
+          SELECT d.doc_id, d.source,
             CASE WHEN k.doc_id IS NULL THEN 1
                  WHEN l.lang_pred <> 'en' THEN 2
                  WHEN q.quality_score < $c1QualityFloor THEN 3
@@ -1236,11 +1292,46 @@ object TextAnalysis {
           JOIN q ON q.doc_id = d.doc_id
           LEFT JOIN cont c ON c.doc_id = d.doc_id
           LEFT JOIN hot h ON h.doc_id = d.doc_id
-          LEFT JOIN mix m ON m.doc_id = d.doc_id)
+          LEFT JOIN mix m ON m.doc_id = d.doc_id)"""
+
+  private lazy val c5Sql: String = {
+    val stageCase = c5Stages.zipWithIndex
+      .map { case (n, i) => s"WHEN ${i + 1} THEN '$n'" }.mkString(" ")
+    s"""WITH $c5DispCtes
         SELECT CAST(stage_ord AS INT) AS stage_ord,
           CASE stage_ord $stageCase END AS stage,
           source, CAST(count(*) AS BIGINT) AS n_docs
         FROM disp GROUP BY 1, 2, 3 ORDER BY 1, 3"""
+  }
+
+  /** C6 oracle: the shared disposition CTEs + prof6's PSI SQL (same
+    * formula, same eps floor), split on the d11 modular cut. */
+  private lazy val c6Sql: String = {
+    val eps = graft.queries.Profile.driftEps
+    s"""WITH $c5DispCtes,
+        b AS (
+          SELECT source, stage_ord,
+            CAST(count_if(doc_id % ${Dedup.d11Mod} <> ${Dedup.d11Res})
+              AS BIGINT) AS n_ref,
+            CAST(count_if(doc_id % ${Dedup.d11Mod} = ${Dedup.d11Res})
+              AS BIGINT) AS n_cur
+          FROM disp GROUP BY 1, 2),
+        p AS (
+          SELECT source, n_ref, n_cur,
+            CAST(SUM(n_ref) OVER (PARTITION BY source) AS BIGINT)
+              AS ref_tot,
+            CAST(SUM(n_cur) OVER (PARTITION BY source) AS BIGINT)
+              AS cur_tot
+          FROM b),
+        x AS (
+          SELECT source, ref_tot, cur_tot,
+            greatest(CAST(n_ref AS DOUBLE) / ref_tot, $eps) AS pp,
+            greatest(CAST(n_cur AS DOUBLE) / cur_tot, $eps) AS qq
+          FROM p)
+        SELECT source, CAST(COUNT(*) AS INT) AS n_buckets,
+          MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,
+          round(SUM((qq - pp) * ln(qq / pp)), 6) AS psi
+        FROM x GROUP BY 1 ORDER BY 1"""
   }
 
   /** U15 oracle: the shared d7 closure + the same hash-mod split rule. */
@@ -1260,7 +1351,8 @@ object TextAnalysis {
 
   lazy val oracleAll: Map[String, String] =
     oracle + ("c1_curation" -> c1Sql) + ("c3_chunk_corpus" -> c3Sql) +
-      ("c5_curation_funnel" -> c5Sql) + ("u15_cluster_split" -> u15Sql) +
+      ("c5_curation_funnel" -> c5Sql) + ("c6_funnel_drift" -> c6Sql) +
+      ("u15_cluster_split" -> u15Sql) +
       ("t9_bpe_train" -> t9Sql) +
       ("t10_bpe_encode" -> t10Sql) + ("t11_bigram_lm" -> t11Sql) +
       ("u9_stratified_sample" -> u9Sql) +

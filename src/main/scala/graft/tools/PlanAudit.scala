@@ -69,6 +69,8 @@ object PlanAudit {
     "s30_version_diff",  // two doc-level count frames full-outer joined: O(docs), not O(chunks)
     "u15_cluster_split", // broadcast cluster frame LEFT join + map-side hash/CASE
     "s31_ann_recall",    // three serving legs + semi-joins over batch-x-k frames
+    "s32_post_event_recall", // served + exact-twin legs off ONE post-swap store lineage
+    "c6_funnel_drift",   // one disposition pass -> O(sources x stages) bins -> metadata-scale PSI
   )
 
   def main(args: Array[String]): Unit = {

@@ -468,6 +468,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks(ns.indexOf(15 * S + C).toLong).length === 16)
   }
 
+  test("c6 funnel drift: PSI recomputed in plain Scala from the shared " +
+    "dispositions; side split conserves the corpus per source") {
+    val dir = "/root/testdata/sf0.001"
+    val eps = graft.queries.Profile.driftEps
+    val disp = TextAnalysis.c5Dispositions(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("stage_ord")))
+    val out = TextAnalysis.queries("c6_funnel_drift")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Int]("n_buckets"), r.getAs[Long]("n_ref"),
+          r.getAs[Long]("n_cur"), r.getAs[Double]("psi"))).toMap
+    val bySource = disp.groupBy(_._2)
+    assert(out.keySet === bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val (nb, nRef, nCur, psi) = out(src)
+      val isCur = (d: Long) => d % Dedup.d11Mod == Dedup.d11Res
+      val ref = rows.filterNot(r => isCur(r._1))
+      val cur = rows.filter(r => isCur(r._1))
+      // conservation: the modular cut partitions each source's docs
+      assert(nRef === ref.length && nCur === cur.length)
+      assert(nRef + nCur === rows.length)
+      // plain-Scala PSI over the observed (stage) buckets, same eps
+      // floor — the formula independent of Spark/DuckDB expression
+      // plumbing
+      val buckets = rows.map(_._3).distinct.sorted
+      assert(nb === buckets.length)
+      val expected = buckets.map { st =>
+        val p = math.max(
+          ref.count(_._3 == st).toDouble / ref.length, eps)
+        val q = math.max(
+          cur.count(_._3 == st).toDouble / cur.length, eps)
+        (q - p) * math.log(q / p)
+      }.sum
+      assert(math.abs(psi - expected) < 1e-6,
+        s"$src: engine psi $psi vs plain-Scala $expected")
+    }
+  }
+
   test("t5 repetition ratio: duplicated shingles raise the ratio") {
     // the planted exact-duplicate docs in the corpus must have the same
     // rep_ratio as their originals (same text → same shingle multiset)
