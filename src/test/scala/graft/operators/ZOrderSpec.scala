@@ -78,4 +78,61 @@ class ZOrderSpec extends SparkSpec {
         s"${d.getName}: expected exactly 1 file, got ${files.length}")
     }
   }
+
+  // ---- BIGMIN / z-range enumeration (round-17 verdict item 5) ----
+
+  private val gMax = (1 << 3) - 1 // cellsPerDim - 1 at the committed 3 bits
+  private def inRect(z: Int, r: (Long, Long, Long, Long)): Boolean = {
+    val (cx, cy) = ZOrder.deinterleave(z)
+    cx >= r._1 && cx <= r._2 && cy >= r._3 && cy <= r._4
+  }
+  private def allRects: Seq[(Long, Long, Long, Long)] =
+    for {
+      xLo <- 0L to gMax; xHi <- xLo to gMax
+      yLo <- 0L to gMax; yHi <- yLo to gMax
+    } yield (xLo, xHi, yLo, yHi)
+
+  test("bigmin ≡ brute-force next-in-box successor, exhaustively") {
+    // every rectangle of the 8x8 grid × every OUT-of-box z-address:
+    // bigmin must return the smallest in-box address > z (or fail
+    // closed at -1 via the run loop's guards — brute force: -1)
+    allRects.foreach { r =>
+      val zmin = ZOrder.zOf(r._1, r._3)
+      val zmax = ZOrder.zOf(r._2, r._4)
+      (0 until ZOrder.zCells).filterNot(inRect(_, r)).foreach { z =>
+        val expected = ((z + 1) until ZOrder.zCells)
+          .find(inRect(_, r)).map(_.toLong).getOrElse(-1L)
+        val got = ZOrder.bigmin(z.toLong, zmin, zmax)
+        assert(got === expected,
+          s"bigmin($z) in rect $r: got $got, expected $expected")
+      }
+    }
+  }
+
+  test("bigmin refuses an in-box seek origin") {
+    // seeks only launch from out-of-box addresses; an in-box origin is
+    // a caller bug and must fail loudly, not return something plausible
+    intercept[IllegalArgumentException] {
+      ZOrder.bigmin(ZOrder.zOf(2, 2), ZOrder.zOf(1, 1), ZOrder.zOf(3, 3))
+    }
+  }
+
+  test("zRangesFor ≡ enumerate-and-filter, exhaustively; ranges maximal") {
+    allRects.foreach { r =>
+      val ranges = ZOrder.zRangesFor(r._1, r._2, r._3, r._4)
+      val expanded = ranges.flatMap { case (lo, hi) => lo to hi }
+      val expected = (0 until ZOrder.zCells)
+        .filter(inRect(_, r)).map(_.toLong)
+      assert(expanded === expected,
+        s"rect $r: ranges $ranges expand to $expanded, expected $expected")
+      // maximality: sorted, disjoint, and never two adjacent runs (an
+      // adjacent pair would mean a missed merge — the run-end seek
+      // stopped early)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) =>
+          assert(l2 > h1 + 1, s"rect $r: adjacent/overlapping runs")
+        case _ => ()
+      }
+    }
+  }
 }
