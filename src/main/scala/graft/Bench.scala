@@ -67,10 +67,26 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Caught-exception record (round-17 verdict item 2): BENCH_r17's
+    // bounded tail capture opened mid-stack-trace with the exception
+    // class truncated away — n_errors=0 proved the run recovered, but
+    // the artifact could not say WHAT was caught. Every exception any
+    // pass (warmup included) catches is summarized here (query → class
+    // + first message line) and lands in the JSON even when the query
+    // succeeds on another pass, so a tail-only capture can never hide
+    // what happened.
+    val caught = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def recordCaught(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse("")
+        .linesIterator.nextOption().getOrElse("")
+      caught.put(name, s"${e.getClass.getName}: $msg".take(160))
+    }
     // Pass 1: full-battery warmup (untimed). Errors here are not fatal —
     // the timed passes record them properly.
     val t0w = System.nanoTime()
-    names.foreach { n => try run(n) catch { case _: Throwable => () } }
+    names.foreach { n =>
+      try run(n) catch { case e: Throwable => recordCaught(n, e) }
+    }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
     // Calibration AFTER warmup (probe runs on the same JVM state the
     // timed passes see), BEFORE the passes (so a contention wave during
@@ -80,7 +96,8 @@ object Bench {
     // Passes 2-4: timed; report the per-query min.
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
-      val ok = try { run(name); true } catch { case _: Throwable => false }
+      val ok = try { run(name); true }
+        catch { case e: Throwable => recordCaught(name, e); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val passes = Seq.fill(3)(timedPass())
@@ -105,9 +122,24 @@ object Bench {
       "\"" + n + "\":[" + passes.map(p => f3(p(i)._2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // JSON string escaping for the caught-exception messages (arbitrary
+    // text: quotes, backslashes, control chars from FS paths/SQL)
+    def jstr(v: String): String = "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val caughtSorted = {
+      import scala.jdk.CollectionConverters._
+      caught.asScala.toSeq.sortBy(_._1)
+    }
+    def caughtJson(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"n_caught":${caughtSorted.size},"caught":${caughtJson(caughtSorted)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
     // The driver captures a BOUNDED stdout window (~2000 chars, tail):
     // the full 108-query map + per-pass arrays is ~6 KB, so a single fat
     // line arrives tail-only and unparseable (BENCH_r05/r08 lesson:
@@ -145,7 +177,11 @@ object Bench {
           (if (errors.size > errShown.size)
             Seq("\"...+" + (errors.size - errShown.size) + " more\"")
           else Nil)).mkString("[", ",", "]")
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        // bounded caught summary: first 3 entries, message pre-truncated
+        // — the count + full map are always in queries_file
+        val caughtCompact = caughtJson(
+          caughtSorted.take(3).map { case (k, v) => k -> v.take(120) })
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":${caughtSorted.size},"caught":$caughtCompact,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
       }
     println(line)
     spark.stop()
