@@ -179,9 +179,16 @@ object Bench {
           else Nil)).mkString("[", ",", "]")
         // bounded caught summary: first 3 entries, message pre-truncated
         // — the count + full map are always in queries_file
-        val caughtCompact = caughtJson(
+        def compactLine(caughtEntries: Seq[(String, String)]): String =
+          s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":${caughtSorted.size},"caught":${caughtJson(caughtEntries)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        val withCaught = compactLine(
           caughtSorted.take(3).map { case (k, v) => k -> v.take(120) })
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":${caughtSorted.size},"caught":$caughtCompact,"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        // the compact line must itself fit the capture window: in a
+        // mass-error round the errors list + caught samples together
+        // can overflow it (round-18 review) — degrade to count-only
+        // (n_caught stays; the full map is in queries_file)
+        if (withCaught.length <= 1900) withCaught
+        else compactLine(Seq.empty)
       }
     println(line)
     spark.stop()

@@ -23,11 +23,15 @@ import org.apache.spark.sql.SparkSession
   * in Sinks) already rides Hadoop FileSystem; this closes the metadata
   * plane, which was the last local-only convenience.
   *
-  * Ops are QUIET by contract (never throw on FS errors, report
-  * outcome by return value): the retention sweeps and delta-retirement
-  * retry loops key on "is the path absent now", and a transient FS
-  * error must degrade to "retry next tick", not abort a tick that
-  * already folded correctly.
+  * The DESTRUCTIVE ops are QUIET by contract (never throw on FS
+  * errors, report outcome by return value): the retention sweeps and
+  * delta-retirement retry loops key on "is the path absent now", and
+  * a transient FS error must degrade to "retry next tick", not abort
+  * a tick that already folded correctly. [[exists]] is the deliberate
+  * exception: callers use it to decide what to SERVE (fold deltas vs
+  * empty, replay sink vs empty probe), so an FS error there must
+  * surface as a failure — a swallowed exception would silently drop
+  * folded data from results (round-18 review finding).
   */
 object StoreFs {
 
@@ -41,29 +45,35 @@ object StoreFs {
   private def fsFor(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** NOT quiet (see object scaladoc): an FS error here must fail the
+    * caller, because exists() answers "what should I serve" — a
+    * swallowed error would be indistinguishable from "no data". */
   def exists(s: SparkSession, path: String): Boolean =
-    try fsFor(s, path).exists(new Path(path))
-    catch { case _: java.io.IOException => false }
+    fsFor(s, path).exists(new Path(path))
 
-  /** Recursive quiet delete — never throws; returns true iff the path
-    * is ABSENT afterwards (the deleteQuietly contract the d16 pending-
-    * retirement loop keys on: false ⇒ keep it in the retry set). */
+  /** Recursive quiet delete — never throws on FS trouble (all
+    * non-fatal throwables: Hadoop throws RuntimeExceptions for
+    * malformed URIs/wrong-FS paths, not just IOExceptions); returns
+    * true iff the path is ABSENT afterwards (the deleteQuietly
+    * contract the d16 pending-retirement loop keys on: false ⇒ keep
+    * it in the retry set). */
   def deleteQuietly(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     try {
       val fs = fsFor(s, path)
       fs.delete(p, true)
       !fs.exists(p)
-    } catch { case _: java.io.IOException => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Child base-names of a directory (empty when missing or on FS
-    * error) — the version-listing primitive of the retention sweeps. */
+    * error — retention sweeps retry on the next build) — the
+    * version-listing primitive of the retention sweeps. */
   def listNames(s: SparkSession, path: String): Seq[String] =
     try {
       val fs = fsFor(s, path)
       val p = new Path(path)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
-    } catch { case _: java.io.IOException => Seq.empty }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 }

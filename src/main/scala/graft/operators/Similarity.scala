@@ -860,20 +860,28 @@ object Similarity {
     * means are O(variants). At production scale ground truth comes
     * from an exact pass over a SAMPLED query set — exactly this shape
     * with s1's query-window dial widened. */
+  /** THE recall tail (one definition for s31 and s32 — round-18
+    * review): per-qid |approx ∩ exact| via a left-semi join on
+    * `keyCols`, 0-filled over exact's query set, recall = n_hits/k
+    * rounded 6dp. Both frames must be unique on keyCols (rank lists
+    * are), so the semi-join count IS the intersection size. */
+  private def recallPerQid(approx: DataFrame, exact: DataFrame,
+                           keyCols: Seq[String], k: Int): DataFrame = {
+    val hits = approx.select(keyCols.map(col): _*)
+      .join(exact.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+  }
+
   val s31AnnRecall: Q = (s, dir) => {
     val exact = s1CosineTopK(s, dir).filter(col("rk") <= s31K)
       .select(col("qid"), col("cid"))
-    def recallOf(approx: DataFrame, name: String): DataFrame = {
-      val hits = approx.select(col("qid"), col("cid"))
-        .join(exact, Seq("qid", "cid"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      exact.select("qid").distinct()
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall",
-          round(col("n_hits").cast("double") / s31K, 6))
+    def recallOf(approx: DataFrame, name: String): DataFrame =
+      recallPerQid(approx, exact, Seq("qid", "cid"), s31K)
         .withColumn("variant", lit(name))
-    }
     val rec = recallOf(s13IvfpqAnn(s, dir), "ivfpq_p1")
       .unionByName(recallOf(s14MultiprobeIvfpq(s, dir), s"ivfpq_p$ivfProbes"))
     val means = rec.groupBy("variant")
@@ -919,14 +927,8 @@ object Similarity {
       .select(col("qid"), col("doc_id"), col("chunk_idx"))
     val exact = exactTwin(q, idx)
       .select(col("qid"), col("doc_id"), col("chunk_idx"))
-    val hits = served
-      .join(exact, Seq("qid", "doc_id", "chunk_idx"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    val rec = exact.select("qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall",
-        round(col("n_hits").cast("double") / s10K, 6))
+    val rec = recallPerQid(served, exact,
+      Seq("qid", "doc_id", "chunk_idx"), s10K)
     val mean = rec.agg(round(avg("recall"), 6).as("mean_recall"))
     rec.crossJoin(broadcast(mean))
       .select(col("qid"), col("n_hits"), col("recall"),

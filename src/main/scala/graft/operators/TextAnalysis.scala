@@ -982,10 +982,19 @@ object TextAnalysis {
     bins
       .withColumn("ref_tot", sum("n_ref").over(w))
       .withColumn("cur_tot", sum("n_cur").over(w))
+      // explicit zero-total guard (round-18 review): a source living
+      // entirely on one side of the cut has tot = 0 on the other, and
+      // Spark's null-on-divide-by-zero vs DuckDB's IEEE inf would
+      // silently diverge — both engines now share "empty side ⇒ every
+      // bucket at the eps floor" by construction
       .withColumn("p", greatest(
-        col("n_ref").cast("double") / col("ref_tot"), lit(eps)))
+        when(col("ref_tot") > 0,
+          col("n_ref").cast("double") / col("ref_tot")).otherwise(0.0),
+        lit(eps)))
       .withColumn("q", greatest(
-        col("n_cur").cast("double") / col("cur_tot"), lit(eps)))
+        when(col("cur_tot") > 0,
+          col("n_cur").cast("double") / col("cur_tot")).otherwise(0.0),
+        lit(eps)))
       .groupBy("source")
       .agg(count(lit(1)).cast("int").as("n_buckets"),
         max("ref_tot").as("n_ref"),
@@ -1325,8 +1334,10 @@ object TextAnalysis {
           FROM b),
         x AS (
           SELECT source, ref_tot, cur_tot,
-            greatest(CAST(n_ref AS DOUBLE) / ref_tot, $eps) AS pp,
-            greatest(CAST(n_cur AS DOUBLE) / cur_tot, $eps) AS qq
+            greatest(CASE WHEN ref_tot > 0
+              THEN CAST(n_ref AS DOUBLE) / ref_tot ELSE 0 END, $eps) AS pp,
+            greatest(CASE WHEN cur_tot > 0
+              THEN CAST(n_cur AS DOUBLE) / cur_tot ELSE 0 END, $eps) AS qq
           FROM p)
         SELECT source, CAST(COUNT(*) AS INT) AS n_buckets,
           MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,

@@ -495,10 +495,11 @@ class TextAnalysisSpec extends SparkSpec {
       val buckets = rows.map(_._3).distinct.sorted
       assert(nb === buckets.length)
       val expected = buckets.map { st =>
-        val p = math.max(
-          ref.count(_._3 == st).toDouble / ref.length, eps)
-        val q = math.max(
-          cur.count(_._3 == st).toDouble / cur.length, eps)
+        // same zero-total rule as engine/oracle: empty side ⇒ eps floor
+        val p = math.max(if (ref.isEmpty) 0.0
+          else ref.count(_._3 == st).toDouble / ref.length, eps)
+        val q = math.max(if (cur.isEmpty) 0.0
+          else cur.count(_._3 == st).toDouble / cur.length, eps)
         (q - p) * math.log(q / p)
       }.sum
       assert(math.abs(psi - expected) < 1e-6,

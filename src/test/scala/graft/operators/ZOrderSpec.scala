@@ -81,7 +81,10 @@ class ZOrderSpec extends SparkSpec {
 
   // ---- BIGMIN / z-range enumeration (round-17 verdict item 5) ----
 
-  private val gMax = (1 << 3) - 1 // cellsPerDim - 1 at the committed 3 bits
+  // derived from the committed geometry (round-18 review: a hardcoded
+  // bound would silently shrink the tested rectangle space if zBits
+  // moves — "exhaustive" must track the dial)
+  private val gMax = (1L << ZOrder.zBits) - 1
   private def inRect(z: Int, r: (Long, Long, Long, Long)): Boolean = {
     val (cx, cy) = ZOrder.deinterleave(z)
     cx >= r._1 && cx <= r._2 && cy >= r._3 && cy <= r._4
