@@ -181,10 +181,18 @@ object Profile {
     bins
       .withColumn("ref_tot", sum("n_ref").over(w))
       .withColumn("cur_tot", sum("n_cur").over(w))
-      .withColumn("p",
-        greatest(col("n_ref").cast("double") / col("ref_tot"), lit(driftEps)))
-      .withColumn("q",
-        greatest(col("n_cur").cast("double") / col("cur_tot"), lit(driftEps)))
+      // explicit zero-total guard (round-18, the c6 rule applied
+      // uniformly): a window entirely empty on one side would hit
+      // Spark's null-on-divide-by-zero vs DuckDB's IEEE inf — both
+      // engines share "empty side ⇒ every bucket at the eps floor"
+      .withColumn("p", greatest(
+        when(col("ref_tot") > 0,
+          col("n_ref").cast("double") / col("ref_tot")).otherwise(0.0),
+        lit(driftEps)))
+      .withColumn("q", greatest(
+        when(col("cur_tot") > 0,
+          col("n_cur").cast("double") / col("cur_tot")).otherwise(0.0),
+        lit(driftEps)))
       .groupBy("feature")
       .agg(count(lit(1)).cast("int").as("n_buckets"),
         max("ref_tot").as("n_ref"),
@@ -290,8 +298,12 @@ object Profile {
             FROM b),
           x AS (
             SELECT feature, ref_tot, cur_tot,
-              greatest(CAST(n_ref AS DOUBLE) / ref_tot, $driftEps) AS pp,
-              greatest(CAST(n_cur AS DOUBLE) / cur_tot, $driftEps) AS qq
+              greatest(CASE WHEN ref_tot > 0
+                THEN CAST(n_ref AS DOUBLE) / ref_tot ELSE 0 END,
+                $driftEps) AS pp,
+              greatest(CASE WHEN cur_tot > 0
+                THEN CAST(n_cur AS DOUBLE) / cur_tot ELSE 0 END,
+                $driftEps) AS qq
             FROM p)
           SELECT feature, CAST(COUNT(*) AS INT) AS n_buckets,
             MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,
