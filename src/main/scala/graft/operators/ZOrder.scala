@@ -281,16 +281,21 @@ object ZOrder {
     * keeps exactly the cells whose coordinate ranges intersect the
     * quantized rectangle (quantization is monotone, so rectangle
     * corners quantize to the cell-space corners). */
-  val z1ZorderPrune: Q = (s, dir) => {
+  /** Shared serving prologue of z1/z2: build the layout store, read
+    * back the WRITER's bounds (name-based — round-17 advice: positional
+    * getLong silently depended on parquet column order, and an
+    * empty/all-null events table surfaced as an unhelpful NPE), derive
+    * the rectangle and its quantized cell-space corners, and the
+    * BIGMIN z-range cover. Returns (store, residual bounds, ranges). */
+  private def servingContext(s: SparkSession, dir: String)
+      : (String, (Long, Long), (Long, Long), Seq[(Long, Long)]) = {
     val store = zStore(s, dir)
-    // name-based access (round-17 advice): positional getLong silently
-    // depended on parquet column order, and an empty/all-null events
-    // table surfaced as an unhelpful NPE — fail with the actual cause
     val bRows = s.read.parquet(s"$store/bounds").collect()
     require(bRows.nonEmpty && !bRows(0).isNullAt(
         bRows(0).fieldIndex("min_u")),
-      s"z1 bounds row at $store/bounds is empty or null — the events " +
-        "table is empty; a z-layout needs at least one row to quantize")
+      s"z-layout bounds row at $store/bounds is empty or null — the " +
+        "events table is empty; a z-layout needs at least one row to " +
+        "quantize")
     val b = bRows(0)
     val (minU, maxU, minD, maxD) =
       (b.getAs[Long]("min_u"), b.getAs[Long]("max_u"),
@@ -298,24 +303,58 @@ object ZOrder {
     val ((ulo, uhi), (dlo, dhi)) = rectangle(minU, maxU, minD, maxD)
     val (cxLo, cxHi) = (cellOf(ulo, minU, maxU), cellOf(uhi, minU, maxU))
     val (cyLo, cyHi) = (cellOf(dlo, minD, maxD), cellOf(dhi, minD, maxD))
-    // BIGMIN-seek range enumeration (O(#ranges·bits), grid-size-
-    // independent), expanded to the cell INSET the partition filter
-    // pins — identical cell set to the old enumerate-and-filter scan
-    // by construction (ZOrderSpec, exhaustive); at a production 2^20+
-    // grid the ranges feed zcell BETWEEN predicates directly
-    val cells = zRangesFor(cxLo, cxHi, cyLo, cyHi)
-      .flatMap { case (lo, hi) => lo to hi }
+    (store, (ulo, uhi), (dlo, dhi), zRangesFor(cxLo, cxHi, cyLo, cyHi))
+  }
+
+  /** Shared serving tail: pruned scan + pushed exact residual +
+    * per-user aggregate — the pruning predicate is the ONLY variable
+    * between z1 and z2 (the s20-on-s10 one-variable-gate pattern). */
+  private def servePruned(s: SparkSession, store: String, prune: Column,
+                          u: (Long, Long), d: (Long, Long)): DataFrame =
     s.read.parquet(s"$store/data")
-      .filter(col("zcell").isin(cells: _*) &&
-        col("user_id").between(ulo, uhi) && col("day").between(dlo, dhi))
+      .filter(prune &&
+        col("user_id").between(u._1, u._2) &&
+        col("day").between(d._1, d._2))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 6).as("sum_value"))
       .orderBy("user_id")
+
+  val z1ZorderPrune: Q = (s, dir) => {
+    val (store, u, d, ranges) = servingContext(s, dir)
+    // the BIGMIN ranges expanded to the cell INSET the partition
+    // filter pins — identical cell set to enumerate-and-filter by
+    // construction (ZOrderSpec, exhaustive); fine at the committed
+    // 64-cell grid where the list is small
+    val cells = ranges.flatMap { case (lo, hi) => lo to hi }
+    servePruned(s, store, col("zcell").isin(cells: _*), u, d)
+  }
+
+  /** Z2: Z-RANGE SERVING — z1's rectangle served through the BIGMIN
+    * ranges AS RANGE PREDICATES (`zcell BETWEEN lo AND hi` OR'd over
+    * the cover) instead of the expanded cell INSET. This is the
+    * production form at a 2^20+ grid, where a covering rectangle can
+    * hold millions of cells: the predicate stays O(#ranges) — the
+    * quantity BIGMIN bounds by the rectangle's perimeter, not its
+    * area — while the INSET's value list (and the driver memory + plan
+    * size it costs) grows with the area. Same store, same residual,
+    * same aggregate; the pruning predicate is the ONLY variable
+    * (s20-on-s10 pattern), and the partition filter still prunes:
+    * range predicates on a partition column resolve statically. Oracle
+    * = z1's verbatim — the layout AND the predicate form must both be
+    * invisible to results. */
+  val z2ZorderRanges: Q = (s, dir) => {
+    val (store, u, d, ranges) = servingContext(s, dir)
+    val prune = ranges.map { case (lo, hi) =>
+      if (lo == hi) col("zcell") === lit(lo)
+      else col("zcell").between(lo, hi)
+    }.reduce(_ || _)
+    servePruned(s, store, prune, u, d)
   }
 
   val queries: Map[String, Q] = Map(
     "z1_zorder_prune" -> z1ZorderPrune,
+    "z2_zorder_ranges" -> z2ZorderRanges,
   )
 
   /** Z1 oracle: the raw-events rectangle aggregate with the rectangle
@@ -345,5 +384,9 @@ object ZOrder {
 
   val oracle: Map[String, String] = Map(
     "z1_zorder_prune" -> z1Sql,
+    // z2 serves the SAME rectangle off the same layout — only the
+    // pruning-predicate FORM differs, so z1's oracle gates it verbatim
+    // (the s21/s15Sql sharing pattern)
+    "z2_zorder_ranges" -> z1Sql,
   )
 }

@@ -71,6 +71,7 @@ object PlanAudit {
     "s31_ann_recall",    // three serving legs + semi-joins over batch-x-k frames
     "s32_post_event_recall", // served + exact-twin legs off ONE post-swap store lineage
     "c6_funnel_drift",   // one disposition pass -> O(sources x stages) bins -> metadata-scale PSI
+    "z2_zorder_ranges",  // BIGMIN ranges as BETWEEN partition filters — the 2^20-grid serving form
   )
 
   def main(args: Array[String]): Unit = {

@@ -79,6 +79,26 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("z2: range-predicate serving ≡ z1's INSET serving; ranges land " +
+    "in PartitionFilters") {
+    val z2 = ZOrder.queries("z2_zorder_ranges")(spark, dir)
+    val z1 = ZOrder.queries("z1_zorder_prune")(spark, dir)
+    // the predicate FORM is the only variable — results identical
+    assert(z2.collect().toSeq === z1.collect().toSeq)
+    val plan = z2.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the OR'd BETWEEN ranges must still prune statically on the
+    // partition column (range predicates resolve against partition
+    // values), and the exact residual must still reach the scan
+    assert(plan.matches(
+      "(?s).*PartitionFilters:[^\\n]*zcell[^\\n]*>=[^\\n]*.*"),
+      s"zcell range bounds must land in PartitionFilters:\n$plan")
+    assert(!plan.matches("(?s).*PartitionFilters:[^\\n]*INSET[^\\n]*.*"),
+      s"z2 must prune via ranges, not an expanded INSET:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters:[^\\n]*user_id[^\\n]*.*"),
+      s"user_id residual must be pushed to the scan:\n$plan")
+  }
+
   // ---- BIGMIN / z-range enumeration (round-17 verdict item 5) ----
 
   // derived from the committed geometry (round-18 review: a hardcoded
