@@ -58,6 +58,41 @@ object Bench {
     Seq.fill(3)(once()).min
   }
 
+  /** IO-shaped calibration probe (round-18 verdict item 1): the CPU+
+    * shuffle probe above could NOT see the uniform ~13% battery
+    * inflation that hit the round-18 gate campaign (calib ≈ 1.0 while
+    * the median per-query ratio read 1.13 — BASELINE.md documents the
+    * episode), because that contention was filesystem/page-cache
+    * shaped, not core-shaped. This probe exercises exactly that path:
+    * write a seed-pinned ~100 MB parquet (id-derived md5 hex strings —
+    * incompressible, so the size is stable) under a pid-suffixed
+    * tmpdir, then read it fully back; timed min-of-3 on the warmed
+    * JVM, dir removed afterwards. Its committed anchor lives in
+    * BASELINE_GATE.json (`calib_io_ref_sec`) and the ratio
+    * `calib_io_sec / calib_io_ref_sec` is the IO host factor — the
+    * host-factor interpretation rule in BASELINE.md §"Bench
+    * methodology" reads the PAIR: a gate campaign run is quiet only
+    * when BOTH probes sit near their anchors. The probe uses only
+    * Spark built-ins and fixed data, so its time moves ONLY with the
+    * host's IO weather. */
+  def calibrationProbeIo(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = sys.props("java.io.tmpdir") +
+      s"/graft-calib-io-${ProcessHandle.current.pid}"
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(3L * 1000 * 1000)
+        .select(col("id"),
+          md5(col("id").cast("string")).as("h1"),
+          md5((col("id") + 1000000007L).cast("string")).as("h2"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try { once(); Seq.fill(3)(once()).min }
+    finally graft.core.StoreFs.deleteQuietly(spark, dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.get()
@@ -75,17 +110,26 @@ object Bench {
     // + first message line) and lands in the JSON even when the query
     // succeeds on another pass, so a tail-only capture can never hide
     // what happened.
-    val caught = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def recordCaught(name: String, e: Throwable): Unit = {
+    // Pass-tagged APPEND semantics (round-18 advice): put() overwrote,
+    // so when warmup and a timed pass caught DIFFERENT exceptions for
+    // the same query, the warmup one was lost, and n_caught counted
+    // distinct queries rather than caught events. Now every event any
+    // pass catches is kept (bounded at 4 entries/query — warmup + the
+    // 3 timed passes is the natural max) and n_caught counts EVENTS.
+    val caught =
+      new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+    def recordCaught(pass: String, name: String, e: Throwable): Unit = {
       val msg = Option(e.getMessage).getOrElse("")
         .linesIterator.nextOption().getOrElse("")
-      caught.put(name, s"${e.getClass.getName}: $msg".take(160))
+      val entry = s"$pass ${e.getClass.getName}: $msg".take(160)
+      caught.merge(name, List(entry),
+        (old, add) => (old ++ add).take(4))
     }
     // Pass 1: full-battery warmup (untimed). Errors here are not fatal —
     // the timed passes record them properly.
     val t0w = System.nanoTime()
     names.foreach { n =>
-      try run(n) catch { case e: Throwable => recordCaught(n, e) }
+      try run(n) catch { case e: Throwable => recordCaught("warmup", n, e) }
     }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
     // Calibration AFTER warmup (probe runs on the same JVM state the
@@ -93,14 +137,15 @@ object Bench {
     // the passes still shows up in per-pass spread, while the probe
     // anchors the host's speed at measurement start).
     val calibSec = calibrationProbe(spark)
+    val calibIoSec = calibrationProbeIo(spark)
     // Passes 2-4: timed; report the per-query min.
-    def timedPass(): Seq[(String, Double)] = names.map { name =>
+    def timedPass(tag: String): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { run(name); true }
-        catch { case e: Throwable => recordCaught(name, e); false }
+        catch { case e: Throwable => recordCaught(tag, name, e); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val passes = Seq.fill(3)(timedPass())
+    val passes = (1 to 3).map(i => timedPass(s"pass$i"))
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = passes.map(_(i)._2)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -134,12 +179,15 @@ object Bench {
       import scala.jdk.CollectionConverters._
       caught.asScala.toSeq.sortBy(_._1)
     }
-    def caughtJson(entries: Seq[(String, String)]): String =
-      entries.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-        .mkString("{", ",", "}")
+    // n_caught counts EVENTS across all passes, not distinct queries
+    val nCaught = caughtSorted.map(_._2.size).sum
+    def caughtJson(entries: Seq[(String, List[String])]): String =
+      entries.map { case (k, vs) =>
+        jstr(k) + ":" + vs.map(jstr).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"n_caught":${caughtSorted.size},"caught":${caughtJson(caughtSorted)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"n_caught":$nCaught,"caught":${caughtJson(caughtSorted)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
     // The driver captures a BOUNDED stdout window (~2000 chars, tail):
     // the full 108-query map + per-pass arrays is ~6 KB, so a single fat
     // line arrives tail-only and unparseable (BENCH_r05/r08 lesson:
@@ -179,10 +227,11 @@ object Bench {
           else Nil)).mkString("[", ",", "]")
         // bounded caught summary: first 3 entries, message pre-truncated
         // — the count + full map are always in queries_file
-        def compactLine(caughtEntries: Seq[(String, String)]): String =
-          s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":${caughtSorted.size},"caught":${caughtJson(caughtEntries)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+        def compactLine(caughtEntries: Seq[(String, List[String])]): String =
+          s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":$nCaught,"caught":${caughtJson(caughtEntries)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
         val withCaught = compactLine(
-          caughtSorted.take(3).map { case (k, v) => k -> v.take(120) })
+          caughtSorted.take(3).map { case (k, vs) =>
+            k -> vs.take(1).map(_.take(120)) })
         // the compact line must itself fit the capture window: in a
         // mass-error round the errors list + caught samples together
         // can overflow it (round-18 review) — degrade to count-only

@@ -36,11 +36,18 @@ import org.apache.spark.sql.SparkSession
 object StoreFs {
 
   /** Base dir/URI for engine-managed lifecycle roots. Default = the
-    * JVM tmpdir (resolved by the default FS — local in local mode), so
-    * local layouts are byte-identical to the historical ones; one conf
-    * key relocates every store at once. */
+    * JVM tmpdir qualified as a `file:` URI, so the unset-key default
+    * is LOCAL regardless of `fs.defaultFS`: on a cluster where
+    * defaultFS is hdfs://, a scheme-less "/tmp/..." would silently
+    * resolve onto HDFS while TmpHygiene's dead-pid janitor
+    * (java.io.File) kept scanning local disk — orphans on the shared
+    * FS would never be swept (round-18 advice). Clusters opt INTO a
+    * shared FS explicitly via `spark.graft.store.root=hdfs://…`; the
+    * default preserves the historical local-tmpdir behavior
+    * everywhere. One conf key relocates every store at once. */
   def base(s: SparkSession): String =
-    s.conf.get("spark.graft.store.root", sys.props("java.io.tmpdir"))
+    s.conf.get("spark.graft.store.root",
+      "file:" + sys.props("java.io.tmpdir"))
 
   private def fsFor(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)

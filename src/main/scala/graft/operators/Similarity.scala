@@ -1914,9 +1914,10 @@ object Similarity {
     * reader (round-17 review finding) — staged under one version, the
     * diff's own readers keep the standard survive-one-rebuild
     * retention contract every other gate's frames enjoy. Oracle:
-    * per-doc chunk counts of the c3 chain with the two modular
-    * predicates — the diff is fully relational, the store is the
-    * physical path.
+    * per-doc chunk counts of the SERVED index chain (the cidx CTE —
+    * post cn>0, see [[s30Sql]]'s pinned-contract note) with the two
+    * modular predicates — the diff is fully relational, the store is
+    * the physical path.
     * Scale shape: each side is one doc-keyed count over its snapshot
     * (partial-aggregated map-side), then a full-outer join of two
     * doc-level count frames — O(docs), not O(chunks), and orders of
@@ -4100,7 +4101,17 @@ object Similarity {
     * snapshots [[retrievalIndex]], whose encode drops zero-norm chunks
     * (cn > 0), so an oracle counting raw c3 chunks would diverge the
     * moment any chunk embeds to the zero vector — both sides now share
-    * the cn > 0 predicate through the one cidx definition. */
+    * the cn > 0 predicate through the one cidx definition.
+    *
+    * PINNED CONTRACT (round-18 advice): the post-cn>0 INDEX chain is
+    * the INTENDED row basis for version diffs, not an artifact of
+    * aligning the oracle to the engine. A version diff answers "what
+    * changed in what the store SERVES"; zero-norm chunks are never
+    * servable (they cannot score under cosine), so counting them
+    * would report phantom adds/removes for rows no query can ever
+    * see. If a raw-corpus-chunk diff is ever wanted, it is a NEW
+    * operator over c3, not a redefinition of s30. Pinned by
+    * SimilaritySpec ("s30 row basis is the served index chain"). */
   private lazy val s30Sql: String =
     s"""WITH ${cidxCtes()},
         ch AS (

@@ -968,13 +968,31 @@ object TextAnalysis {
     * O(sources × stages) bins frame — the totals window and the PSI
     * reduction run on that metadata-scale frame, never the corpus
     * (the prof6 argument verbatim). Oracle: c5's disposition CTEs +
-    * prof6's PSI SQL, both already gated. */
-  val c6FunnelDrift: Q = (s, dir) => {
+    * prof6's PSI SQL, both already gated.
+    *
+    * ALERT CONTRACT (round-18 verdict item 7): each source's psi is
+    * classified into the committed bands ([[graft.queries.Profile
+    * .psiWatch]]/[[graft.queries.Profile.psiAlert]] — the standard
+    * PSI reading: <0.1 stable, 0.1–0.2 watch, ≥0.2 alert) and the
+    * `band` column ships WITH the tripwire's output, so the alarm
+    * rule is part of the gated artifact rather than prose; BASELINE.md
+    * §"Funnel-drift alert contract" carries the operational rule and
+    * PropertiesSpec pins that planted no-drift / moderate / severe
+    * fixtures classify stable / watch / alert. */
+  val c6FunnelDrift: Q = (s, dir) =>
+    funnelPsi(c5Dispositions(s, dir),
+      pmod(col("doc_id"), lit(Dedup.d11Mod)) === lit(Dedup.d11Res))
+
+  /** PSI of the per-source stage-disposition distribution between the
+    * `isCur`=false (reference) and `isCur`=true (current) row sides,
+    * banded by the committed alert thresholds. Factored out of c6 so
+    * the planted-drift threshold pin (PropertiesSpec) exercises the
+    * EXACT engine path, not a spec-local reimplementation. */
+  private[graft] def funnelPsi(disp: DataFrame, isCur: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eps = graft.queries.Profile.driftEps
-    val bins = c5Dispositions(s, dir)
-      .withColumn("is_cur",
-        pmod(col("doc_id"), lit(Dedup.d11Mod)) === lit(Dedup.d11Res))
+    val bins = disp
+      .withColumn("is_cur", isCur)
       .groupBy("source", "stage_ord")
       .agg(count(when(!col("is_cur"), 1)).as("n_ref"),
         count(when(col("is_cur"), 1)).as("n_cur"))
@@ -1001,6 +1019,7 @@ object TextAnalysis {
         max("cur_tot").as("n_cur"),
         round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
           .as("psi"))
+      .withColumn("band", graft.queries.Profile.psiBandCol(col("psi")))
       .orderBy("source")
   }
 
@@ -1338,11 +1357,17 @@ object TextAnalysis {
               THEN CAST(n_ref AS DOUBLE) / ref_tot ELSE 0 END, $eps) AS pp,
             greatest(CASE WHEN cur_tot > 0
               THEN CAST(n_cur AS DOUBLE) / cur_tot ELSE 0 END, $eps) AS qq
-          FROM p)
-        SELECT source, CAST(COUNT(*) AS INT) AS n_buckets,
-          MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,
-          round(SUM((qq - pp) * ln(qq / pp)), 6) AS psi
-        FROM x GROUP BY 1 ORDER BY 1"""
+          FROM p),
+        f AS (
+          SELECT source, CAST(COUNT(*) AS INT) AS n_buckets,
+            MAX(ref_tot) AS n_ref, MAX(cur_tot) AS n_cur,
+            round(SUM((qq - pp) * ln(qq / pp)), 6) AS psi
+          FROM x GROUP BY 1)
+        SELECT source, n_buckets, n_ref, n_cur, psi,
+          CASE WHEN psi < ${graft.queries.Profile.psiWatch} THEN 'stable'
+               WHEN psi < ${graft.queries.Profile.psiAlert} THEN 'watch'
+               ELSE 'alert' END AS band
+        FROM f ORDER BY 1"""
   }
 
   /** U15 oracle: the shared d7 closure + the same hash-mod split rule. */

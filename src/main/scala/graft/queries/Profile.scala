@@ -143,6 +143,30 @@ object Profile {
     * contribution entirely). */
   private[graft] val driftEps = 1e-6
 
+  /** COMMITTED PSI alert bands (round-18 verdict item 7) — the
+    * standard industry interpretation of the population stability
+    * index: PSI < 0.1 = stable (no action), 0.1 ≤ PSI < 0.2 = watch
+    * (moderate shift — monitor the next builds), PSI ≥ 0.2 = alert
+    * (significant shift — investigate BEFORE training on the output).
+    * These are the thresholds the c6 funnel-drift tripwire publishes
+    * with every build (its `band` column) and the reading rule for
+    * prof6's per-feature psi; the contract lives in BASELINE.md
+    * §"Funnel-drift alert contract" and the classification of planted
+    * drift is pinned by PropertiesSpec. */
+  private[graft] val psiWatch = 0.1
+  private[graft] val psiAlert = 0.2
+
+  /** Band classification of a (rounded) PSI column — both the engine
+    * and the DuckDB oracle classify the SAME round(psi, 6) value, so
+    * the band can never flap across engines at a threshold boundary. */
+  private[graft] def psiBandCol(
+      psi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(psi < psiWatch, lit("stable"))
+      .when(psi < psiAlert, lit("watch"))
+      .otherwise(lit("alert"))
+  }
+
   /** PROF6: POPULATION-STABILITY drift profile — PSI (population
     * stability index, Σ (q−p)·ln(q/p) over bucketed distributions)
     * between a reference window (`o_orderdate` < [[driftSplit]]) and

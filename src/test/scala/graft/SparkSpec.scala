@@ -10,6 +10,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Local filesystem view of a StoreFs-derived path: the lifecycle
+    * base is `file:`-qualified (StoreFs.base — the unset-key default
+    * must stay local regardless of fs.defaultFS), but specs that
+    * inspect store layouts do so with java.io.File, which wants the
+    * bare path. */
+  def localPath(p: String): String = p.stripPrefix("file:")
 }
 
 object SparkSpec {

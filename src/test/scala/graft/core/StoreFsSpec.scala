@@ -10,7 +10,9 @@ import graft.SparkSpec
 class StoreFsSpec extends SparkSpec {
 
   test("base defaults to the JVM tmpdir and follows the conf key") {
-    assert(StoreFs.base(spark) === sys.props("java.io.tmpdir"))
+    // file:-qualified so the unset-key default stays LOCAL even when
+    // fs.defaultFS points at a shared FS (round-18 advice)
+    assert(StoreFs.base(spark) === "file:" + sys.props("java.io.tmpdir"))
     val key = "spark.graft.store.root"
     spark.conf.set(key, "/tmp/graft-seam-test")
     try assert(StoreFs.base(spark) === "/tmp/graft-seam-test")

@@ -417,7 +417,7 @@ class DedupSpec extends SparkSpec {
       r.getInt(2), r.getLong(3), r.getInt(4))).sorted.toSeq
 
   private def batchDirs(store: String, sub: String): Seq[Long] =
-    new java.io.File(s"$store/$sub").listFiles()
+    new java.io.File(localPath(s"$store/$sub")).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
 

@@ -845,7 +845,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(s21 === s15,
       "compaction changed serving results vs the refreshed index")
-    val store = new java.io.File(Similarity.s21Store(spark, dir))
+    val store = new java.io.File(localPath(Similarity.s21Store(spark, dir)))
     val bktDirs = store.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty, "no bucket partitions on disk")
@@ -937,7 +937,7 @@ class SimilaritySpec extends SparkSpec {
       .foldLeft(Map.empty[Long, Long]) { (m, bs) =>
         bs.foldLeft(m)((mm, b) => mm.updated(b, mm.getOrElse(b, 0L) + 1L))
       }
-    val store = new java.io.File(Similarity.idxStore(spark, dir, "prof9"))
+    val store = new java.io.File(localPath(Similarity.idxStore(spark, dir, "prof9")))
     val listed = store.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
       .map { d =>
@@ -1021,11 +1021,11 @@ class SimilaritySpec extends SparkSpec {
     // through stageForReplay itself (idempotent via _SUCCESS — returns
     // the existing staging) instead of hand-rebuilding its naming.
     val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-    val streamDir = new java.io.File(graft.streaming.Streams.stageForReplay(
+    val streamDir = new java.io.File(localPath(graft.streaming.Streams.stageForReplay(
       Similarity.s24Tombstones(spark, dir)
         .repartitionByRange(2, col("doc_id")),
       s"tomb-$fp-${Similarity.s24DelMod}m${Similarity.s24DelRes}",
-      shape = "r2"))
+      shape = "r2")))
     val files = Option(streamDir.listFiles()).getOrElse(Array.empty)
     val nFiles = files.count(_.getName.endsWith(".parquet"))
     assert(nFiles === 2, s"staged tombstone replay has $nFiles files")
@@ -1091,12 +1091,12 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(keyed(store) === keyed(Similarity.rebucketIndex(spark, dir)),
       "swapped store content diverges from the rebuilt index")
-    val bktDirs = new java.io.File(storePath).listFiles()
+    val bktDirs = new java.io.File(localPath(storePath)).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
       .map(_.getName.stripPrefix("bkt=").toLong)
     assert(bktDirs.exists(_ >= 64L),
       "on-disk layout did not widen past the old 2^6 keyspace")
-    val leftovers = new java.io.File(storePath).getParentFile.listFiles()
+    val leftovers = new java.io.File(localPath(storePath)).getParentFile.listFiles()
       .filter(_.getName.contains("-staging"))
     assert(leftovers.isEmpty,
       s"swap staging leftovers: ${leftovers.map(_.getName).toSeq}")
@@ -1145,7 +1145,7 @@ class SimilaritySpec extends SparkSpec {
     // the swapped store carries both partition dims, and the bucket
     // keyspace actually widened past 2^6 on disk
     val storePath = Similarity.idxStore(spark, dir, "s29")
-    val bktDirs = new java.io.File(storePath).listFiles()
+    val bktDirs = new java.io.File(localPath(storePath)).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty)
     assert(bktDirs.map(_.getName.stripPrefix("bkt=").toLong)
@@ -1182,7 +1182,7 @@ class SimilaritySpec extends SparkSpec {
     val secondStore = Similarity.idxStore(spark, dir, "s25")
     assert(firstStore !== secondStore,
       "rebuild did not allocate a fresh store version")
-    assert(new java.io.File(firstStore).exists(),
+    assert(new java.io.File(localPath(firstStore)).exists(),
       "previous version vacuumed while a reader could still hold it")
     // the first frame EXECUTES only now, after the rebuild — it must
     // serve its own snapshot, not race the new lifecycle
@@ -1193,7 +1193,7 @@ class SimilaritySpec extends SparkSpec {
     // a third rebuild retires the first version (bounded footprint —
     // the vacuum-retention window is {current, previous})
     graft.SparkEntry.queries("s25_banded_store")(spark, dir)
-    assert(!new java.io.File(firstStore).exists(),
+    assert(!new java.io.File(localPath(firstStore)).exists(),
       "vacuum retention did not retire versions beyond the window")
   }
 
@@ -1205,8 +1205,8 @@ class SimilaritySpec extends SparkSpec {
     // window in one invocation — a later rebuild would retire the prev
     // side under a live lazy reader)
     val store = Similarity.idxStore(spark, dir, "s30")
-    assert(new java.io.File(s"$store/prev").exists() &&
-      new java.io.File(s"$store/curr").exists(),
+    assert(new java.io.File(localPath(s"$store/prev")).exists() &&
+      new java.io.File(localPath(s"$store/curr")).exists(),
       "one snapshot must materialize both diff sides")
     // reconcile against the defining slices: added = arrival docs not
     // tombstoned; removed = tombstoned docs that were in previous
@@ -1226,6 +1226,21 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out.map(_.getAs[String]("change")).toSet === Set("added", "removed"),
       "replayed lineage must exercise both diff directions")
+    // PINNED CONTRACT (round-18 advice): the row basis for version
+    // diffs is the SERVED index chain (post the encode's cn>0 drop —
+    // what the store actually serves), NOT raw c3 corpus chunks. A
+    // version diff answers "what changed in what the store serves";
+    // zero-norm chunks can never score under cosine, so counting them
+    // would report phantom changes no query can observe. Pin: every
+    // added doc's n_curr equals its chunk count in retrievalIndex.
+    val idxCounts = Similarity.retrievalIndex(spark, dir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    out.filter(_.getAs[String]("change") == "added").foreach { r =>
+      assert(r.getAs[Long]("n_curr") ===
+        idxCounts(r.getAs[Long]("doc_id")),
+        "s30 row basis must be the served index chain")
+    }
   }
 
   test("s31 ann recall: bounded, per-variant means reconcile, " +
@@ -1260,7 +1275,7 @@ class SimilaritySpec extends SparkSpec {
     // a published version a reader could be holding
     graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir)
     val held = Similarity.idxStore(spark, dir, "s26")
-    assert(new java.io.File(held).exists())
+    assert(new java.io.File(localPath(held)).exists())
     // inject a failure into the build's swap: the allocated version
     // stays unpublished
     graft.sources.Sinks.crashBeforeRename = 0
@@ -1275,12 +1290,12 @@ class SimilaritySpec extends SparkSpec {
     graft.SparkEntry.queries("s26_rebucket_rebuild")(spark, dir)
     val current = Similarity.idxStore(spark, dir, "s26")
     assert(current !== held)
-    assert(new java.io.File(held).exists(),
+    assert(new java.io.File(localPath(held)).exists(),
       "failed build shifted the vacuum window onto a held version")
-    val versions = new java.io.File(held).getParentFile.getParentFile
+    val versions = new java.io.File(localPath(held)).getParentFile.getParentFile
       .listFiles().filter(_.getName.startsWith("v")).map(_.getName).toSet
     val expect = Set(held, current)
-      .map(p => new java.io.File(p).getParentFile.getName)
+      .map(p => new java.io.File(localPath(p)).getParentFile.getName)
     assert(versions === expect,
       s"vacuum left unexpected versions: $versions (want $expect)")
   }

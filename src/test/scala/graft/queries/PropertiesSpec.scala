@@ -183,4 +183,39 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("c6 alert contract: the committed PSI bands classify planted " +
+    "no-drift / moderate / severe fixtures as stable / watch / alert") {
+    // Planted disposition distributions over 4 funnel stages, run
+    // through the EXACT engine path (TextAnalysis.funnelPsi — the c6
+    // tripwire with an explicit current-side marker instead of the
+    // d11 modular cut). Reference PSI values are closed-form:
+    //   watch: Σ(q−p)ln(q/p) for p=[.5,.3,.15,.05], q=[.35,.35,.2,.1]
+    //          = 0.110250 ∈ [0.1, 0.2)
+    //   alert: q = reversed p → 2.280271 ≥ 0.2
+    def rows(source: String, ref: Seq[Int], cur: Seq[Int]) =
+      ref.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)((source, i + 1, false)) } ++
+        cur.zipWithIndex.flatMap { case (n, i) =>
+          Seq.fill(n)((source, i + 1, true)) }
+    val base = Seq(50, 30, 15, 5)
+    val disp = (rows("src_stable", base, base) ++
+      rows("src_watch", base, Seq(35, 35, 20, 10)) ++
+      rows("src_alert", base, Seq(5, 15, 30, 50)))
+      .toDF("source", "stage_ord", "cur")
+    val out = graft.operators.TextAnalysis.funnelPsi(disp, col("cur"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("psi"), r.getAs[String]("band")))).toMap
+    assert(out("src_stable") === ((0.0, "stable")))
+    assert(math.abs(out("src_watch")._1 - 0.110250) < 1e-6)
+    assert(out("src_watch")._2 === "watch")
+    assert(math.abs(out("src_alert")._1 - 2.280271) < 1e-6)
+    assert(out("src_alert")._2 === "alert")
+    // boundary rule: bands are [0, 0.1) / [0.1, 0.2) / [0.2, ∞) over
+    // the ROUNDED psi — thresholds themselves land in the higher band
+    val bands = Seq(0.099999, 0.1, 0.199999, 0.2).toDF("psi")
+      .select(Profile.psiBandCol(col("psi")).as("band"))
+      .collect().map(_.getString(0)).toSeq
+    assert(bands === Seq("stable", "watch", "watch", "alert"))
+  }
 }

@@ -8,17 +8,30 @@ total_gate_sec = 2x the max observed run total; warmup ceiling =
 --warmup-worst when a remote host's observation exceeds the local runs,
 else the local max is used).
 
-Calibration anchor (round-10): each Bench run emits `calib_sec`, the
-min-of-3 time of a FIXED CPU+shuffle micro-query whose plan never
-changes with engine code. The committed `calib_ref_sec` = median of the
-gate-setting runs' calib_sec; `warmup_ref_sec` = max of their warmups.
+Calibration anchors (round-10 CPU, round-19 IO): each Bench run emits
+`calib_sec` (FIXED CPU+shuffle micro-query) and `calib_io_sec` (FIXED
+~100 MB parquet write+readback — the IO-shaped probe that catches the
+filesystem/page-cache contention the CPU probe is blind to: the
+round-18 basis carried a uniform ~13% IO inflation at calib ~1.0).
+Committed `calib_ref_sec` / `calib_io_ref_sec` = medians of the
+gate-setting runs' probes; `warmup_ref_sec` = max of their warmups.
 Interpretation rule (BASELINE.md "Bench methodology"): for any later
-run, host_factor = calib_sec / calib_ref_sec; a per-query time that
-breaches its 2x gate but satisfies time / host_factor <= 2x gate is
-host contention, not a code regression — machine-adjudicable without
+run, host_factor = max(calib_sec / calib_ref_sec,
+calib_io_sec / calib_io_ref_sec); a per-query time that breaches its
+2x gate but satisfies time / host_factor <= 2x gate is host
+contention, not a code regression — machine-adjudicable without
 re-running.
 
-Usage: python3 tools/recompute_gates.py [--warmup-worst SEC] out.json run1.json run2.json ...
+QUIET-RUN ENFORCEMENT (round-19, VERDICT r18 item 2): a campaign run
+is quiet only when BOTH probes sit within 1.10x of the campaign's own
+quietest run (relative basis — comparing to the stale committed
+anchor would reject every run after a deliberate re-anchor). Flagged
+runs abort the recompute so the elementwise-max policy cannot fold
+transient IO weather into the committed values (the round-18
+episode); pass --allow-flagged to accept them deliberately and
+document why in BASELINE.md.
+
+Usage: python3 tools/recompute_gates.py [--warmup-worst SEC] [--allow-flagged] out.json run1.json run2.json ...
 """
 import json
 import math
@@ -29,20 +42,49 @@ args = sys.argv[1:]
 if not args:
     sys.exit(__doc__)
 warmup_worst = None
-if args[0] == "--warmup-worst":
-    warmup_worst = float(args[1])
-    args = args[2:]
+allow_flagged = False
+while args and args[0].startswith("--"):
+    if args[0] == "--warmup-worst":
+        warmup_worst = float(args[1])
+        args = args[2:]
+    elif args[0] == "--allow-flagged":
+        allow_flagged = True
+        args = args[1:]
+    else:
+        sys.exit(f"unknown flag {args[0]}")
 out_path, runs = args[0], args[1:]
 assert len(runs) >= 3, "need >=3 runs"
 datas = []
 for p in runs:
     line = open(p).read().strip().removeprefix("[info] ")
     d = json.loads(line)
-    for field in ("queries", "value", "warmup_sec", "calib_sec"):
+    for field in ("queries", "value", "warmup_sec", "calib_sec",
+                  "calib_io_sec"):
         assert field in d, (
-            f"{p}: missing '{field}' — pre-round-10 run files lack the "
-            "calibration probe; re-run Bench on the current build")
+            f"{p}: missing '{field}' — pre-round-19 run files lack the "
+            "IO calibration probe; re-run Bench on the current build")
     datas.append(d)
+
+# Quiet-run enforcement: both probes within 1.10x of the campaign's
+# quietest run, or the recompute aborts (see module doc).
+min_cpu = min(d["calib_sec"] for d in datas)
+min_io = min(d["calib_io_sec"] for d in datas)
+flagged = []
+for p, d in zip(runs, datas):
+    r_cpu = d["calib_sec"] / min_cpu
+    r_io = d["calib_io_sec"] / min_io
+    if r_cpu > 1.10 or r_io > 1.10:
+        flagged.append(f"{p}: calib {d['calib_sec']:.3f} ({r_cpu:.2f}x "
+                       f"quietest), calib_io {d['calib_io_sec']:.3f} "
+                       f"({r_io:.2f}x quietest)")
+if flagged:
+    msg = "non-quiet campaign runs:\n  " + "\n  ".join(flagged)
+    if allow_flagged:
+        print(f"WARNING (accepted via --allow-flagged): {msg}")
+    else:
+        sys.exit(f"ABORT: {msg}\n"
+                 "re-run the flagged runs on a quiet host, or pass "
+                 "--allow-flagged to fold them in deliberately")
 
 # The warmup ceiling is CROSS-HOST calibrated (BASELINE.md): without an
 # explicit --warmup-worst, never silently tighten below the previously
@@ -70,6 +112,8 @@ queries = {q: math.ceil(round(max(0.6, max(d["queries"][q] for d in datas))
 total_gate = round(2 * max(d["value"] for d in datas), 1)
 calibs = sorted(d["calib_sec"] for d in datas)
 calib_ref = round(calibs[len(calibs) // 2], 3)
+calibs_io = sorted(d["calib_io_sec"] for d in datas)
+calib_io_ref = round(calibs_io[len(calibs_io) // 2], 3)
 warmups = [d["warmup_sec"] for d in datas]
 worst_warmup = max(warmups + ([warmup_worst] if warmup_worst is not None
                               else []))
@@ -88,11 +132,14 @@ gate = {
     "warmup_gate_sec": warmup_gate,
     "warmup_ref_sec": round(max(warmups), 1),
     "calib_ref_sec": calib_ref,
+    "calib_io_ref_sec": calib_io_ref,
     "sf": datas[0]["sf"],
 }
 json.dump(gate, open(out_path, "w"), indent=2)
 print(f"wrote {out_path}: {len(queries)} queries, committed sum "
       f"{gate['value']}, total_gate {total_gate}, warmup_gate "
       f"{gate['warmup_gate_sec']}, calib_ref {calib_ref}, "
+      f"calib_io_ref {calib_io_ref}, "
       f"observed totals {[d['value'] for d in datas]}, "
-      f"calibs {calibs}, warmups {[round(w,1) for w in warmups]}")
+      f"calibs {calibs}, calibs_io {calibs_io}, "
+      f"warmups {[round(w,1) for w in warmups]}")
