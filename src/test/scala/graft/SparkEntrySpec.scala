@@ -11,15 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   /** The only queries allowed to lack an oracle, each with its stronger
-    * replacement gate: m1/m3 (RF tree-ensemble outputs — golden
-    * prediction-frame hash in MlSpec), m2 (feature importances — MlSpec
-    * golden values), a17 (HLL sketch values are engine-specific —
-    * exact-twin bound asserted in spec), a19 (t-digest quantile sketch,
-    * no DuckDB twin — rank-error bound vs the exact data asserted in
-    * PropertiesSpec). */
+    * replacement gate: m1 (the RF tree-ensemble's PER-ROW score frame —
+    * genuinely not SQL-recomputable; golden prediction-frame hash in
+    * MlSpec), a17 (HLL sketch values are engine-specific — exact-twin
+    * bound asserted in spec), a19 (t-digest quantile sketch, no DuckDB
+    * twin — rank-error bound vs the exact data asserted in
+    * PropertiesSpec). m2/m3 were promoted OFF this list in round 19
+    * (VERDICT r18 item 4) via the m5/m7 golden-dispatch pattern. */
   private val rowsOnlyByDesign = Set(
-    "m1_rf_score", "m2_feature_importance", "m3_top_trajectories",
-    "a17_approx_distinct", "a19_approx_percentile")
+    "m1_rf_score", "a17_approx_distinct", "a19_approx_percentile")
 
   test("every registry query has an oracle or is rows-only by design") {
     val q = SparkEntry.queries.keySet
