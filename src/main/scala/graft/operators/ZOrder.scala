@@ -263,6 +263,21 @@ object ZOrder {
       b.unpersist()
     }._1
 
+  /** The writer's persisted quantization bounds, read back name-based
+    * (round-17 advice) with the empty-corpus guard. */
+  private def readBounds(s: SparkSession, store: String)
+      : (Long, Long, Long, Long) = {
+    val bRows = s.read.parquet(s"$store/bounds").collect()
+    require(bRows.nonEmpty && !bRows(0).isNullAt(
+        bRows(0).fieldIndex("min_u")),
+      s"z-layout bounds row at $store/bounds is empty or null — the " +
+        "events table is empty; a z-layout needs at least one row to " +
+        "quantize")
+    val b = bRows(0)
+    (b.getAs[Long]("min_u"), b.getAs[Long]("max_u"),
+      b.getAs[Long]("min_d"), b.getAs[Long]("max_d"))
+  }
+
   /** Query rectangle: the quarter-to-half span on BOTH dimensions —
     * integer arithmetic over the persisted bounds, so the oracle's CTE
     * derives the identical rectangle. Returns ((ulo, uhi), (dlo, dhi)). */
@@ -290,16 +305,7 @@ object ZOrder {
   private def servingContext(s: SparkSession, dir: String)
       : (String, (Long, Long), (Long, Long), Seq[(Long, Long)]) = {
     val store = zStore(s, dir)
-    val bRows = s.read.parquet(s"$store/bounds").collect()
-    require(bRows.nonEmpty && !bRows(0).isNullAt(
-        bRows(0).fieldIndex("min_u")),
-      s"z-layout bounds row at $store/bounds is empty or null — the " +
-        "events table is empty; a z-layout needs at least one row to " +
-        "quantize")
-    val b = bRows(0)
-    val (minU, maxU, minD, maxD) =
-      (b.getAs[Long]("min_u"), b.getAs[Long]("max_u"),
-        b.getAs[Long]("min_d"), b.getAs[Long]("max_d"))
+    val (minU, maxU, minD, maxD) = readBounds(s, store)
     val ((ulo, uhi), (dlo, dhi)) = rectangle(minU, maxU, minD, maxD)
     val (cxLo, cxHi) = (cellOf(ulo, minU, maxU), cellOf(uhi, minU, maxU))
     val (cyLo, cyHi) = (cellOf(dlo, minD, maxD), cellOf(dhi, minD, maxD))
@@ -352,9 +358,151 @@ object ZOrder {
     servePruned(s, store, prune, u, d)
   }
 
+  // ---------------------------------------------------------------- z3
+
+  /** Arrival cut of the z3 tick — the d11-style modular slice, on
+    * event_id so arrivals spread across both layout dimensions. */
+  private[operators] val z3Mod = 8L
+  private[operators] val z3Res = 3L
+
+  /** Quantize a dimensioned frame into (row, zcell) under EXPLICIT
+    * bounds — the one cell rule shared by the base build, the tick
+    * (persisted bounds), and the spec's fold≡rebuild twin. */
+  private[operators] def zedUnder(df: DataFrame, minU: Long, maxU: Long,
+                                  minD: Long, maxD: Long): DataFrame =
+    df.withColumn("zcell",
+      interleave(cellOf("user_id", minU.toString, maxU.toString),
+        cellOf("day", minD.toString, maxD.toString)))
+
+  /** Write a z3 layout snapshot into `store`: the writer's bounds row
+    * (computed from `df` — the writer's whole view) + the data laid
+    * out as batch=-1 base partitions under (batch, zcell). batch
+    * leads so tick deltas land beside the base as batch=<seq> dirs
+    * (the d17 layout); zcell remains a partition column, so rectangle
+    * pruning stays STATIC across base and delta alike. */
+  private def writeZ3Layout(s: SparkSession, store: String,
+                            df: DataFrame): Unit = {
+    val b = df.agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+        min("day").as("min_d"), max("day").as("max_d"))
+      .persist()
+    b.coalesce(1).write.parquet(s"$store/bounds")
+    val row = b.collect()(0)
+    Similarity.writeStore(
+      zedUnder(df, row.getAs[Long]("min_u"), row.getAs[Long]("max_u"),
+        row.getAs[Long]("min_d"), row.getAs[Long]("max_d"))
+        .withColumn("batch", lit(-1L)),
+      s"$store/data", Seq("batch", "zcell"),
+      rowKeyCols = Seq("user_id", "day", "event_id"))
+    b.unpersist()
+  }
+
+  /** The z3 lifecycle (build → tick → fold), planted-frame seam for
+    * the spec. Returns the SERVING store path (a fresh version when
+    * the out-of-bounds escape re-quantized). Stages, in cadence order:
+    *
+    *  1. BUILD: base layout + the writer's bounds, one versioned
+    *     snapshot ([[Similarity.buildStoreVersion]] — publish on
+    *     success, {current, previous} retention).
+    *  2. TICK: arrivals quantized under the PERSISTED bounds (read
+    *     back — the reader/writer bounds contract, NOT recomputed
+    *     from data) land as an idempotent batch=1 delta partition set
+    *     via the dynamic-overwrite store write (d17's discipline):
+    *     O(arrivals) work, base partitions never rewritten, and a
+    *     rectangle served between tick and fold prunes base and delta
+    *     dirs through the same static zcell filter.
+    *  3. OUT-OF-BOUNDS ESCAPE: an arrival outside the writer's bounds
+    *     CANNOT be quantized (the integer cell rule would map it
+    *     outside the grid) — that is the re-cluster trigger: rebuild
+    *     the layout over base ∪ arrivals under widened bounds as a
+    *     NEW published version (readers on the old version stay safe
+    *     under the retention window; the O(1) arrival min/max
+    *     pre-flight is the trigger readout, the prof8 pattern).
+    *  4. FOLD (maintenance cadence): delta partitions rewritten into
+    *     the batch=-1 base layout through the atomic rename-aside
+    *     swap ([[graft.sources.Sinks.rewritePartitioned]]) — the
+    *     directory set changes (delta dirs disappear), exactly the
+    *     layout change that earns the swap; one file per cell again
+    *     (the compaction the tick cadence budgets, s21's cost class).
+    */
+  private[operators] def z3TickFold(s: SparkSession, dir: String,
+      tag: String, base: DataFrame, arrivals: DataFrame,
+      afterStage: (String, String) => Unit = (_, _) => ()): String = {
+    val (store, _) = Similarity.buildStoreVersion(s, dir, tag) { st =>
+      writeZ3Layout(s, st, base)
+    }
+    afterStage("build", store)
+    val (minU, maxU, minD, maxD) = readBounds(s, store)
+    val aRow = arrivals.agg(min("user_id").as("alo"), max("user_id").as("ahi"),
+      min("day").as("dlo"), max("day").as("dhi")).collect()(0)
+    if (aRow.isNullAt(aRow.fieldIndex("alo"))) store // empty arrival slice
+    else if (aRow.getAs[Long]("alo") < minU || aRow.getAs[Long]("ahi") > maxU ||
+      aRow.getAs[Long]("dlo") < minD || aRow.getAs[Long]("dhi") > maxD) {
+      val (widened, _) = Similarity.buildStoreVersion(s, dir, tag) { st =>
+        writeZ3Layout(s, st, base.unionByName(arrivals))
+      }
+      afterStage("requantize", widened)
+      widened
+    } else {
+      Similarity.writeStore(
+        zedUnder(arrivals, minU, maxU, minD, maxD)
+          .withColumn("batch", lit(1L)),
+        s"$store/data", Seq("batch", "zcell"), dynamicOverwrite = true,
+        rowKeyCols = Seq("user_id", "day", "event_id"))
+      afterStage("tick", store)
+      val folded = s.read.parquet(s"$store/data")
+        .drop("batch").withColumn("batch", lit(-1L))
+      graft.sources.Sinks.rewritePartitioned(s, s"$store/data",
+        folded, Seq("batch", "zcell"))
+      afterStage("fold", store)
+      store
+    }
+  }
+
+  /** Z3: INCREMENTAL Z-LAYOUT FOLD (round-18 verdict item 5) — z1's
+    * store was a full rebuild per invocation; this is its d17-style
+    * operational form: base build, one arrival tick under the
+    * PERSISTED bounds, the maintenance fold, then the z1 rectangle
+    * served from the folded store. Serving quantizes the rectangle's
+    * corners under the PERSISTED bounds (clamped into the writer's
+    * domain first — lossless: every stored row IS in bounds, so a
+    * matching row always lies in the clamped cell rectangle and the
+    * pushed residual keeps exactness), through the BIGMIN range
+    * predicates (z2's production form). Oracle: [[z1Sql]] VERBATIM —
+    * base ∪ arrivals = corpus, and the whole lifecycle (tick, escape,
+    * fold, bounds provenance) must be invisible to results; ZOrderSpec
+    * pins fold ≡ rebuild, the delta/base partition layout per stage,
+    * and the out-of-bounds escape live on planted frames. */
+  val z3ZorderTick: Q = (s, dir) => {
+    val all = dimensioned(s, dir)
+    val isArrival = pmod(col("event_id"), lit(z3Mod)) === lit(z3Res)
+    val store = z3TickFold(s, dir, "z3",
+      all.filter(!isArrival), all.filter(isArrival))
+    val (minU, maxU, minD, maxD) = readBounds(s, store)
+    // the rectangle is the QUERY (derived from the corpus dims, the
+    // oracle's own arithmetic); the persisted bounds are the LAYOUT's
+    val c = all.agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+      min("day").as("min_d"), max("day").as("max_d")).collect()(0)
+    val ((ulo, uhi), (dlo, dhi)) = rectangle(
+      c.getAs[Long]("min_u"), c.getAs[Long]("max_u"),
+      c.getAs[Long]("min_d"), c.getAs[Long]("max_d"))
+    val (uloC, uhiC) = (math.max(ulo, minU), math.min(uhi, maxU))
+    val (dloC, dhiC) = (math.max(dlo, minD), math.min(dhi, maxD))
+    val prune =
+      if (uloC > uhiC || dloC > dhiC) lit(false) // rectangle ∩ bounds = ∅
+      else zRangesFor(
+        cellOf(uloC, minU, maxU), cellOf(uhiC, minU, maxU),
+        cellOf(dloC, minD, maxD), cellOf(dhiC, minD, maxD))
+        .map { case (lo, hi) =>
+          if (lo == hi) col("zcell") === lit(lo)
+          else col("zcell").between(lo, hi)
+        }.reduce(_ || _)
+    servePruned(s, store, prune, (ulo, uhi), (dlo, dhi))
+  }
+
   val queries: Map[String, Q] = Map(
     "z1_zorder_prune" -> z1ZorderPrune,
     "z2_zorder_ranges" -> z2ZorderRanges,
+    "z3_zorder_tick" -> z3ZorderTick,
   )
 
   /** Z1 oracle: the raw-events rectangle aggregate with the rectangle
@@ -388,5 +536,9 @@ object ZOrder {
     // pruning-predicate FORM differs, so z1's oracle gates it verbatim
     // (the s21/s15Sql sharing pattern)
     "z2_zorder_ranges" -> z1Sql,
+    // z3 serves the same rectangle off the ticked-and-folded store —
+    // base ∪ arrivals = corpus, so the incremental lifecycle must be
+    // invisible too (the d19 base∪slices pattern)
+    "z3_zorder_tick" -> z1Sql,
   )
 }

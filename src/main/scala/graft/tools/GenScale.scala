@@ -182,20 +182,28 @@ object GenScale {
       (lit(900.0) + pmod(xxhash64(col("id"), lit(36)), lit(110000L)) / 100.0)
         .as("p_retailprice"))
 
+  /** Usage: runMain graft.tools.GenScale [outDir] [mult] — `mult`
+    * multiplies every FACT cardinality (round-18 verdict item 3's sf10
+    * dial: mult=10 → 60M lineitem / 500k documents / 200k embeddings /
+    * 10M events); dimension tables (region/nation) stay fixed, and the
+    * value DOMAINS (user_id, custkey, partkey moduli) stay fixed too —
+    * growth adds rows per key, the way a real corpus grows, so joins
+    * get denser rather than the key space inflating with the data. */
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft-sf1"
+    val mult = if (args.length > 1) args(1).toLong else 1L
     val s = graft.core.Sessions.get()
     Seq(
       ("region", region(s)),
       ("nation", nation(s)),
-      ("customer", customer(s, 150000)),
-      ("supplier", supplier(s, 10000)),
-      ("part", part(s, 200000)),
-      ("documents", documents(s, 50000)),
-      ("embeddings", embeddings(s, 20000)),
-      ("events", events(s, 1000000)),
-      ("lineitem", lineitem(s, 6000000)),
-      ("orders", orders(s, 1500000)),
+      ("customer", customer(s, 150000 * mult)),
+      ("supplier", supplier(s, 10000 * mult)),
+      ("part", part(s, 200000 * mult)),
+      ("documents", documents(s, 50000 * mult)),
+      ("embeddings", embeddings(s, 20000 * mult)),
+      ("events", events(s, 1000000 * mult)),
+      ("lineitem", lineitem(s, 6000000 * mult)),
+      ("orders", orders(s, 1500000 * mult)),
     ).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[genscale] wrote $name")

@@ -72,6 +72,7 @@ object PlanAudit {
     "s32_post_event_recall", // served + exact-twin legs off ONE post-swap store lineage
     "c6_funnel_drift",   // one disposition pass -> O(sources x stages) bins -> metadata-scale PSI
     "z2_zorder_ranges",  // BIGMIN ranges as BETWEEN partition filters — the 2^20-grid serving form
+    "z3_zorder_tick",    // incremental z-fold: tick under persisted bounds, maintenance fold, range-pruned serve
   )
 
   def main(args: Array[String]): Unit = {

@@ -44,8 +44,14 @@ object ScaleRun {
     })
 
     val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    // third arg: a name prefix, or a comma-separated exact-name list
+    // (the sf10 top-N sweep's shape — round-18 verdict item 3)
     val names =
-      if (args.length > 2) all.filter(_.startsWith(args(2))) else all
+      if (args.length > 2 && args(2).contains(','))
+        args(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          .map { n => require(all.contains(n), s"unknown query $n"); n }
+      else if (args.length > 2) all.filter(_.startsWith(args(2)))
+      else all
     require(names.nonEmpty, s"no registry query matches prefix ${args(2)}")
     // s5 pre-flight cost model: candidate volume (bucket-join pairs) at
     // the committed P=6 geometry vs the planesFor-tuned one — the

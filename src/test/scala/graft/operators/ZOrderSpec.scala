@@ -99,6 +99,91 @@ class ZOrderSpec extends SparkSpec {
       s"user_id residual must be pushed to the scan:\n$plan")
   }
 
+  // ---- z3 incremental fold (round-18 verdict item 5) ----
+
+  test("z3: ticked-and-folded serving ≡ z1 (the whole lifecycle " +
+    "invisible to results)") {
+    val z3 = ZOrder.queries("z3_zorder_tick")(spark, dir)
+    val z1 = ZOrder.queries("z1_zorder_prune")(spark, dir)
+    assert(z3.collect().toSeq === z1.collect().toSeq)
+  }
+
+  /** Planted dimensioned frame: (event_id, user_id, day, value). */
+  private def planted(rows: Seq[(Long, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "day", "value")
+  }
+
+  private def batchDirs(store: String): Seq[String] =
+    Option(new java.io.File(localPath(s"$store/data")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+
+  test("z3 planted in-bounds tick: delta lands as batch=1 under the " +
+    "persisted bounds; fold ≡ rebuild under those bounds") {
+    // base spans user [0,7] × day [100,107]; arrivals INSIDE both spans
+    val base = planted(Seq(
+      (1L, 0L, 100L, 1.0), (2L, 7L, 107L, 2.0), (3L, 3L, 104L, 3.0)))
+    val arrivals = planted(Seq(
+      (4L, 1L, 101L, 4.0), (5L, 6L, 106L, 5.0)))
+    var stages = Vector.empty[(String, String)]
+    val store = ZOrder.z3TickFold(spark, dir, "z3spec-in", base, arrivals,
+      (st, path) => {
+        stages :+= ((st, path))
+        st match {
+          case "build" => assert(batchDirs(path) === Seq("batch=-1"))
+          case "tick" =>
+            assert(batchDirs(path) === Seq("batch=-1", "batch=1"),
+              "tick must land as a batch=1 delta beside the base")
+          case "fold" => assert(batchDirs(path) === Seq("batch=-1"),
+            "fold must rewrite deltas into the single base layout")
+          case other => fail(s"unexpected stage $other")
+        }
+      })
+    assert(stages.map(_._1) === Vector("build", "tick", "fold"),
+      "in-bounds arrivals must take the tick path, not the escape")
+    // fold ≡ rebuild: store content equals re-quantization of
+    // base ∪ arrivals under the PERSISTED (base-derived) bounds
+    val b = spark.read.parquet(s"$store/bounds").collect()(0)
+    val expected = ZOrder.zedUnder(base.unionByName(arrivals),
+        b.getAs[Long]("min_u"), b.getAs[Long]("max_u"),
+        b.getAs[Long]("min_d"), b.getAs[Long]("max_d"))
+      .select("event_id", "zcell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = spark.read.parquet(s"$store/data")
+      .select(col("event_id"), col("zcell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === expected, "folded store ≠ one-shot rebuild")
+    // one file per touched cell dir after the fold (compaction held)
+    new java.io.File(localPath(s"$store/data/batch=-1")).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("zcell="))
+      .foreach { d =>
+        assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"${d.getName}: fold must leave one file per cell")
+      }
+  }
+
+  test("z3 planted out-of-bounds arrival: the escape re-quantizes into " +
+    "a NEW published version with widened bounds") {
+    val base = planted(Seq(
+      (1L, 0L, 100L, 1.0), (2L, 7L, 107L, 2.0)))
+    // arrival outside the writer's user span → cannot quantize
+    val arrivals = planted(Seq((3L, 40L, 104L, 3.0)))
+    var stages = Vector.empty[(String, String)]
+    val store = ZOrder.z3TickFold(spark, dir, "z3spec-oob", base, arrivals,
+      (st, path) => stages :+= ((st, path)))
+    assert(stages.map(_._1) === Vector("build", "requantize"),
+      "an out-of-bounds arrival must trigger the re-quantization escape")
+    assert(stages(0)._2 !== store,
+      "escape must publish a NEW version, not mutate the built one")
+    val b = spark.read.parquet(s"$store/bounds").collect()(0)
+    assert(b.getAs[Long]("max_u") === 40L, "bounds must widen to the arrival")
+    // the re-quantized store holds base ∪ arrivals, all in one base batch
+    assert(batchDirs(store) === Seq("batch=-1"))
+    assert(spark.read.parquet(s"$store/data").count() === 3L)
+  }
+
   // ---- BIGMIN / z-range enumeration (round-17 verdict item 5) ----
 
   // derived from the committed geometry (round-18 review: a hardcoded
