@@ -23,4123 +23,20 @@ import graft.functions.Portable
   *    with double accumulation in array order — bit-reproducible in the
   *    DuckDB oracle (list_transform/list_sum fold the same way).
   */
-object Similarity {
-
-  type Q = (SparkSession, String) => DataFrame
-
-  private val dims = 64
-
-  /** COMMITTED plane count for the gated queries (their DuckDB oracles
-    * embed the same 2^6-bucket geometry). Production entry points take
-    * the count as a parameter; [[planesFor]] derives it from corpus
-    * size so per-bucket occupancy — and with it the candidate volume of
-    * the s5 self-join — stays flat as n grows. */
-  private[operators] val planes = 6
-
-  /** Per-bucket occupancy [[planesFor]] aims for. Candidate volume of
-    * the batch self-join is ≈ probes·occupancy per query vector, so the
-    * target is the knob trading recall (bigger buckets) against cost. */
-  private[operators] val targetOccupancy = 1024L
-
-  /** Data-driven plane count: P = ⌈log2(n / targetOccupancy)⌉ clamped
-    * to [1, 24] — doubling the corpus adds one plane, keeping expected
-    * bucket occupancy (and s5's per-query candidate list) constant
-    * instead of letting candidate volume grow quadratically at fixed P
-    * (the d6TuneGeometry lesson applied to the ANN family; the s3
-    * histogram is the skew check run against the CHOSEN P). At 10⁹
-    * vectors: P = 20, ~10⁶ buckets, ~1k vectors each. */
-  private[graft] def planesFor(n: Long,
-                               occupancy: Long = targetOccupancy): Int = {
-    require(n > 0 && occupancy > 0, s"bad tuner inputs n=$n occ=$occupancy")
-    // ⌈log2(n/occ)⌉ clamped to [1,24], computed by the EXACT integer
-    // rule (smallest p with occ·2^p ≥ n) rather than floating log2 —
-    // a libm whose log double-rounds at an exact power of two would
-    // otherwise recommend p+1 there and desynchronize the tuner from
-    // prof8's committed CASE readout ([[planesForCaseSql]] is this
-    // same rule as SQL text; SimilaritySpec pins the equivalence).
-    (1 to 23).find(p => (occupancy << p) >= n).getOrElse(24)
-  }
-
-  /** [[planesFor]] as a pure-INTEGER SQL CASE chain over an n-valued
-    * expression — smallest p in [1,24] with occupancy·2^p ≥ n, the
-    * exact integer form of ⌈log2(n/occupancy)⌉ clamped to [1,24]
-    * (2^p ≥ n/occ ⟺ occ·2^p ≥ n for integer n, occ). ONE generator
-    * for the prof8 engine expression AND its DuckDB oracle: the
-    * floating log2 form could double-round differently across libms
-    * at exact powers of two; integer comparisons cannot.
-    * (SimilaritySpec pins CASE ≡ planesFor across the clamp range.) */
-  private[operators] def planesForCaseSql(
-      nExpr: String, occupancy: Long = targetOccupancy): String = {
-    val whens = (1 to 23).map(p =>
-      s"WHEN ($nExpr) <= ${occupancy * (1L << p)} THEN $p").mkString(" ")
-    s"(CASE $whens ELSE 24 END)"
-  }
-
-  /** Pseudo-random-but-portable plane component in [-1, 1]:
-    * v(p, d) = (h60("pl<p>_<d>") % 2001 - 1000) / 1000.
-    * Shared with Dedup's banded near-dup candidate generation (distinct
-    * plane indices — s2/s10 use 0-5, s26's rebuild adds 6, Dedup bands
-    * start at 10; allocate new planes from 7-9 or above the bands). */
-  private[operators] def planeVal(p: Int, d: Int): Double = {
-    // Mirrors Portable.h60 on literals; computed once at plan build.
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"pl${p}_$d".getBytes("UTF-8"))
-    val hex = md.map("%02x".format(_)).mkString.take(15)
-    val h = java.lang.Long.parseLong(hex, 16)
-    ((h % 2001L) - 1000L) / 1000.0
-  }
-
-  // Flat codegen'd vector math — see functions.Vectors (interpreted
-  // zip_with/aggregate dominates pairwise joins otherwise).
-  private def dotD(a: Column, b: Column): Column = graft.functions.Vectors.dot(a, b)
-
-  private def normD(a: Column): Column = graft.functions.Vectors.norm(a)
-
-  /** Sign-bucket of a vector under the first `p` planes:
-    * bit i = (dot(v, plane_i) > 0). Each dot is a native FloatVecDot
-    * against a literal plane vector — a flat 64-term element_at sum
-    * overflows codegen method limits and interprets (see plans
-    * .FloatVecDot scaladoc). Fold order matches the oracle's explicit
-    * left-associated term sum. */
-  private def bucketOf(emb: Column, p: Int): Column =
-    (0 until p).map { i =>
-      val plane = typedlit((0 until dims).map(d => planeVal(i, d)))
-      when(graft.functions.Vectors.dot(emb, plane) > 0, lit(1L << i))
-        .otherwise(0L)
-    }.reduce(_ + _)
-
-  /** Shared multi-probe LSH ANN core — s2 (query subset) and s5 (batch
-    * self-join) under an arbitrary plane count: bucket both sides by
-    * the P-plane sign signature, explode each query to its own bucket
-    * plus the P hamming-1 neighbors (sign flips near a hyperplane are
-    * where true neighbors land), join on the bucket, exact cosine +
-    * rank within the probed union. Candidates only ever come from
-    * probed buckets, so the join is bucket-keyed — never all-pairs —
-    * and with [[planesFor]] the per-query candidate list stays
-    * ~probes·occupancy at any corpus size. */
-  private[graft] def lshAnn(s: SparkSession, dir: String, p: Int,
-                            queriesOnly: Boolean, k: Int): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"),
-      bucketOf(col("embedding"), p).as("bkt"))
-    val probeMasks = lit(0L) +: (0 until p).map(i => lit(1L << i))
-    val qBase = if (queriesOnly) e.filter(col("vec_id") < 10) else e
-    val q = qBase.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      col("nrm").as("qn"),
-      explode(array(probeMasks.map(m => col("bkt").bitwiseXOR(m)): _*))
-        .as("bkt"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("bkt"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("bkt")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
-
-  /** S1: exact brute-force cosine top-k — queries = vec_id < 10, k = 5
-    * nearest others by cosine (desc, id tie-break). The oracle baseline
-    * every ANN variant is measured against. */
-  val s1CosineTopK: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
-
-  /** S2: LSH-bucketed ANN with MULTI-PROBE over the query subset
-    * (vec_id < 10) — [[lshAnn]] under the committed 6-plane geometry
-    * (its DuckDB oracle embeds the same planes); the probe factor
-    * (P+1 of 2^P buckets) is the recall/cost dial, measured vs s1 in
-    * the spec. */
-  val s2LshAnn: Q = (s, dir) => lshAnn(s, dir, planes,
-    queriesOnly = true, k = 3)
-
-  /** S4: IVF-style ANN — inverted-file search with the `label` column's
-    * mean vectors as the coarse quantizer: (1) centroid per label
-    * (posexplode → per-dim avg → re-assembled array — one shuffle, tiny
-    * output), (2) every vector assigned to its nearest centroid by dot
-    * product (argmax via ranking window; centroids broadcast), (3) query
-    * vectors (vec_id < 10) search ONLY their own cell, exact cosine
-    * top-3. At 100 TB the cell restriction is the point: candidate scans
-    * shrink by ~|cells|×, recall measured against s1 in the spec. */
-  val s4IvfAnn: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val e = t(s, dir, "embeddings")
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("label").agg(
-        array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").as("cell"),
-        transform(col("pc"), x => x.getField("c")).as("centroid"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("cdot"), col("cell"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cdot", graft.functions.Vectors.dot(col("embedding"), col("centroid")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        normD(col("embedding")).as("nrm"))
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cell"))
-    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("cell"))
-    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
-
-  /** S5: batch kNN JOIN — EVERY vector joined to its top-3 approximate
-    * neighbors (s2's ANN with the query filter removed): the self-join
-    * form that embedding-level dedup, cluster seeding, and
-    * retrieval-index bootstrap all run over the full corpus. Shape:
-    * multi-probe explode on the query side (P+1 of 2^P buckets),
-    * candidates from their own bucket only, exact cosine + rank within
-    * the probed union. At 100 TB the join never goes all-pairs —
-    * candidate volume is Σ_b (probe·n_b)·n_b, and the production entry
-    * point derives P from corpus size ([[planesFor]]) so per-bucket
-    * occupancy stays flat (the d6 sf1 lesson: occupancy drives
-    * candidate volume quadratically; SimilaritySpec measures the tuned
-    * geometry's recall against the committed one). The window ranks per
-    * qid over its probed candidates only — bounded fan-in, no global
-    * sort. The GATED query runs the committed 6-plane geometry its
-    * oracle embeds. */
-  val s5KnnJoin: Q = (s, dir) => lshAnn(s, dir, planes,
-    queriesOnly = false, k = 3)
-
-  /** S3: bucket histogram — the LSH load-balance diagnostic (bucket id →
-    * vector count). At 100 TB this is the skew check run before choosing P. */
-  val s3BucketStats: Q = (s, dir) =>
-    t(s, dir, "embeddings")
-      .select(bucketOf(col("embedding"), planes).as("bkt"))
-      .groupBy("bkt").agg(count(lit(1)).as("n_vectors"))
-      .orderBy("bkt")
-
-  /** Cluster count / Lloyd iterations of [[s7Kmeans]]. */
-  private[operators] val kmeansK = 4
-  private[operators] val kmeansIters = 3
-
-  /** S7: K-MEANS EMBEDDING CLUSTERING — deterministic Lloyd's over the
-    * corpus embeddings: the semantic-domain grouping step training-data
-    * pipelines run for data mixing, per-domain sampling weights, and
-    * cluster-level dedup/curation. Init = the first [[kmeansK]] vectors
-    * (seed-free, oracle-reproducible); [[kmeansIters]] assign/recompute
-    * rounds; output = each vector's final cluster + squared L2 distance.
-    *
-    * Scale shape (the classic distributed-Lloyd layout): each
-    * ASSIGNMENT round is MAP-ONLY — the k centroids travel as ONE
-    * broadcast row holding an array of (cell, vec, |c|²) structs, and
-    * the per-vector argmin is `array_min` over a `transform` of that
-    * array (struct ordering = (distance, cell), so ties break by cell
-    * id with no window and NO per-iteration shuffle of the corpus).
-    * Each RECOMPUTE round is one map-side-combined aggregation
-    * (posexplode → avg per (cell,dim) → k×64 rows). Per iteration at
-    * 100 TB: one corpus scan + one combiner-output shuffle — never a
-    * window over the crossJoin (which would reshuffle k× the corpus
-    * per round). Determinism: centroid components are ROUNDED to 6 dp
-    * after each mean (raw avg() is merge-order dependent — see
-    * recompute) and distances use the fold-order-pinned FloatVecDot
-    * (d = |c|² − 2·v·c, the |v|² constant added only for the output),
-    * so both engines rank over the same pinned centroid values.
-    * Structure: [[kmeansCentroids]] trains + persists the k-row
-    * centroid artifact; [[kmeansAssign]] is the map-only assignment;
-    * [[s7Kmeans]] composes the two for the gated output. */
-  /** One Lloyd ASSIGNMENT pass of `e` (vec_id, embedding) against a
-    * centroid frame (cell, vec, n2): the k centroids collapse to ONE
-    * broadcast row of (cell, vec, |c|²) structs and the per-vector
-    * argmin is `array_min` over a `transform` of that array (struct
-    * ordering = (distance, cell) — ties break by cell id with no window
-    * and NO shuffle of `e`). Shared by s7 (gated clustering), s8
-    * (semantic dedup) and the d13 streaming cluster tag. */
-  private[operators] def kmeansAssign(e: DataFrame,
-                                      cent: DataFrame): DataFrame = {
-    val cents = cent.groupBy().agg(
-      array_sort(collect_list(struct(col("cell"), col("vec"), col("n2"))))
-        .as("cs"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("best", array_min(transform(col("cs"), c =>
-        struct(
-          (c.getField("n2") -
-            lit(2.0) * dotD(col("embedding"), c.getField("vec"))).as("d"),
-          c.getField("cell").as("cell")))))
-      .select(col("vec_id"), col("embedding"),
-        col("best").getField("cell").as("cluster"),
-        col("best").getField("d").as("pd"))
-  }
-
-  /** FINAL k-means centroids per (session, dir) — the per-corpus
-    * clustering ARTIFACT (cell, vec, n2; k rows): trained once by the
-    * full Lloyd loop, persisted, and PROBED by every consumer (s7's
-    * gated assignment, s8's within-cluster prune, d13's streaming
-    * cluster tag) — the d3/d11 persisted-LSH-index lifecycle applied to
-    * centroids. Production writes this k-row table next to the corpus
-    * snapshot; a session holds it in the [[graft.core.Registry]] with
-    * content-fingerprint eviction. */
-  private val centroidReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  /** The full Lloyd loop over a (vec_id, embedding) frame with the
-    * init centroids = the rows whose vec_id is in `initIds` (cell
-    * label = that vec_id) — factored from the full-corpus artifact so
-    * the s11 refresh path can train the same way on the base slice.
-    * Centroid components are ROUNDED to 6 dp after each mean: avg()
-    * merge order is partition-dependent and differs from DuckDB's
-    * fold, so raw means can differ in the last ulp between runs/
-    * engines — across 3 chained iterations that ulp could flip a
-    * Voronoi-boundary assignment. Rounding pins both engines to the
-    * same centroid values (up to the measure-zero case of a mean
-    * within 1 ulp of a rounding boundary), making the distance
-    * ranking deterministic in practice. */
-  private def withN2(cent: DataFrame): DataFrame =
-    cent.withColumn("n2", dotD(col("vec"), col("vec")))
-
-  private[operators] def lloyd(e: DataFrame, initIds: Seq[Long]): DataFrame = {
-    val init = withN2(e.filter(col("vec_id").isin(initIds: _*))
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("embedding"), x => x.cast("double")).as("vec")))
-    def recompute(assigned: DataFrame): DataFrame =
-      withN2(assigned
-        .select(col("cluster").as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("c"))
-        .groupBy("cell").agg(
-          array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cell"),
-          transform(col("pc"), x => x.getField("c")).as("vec")))
-    var cent = init
-    (1 to kmeansIters).foreach { _ =>
-      cent = recompute(kmeansAssign(e, cent))
-    }
-    cent
-  }
-
-  private[operators] def kmeansCentroids(s: SparkSession,
-                                         dir: String): DataFrame =
-    centroidReg.getOrCompute(s, dir) {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val df = lloyd(e, 0L until kmeansK.toLong)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Per-corpus CLUSTER-ASSIGNMENT frame (vec_id, embedding, nrm,
-    * cluster, pd) — the second persisted clustering artifact: where
-    * [[kmeansCentroids]] is the k-row model, this is the per-vector
-    * assignment TABLE a production run writes next to the corpus (the
-    * SemDeDup layout stores both). Persisted because its consumers
-    * reference it several times per plan (s8's two pair-join sides +
-    * verdict frame, s9's profile, s8Banded's four references) — an
-    * un-persisted frame re-runs the corpus scan + argmin per
-    * reference (round-11 review). */
-  private val assignedReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def kmeansAssigned(s: SparkSession,
-                                        dir: String): DataFrame =
-    assignedReg.getOrCompute(s, dir) {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val df = kmeansAssign(e, kmeansCentroids(s, dir))
-        .withColumn("nrm", normD(col("embedding")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  val s7Kmeans: Q = (s, dir) =>
-    kmeansAssigned(s, dir)
-      .select(col("vec_id"), col("cluster"),
-        round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
-          .as("dist2"))
-      .orderBy("vec_id")
-
-  /** Cosine prune threshold of [[s8Semdedup]] — d6's committed floor,
-    * so the semantic-prune verdicts are directly comparable with the
-    * minhash/LSH dedup families on the same corpus. */
-  private[operators] val s8Tau = 0.45
-
-  /** Per-cluster occupancy [[kForCorpus]] targets: within-cluster pair
-    * volume is Σ_c n_c² ≈ n·occupancy, so the target bounds prune-join
-    * cost per corpus vector the same way [[targetOccupancy]] bounds
-    * s5's candidate lists. */
-  private[operators] val targetClusterSize = 4096L
-
-  /** Data-driven cluster count for the semantic-dedup path:
-    * K = ⌈n / targetClusterSize⌉ (SemDeDup runs k ≈ n/10⁴ on
-    * billion-scale corpora for exactly this reason). The GATED s8 runs
-    * the committed [[kmeansK]] its oracle chain embeds; production
-    * clusterings pass this K into the Lloyd loop so the within-cluster
-    * pair join stays linear in n at fixed occupancy. */
-  private[graft] def kForCorpus(n: Long,
-                                occupancy: Long = targetClusterSize): Int = {
-    require(n > 0 && occupancy > 0, s"bad tuner inputs n=$n occ=$occupancy")
-    math.max(1, math.ceil(n.toDouble / occupancy).toInt)
-  }
-
-  /** S8: SEMANTIC DEDUPLICATION (SemDeDup-style cluster-then-prune) —
-    * the embedding-level dedup shape large-corpus pipelines run where
-    * minhash misses paraphrases: every vector is assigned to its
-    * k-means cluster (the PERSISTED [[kmeansCentroids]] artifact — one
-    * map-only broadcast-argmin pass, s7's shape), then near-duplicates
-    * are pruned WITHIN each cluster by exact cosine ≥ [[s8Tau]] with
-    * the deterministic keep rule "lowest vec_id wins": a vector is
-    * `prune` iff some same-cluster vector with a smaller id sits at or
-    * above the threshold (its would-be keeper), else `keep`. Output per
-    * vector: cluster, count of lower-id duplicates, best such cosine,
-    * verdict — the per-item decision frame a curation pipeline joins
-    * back to the corpus (d8's keep-rule role, semantic edition).
-    *
-    * Scale shape: the pair join is keyed by CLUSTER — never all-pairs
-    * across the corpus — so candidate volume is Σ_c n_c², bounded by
-    * n·max_cluster_size. The two guards that keep that bound honest at
-    * 100 TB: (1) K scales with the corpus ([[kForCorpus]]: fixed
-    * expected occupancy, so the join stays ~n·occupancy at any volume
-    * — the gated query runs the committed k=[[kmeansK]] geometry its
-    * oracle embeds); (2) SKEW — a pathologically hot cluster (skewed
-    * Voronoi cell) makes one join key quadratic, so the production
-    * pre-flight is the s3-style occupancy histogram (k rows, one
-    * bounded agg) and any cluster over ~4× target occupancy is
-    * sub-partitioned before pruning: re-cluster within it (recursive
-    * Lloyd on its members) or band it with d6's hyperplane-LSH keyed
-    * (cluster, band, sig) — both compose the operators this library
-    * already ships, and AQE's skew-join split handles the residual
-    * imbalance below that trigger. Exact cosine within clusters is the
-    * SemDeDup contract (candidates are bounded by construction, unlike
-    * d6's corpus-wide banding which must be probabilistic). */
-  /** Shared s8-family verdict assembly over a scored (b, cosine) pair
-    * frame: threshold → per-b dup count/best score → every vector's
-    * keep/prune verdict row. Factored so the exact and banded paths
-    * cannot silently diverge on the keep rule or the output shape. */
-  private def pruneVerdicts(assigned: DataFrame,
-                            scored: DataFrame): DataFrame = {
-    val prunes = scored
-      .filter(col("cosine") >= s8Tau)
-      .groupBy("b").agg(count(lit(1)).as("n_dups"),
-        max("cosine").as("best_cosine"))
-    assigned.select(col("vec_id"), col("cluster"))
-      .join(prunes.withColumnRenamed("b", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        col("best_cosine"),
-        when(col("n_dups").isNull, "keep").otherwise("prune").as("verdict"))
-      .orderBy("vec_id")
-  }
-
-  val s8Semdedup: Q = (s, dir) => {
-    val assigned = kmeansAssigned(s, dir)
-    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    pruneVerdicts(assigned,
-      a.join(b, Seq("cluster"))
-        .filter(col("a") < col("b"))
-        .select(col("b"),
-          (dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
-            .as("cosine")))
-  }
-
-  /** The s8 HOT-CLUSTER sub-partition path as code, not prose — the
-    * production variant the skew guard switches to when s9 reports a
-    * cluster over the occupancy trigger: candidates come from the
-    * (cluster, band, sig) join — d6's hyperplane banding APPLIED WITHIN
-    * clusters — so a pathological cluster's pair volume drops from
-    * n_c² to Σ_sig n_sig² per band, and the exact cosine rerank + the
-    * s8 keep rule run on the bounded candidate set only. Recall is
-    * probabilistic exactly as d6's (P(candidate | cos=τ) =
-    * 1−(1−p^r)^B), which is why the GATED s8 stays exact-within-cluster
-    * (its oracle demands determinism and k bounds its join): this
-    * entry point trades the guaranteed verdict for a bounded join on
-    * corpora where a cluster cannot be re-clustered first.
-    * SimilaritySpec measures the trade: banded prunes ⊆ exact prunes,
-    * recall reported and floored. */
-  private[graft] def s8Banded(s: SparkSession, dir: String,
-      bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
-    val assigned = kmeansAssigned(s, dir)
-    val bandRows = Dedup
-      .d6Banded(assigned.select(col("vec_id"), col("embedding")),
-        bands, planesPerBand)
-      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-    val cand = bandRows
-      .select(col("cluster"), col("band"), col("sig"), col("vec_id").as("a"))
-      .join(bandRows.select(col("cluster"), col("band"), col("sig"),
-        col("vec_id").as("b")), Seq("cluster", "band", "sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val sides = assigned.select(col("vec_id"), col("embedding"), col("nrm"))
-    pruneVerdicts(assigned, cand
-      .join(sides.select(col("vec_id").as("a"), col("embedding").as("ea"),
-        col("nrm").as("na")), Seq("a"))
-      .join(sides.select(col("vec_id").as("b"), col("embedding").as("eb"),
-        col("nrm").as("nb")), Seq("b"))
-      .select(col("b"),
-        (dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .as("cosine")))
-  }
-
-  /** S9: CLUSTER-BALANCE PROFILE — the pre-flight the s8 skew guard
-    * runs before a semantic-dedup pass (s3's bucket histogram, cluster
-    * edition): per cluster, member count, occupancy share, and the
-    * dispersion stats (mean / max squared L2 to the centroid). Reads
-    * the SAME persisted artifacts as s7/s8 (one map-only assignment
-    * pass + one k-row aggregation — bounded output at any corpus
-    * size), and its n_vectors column is exactly the n_c of the
-    * Σ n_c² pair-volume bound: a cluster whose share breaches the
-    * ~4× [[targetClusterSize]] occupancy trigger is sub-partitioned
-    * (recursive Lloyd / d6 banding) BEFORE the s8 prune join is
-    * launched, and a high mean dist2 flags a cluster too diffuse for
-    * within-cluster cosine pruning to mean anything. Determinism:
-    * dist2 is rounded per-row to 6 dp (s7's output contract) before
-    * the stats; avg re-rounded (same-sign sum — merge order agrees far
-    * below 6 dp, the rounding pins the last ulp). */
-  val s9ClusterProfile: Q = (s, dir) => {
-    val assigned = kmeansAssigned(s, dir)
-    val n = assigned.agg(count(lit(1)).as("n_total"))
-    assigned
-      .select(col("cluster"),
-        round(col("pd") + dotD(col("embedding"), col("embedding")), 6)
-          .as("dist2"))
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vectors"),
-        round(avg("dist2"), 6).as("avg_dist2"),
-        max("dist2").as("max_dist2"))
-      .crossJoin(broadcast(n))
-      .select(col("cluster"), col("n_vectors"),
-        round(col("n_vectors").cast("double") / col("n_total"), 6)
-          .as("share"),
-        col("avg_dist2"), col("max_dist2"))
-      .orderBy("cluster")
-  }
-
-  /** Exact-rerank candidate count of [[s6Sq8Ann]]. */
-  private val sq8Candidates = 20
-
-  /** S6: SQ8 COMPRESSED-VECTOR search — the memory-bandwidth leg of the
-    * ANN family: every embedding is scalar-quantized to 8 bits per
-    * dimension (per-dim min/max trained over the corpus — one bounded-
-    * key aggregation, 64 rows, broadcast back), candidates are selected
-    * by the INTEGER dot product of the quantized codes, and only the
-    * top-[[sq8Candidates]] per query are reranked with exact float
-    * cosine. At 100 TB the quantized scan reads 64 B/vector instead of
-    * 256 B — the 4× bandwidth saving is why FAISS-style engines keep an
-    * SQ8 (or PQ) copy of the corpus — and the exact rerank touches only
-    * candidates·queries full vectors.
-    *
-    * Codes quantize the NORMALIZED vectors so the integer code dot is a
-    * cosine (not dot-product) proxy. Determinism: normalization divides
-    * by the fold-order-pinned norm (bit-identical in both engines, the
-    * same reliance every cosine here makes), min/max and the one
-    * rounding are exact double ops (round-half-up equals round-half-away
-    * for non-negative codes), and the candidate ordering key is an
-    * INTEGER — no fp-summation-order exposure until the final exact
-    * rerank, which reuses s1's fold-order-pinned cosine. */
-  val s6Sq8Ann: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    // Quantize the NORMALIZED vectors: the integer code dot is then a
-    // cosine proxy — quantizing raw components would rank by dot product
-    // and lose the true cosine top-k whenever norms vary.
-    val en = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
-      .withColumn("nv",
-        transform(col("embedding"), x => x.cast("double") / col("nrm")))
-    val stats = en.select(posexplode(col("nv")).as(Seq("pos", "v")))
-      .groupBy("pos").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
-        .as("pm"))
-      .select(transform(col("pm"), x => x.getField("mn")).as("mns"),
-        transform(col("pm"), x => x.getField("mx")).as("mxs"))
-    // Centered codes: the stored uint8 code minus the per-dim integer
-    // ZERO POINT. Raw uint8 dots are dominated by the offset terms
-    // (Σq·q' ≈ 64z² + zb(Σx + Σy) + b²·dot — the per-vector component
-    // sums swamp the cosine signal); centering leaves b²·dot ± small
-    // integer error, the form FAISS-style SQ8 scans actually compare.
-    val q8 = en.crossJoin(broadcast(stats))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        transform(sequence(lit(1), lit(dims)), i =>
-          when(element_at(col("mxs"), i) > element_at(col("mns"), i),
-            round(lit(255.0)
-              * (element_at(col("nv"), i) - element_at(col("mns"), i))
-              / (element_at(col("mxs"), i) - element_at(col("mns"), i)), 0)
-              - round(lit(255.0)
-                * (lit(0.0) - element_at(col("mns"), i))
-                / (element_at(col("mxs"), i) - element_at(col("mns"), i)), 0))
-            .otherwise(lit(0.0)).cast("long")).as("q"))
-    val q = q8.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("q").as("qq"), col("nrm").as("qn"))
-    val c = q8.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("q").as("cq"), col("nrm").as("cn"))
-    val wCand = Window.partitionBy("qid").orderBy(desc("qdot"), col("cid"))
-    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    q.join(c, col("qid") =!= col("cid"))
-      .withColumn("qdot", aggregate(
-        zip_with(col("qq"), col("cq"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("crk", row_number().over(wCand))
-      .filter(col("crk") <= sq8Candidates)
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
-
-  /** PQ geometry of [[s12PqAnn]]: [[pqM]] subspaces of [[pqSubDims]]
-    * contiguous dims each (M·sub = 64), [[pqK]] codes per subspace
-    * (k-means codebooks, [[kmeansIters]] Lloyd rounds, first-[[pqK]]
-    * init — the s7 determinism contract on each subspace), and
-    * [[pqCandidates]] ADC candidates reranked exactly. */
-  private[operators] val pqM = 4
-  private[operators] val pqSubDims = 16
-  private[operators] val pqK = 8
-  private val pqCandidates = 20
-
-  /** Subvector m of an embedding column (1-based contiguous slice —
-    * the oracle's `embedding[lo:hi]`). */
-  private def pqSub(m: Int, emb: Column = col("embedding")): Column =
-    slice(emb, m * pqSubDims + 1, pqSubDims)
-
-  /** Per-corpus PQ CODEBOOKS (m, cell, vec, n2; M·K rows) — the third
-    * persisted clustering artifact: one [[lloyd]] codebook per
-    * subspace, trained on the corpus subvectors ([[kmeansCentroids]]'
-    * lifecycle: computed once per (session, dir), probed by the encode
-    * pass and every query batch). */
-  private val pqBookReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def pqCodebooks(s: SparkSession,
-                                     dir: String): DataFrame =
-    pqBookReg.getOrCompute(s, dir) {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val df = (0 until pqM).map { m =>
-        lloyd(e.select(col("vec_id"), pqSub(m).as("embedding")),
-          0L until pqK.toLong)
-          .select(lit(m).as("m"), col("cell"), col("vec"), col("n2"))
-      }.reduce(_ union _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Per-corpus PQ CODES (vec_id, embedding, nrm, codes; codes =
-    * array of [[pqM]] codebook cells) — the compressed corpus copy a
-    * FAISS-style deployment stores next to (or instead of) the raw
-    * vectors: M bytes/vector here vs 64 B for the s6 SQ8 codes and
-    * 256 B raw. Encoding is MAP-ONLY: each subspace's k-row codebook
-    * collapses to one broadcast row and the per-vector argmin is the
-    * [[kmeansAssign]] array_min form — chained over subspaces, never
-    * a shuffle of the corpus. */
-  private val pqCodeReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame =
-    pqCodeReg.getOrCompute(s, dir) {
-      val cb = pqCodebooks(s, dir)
-      var enc = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      (0 until pqM).foreach { m =>
-        val one = cb.filter(col("m") === m).groupBy().agg(
-          array_sort(collect_list(struct(col("cell"), col("vec"),
-            col("n2")))).as(s"cs$m"))
-        enc = enc.crossJoin(broadcast(one))
-          .withColumn(s"code$m",
-            array_min(transform(col(s"cs$m"), c => struct(
-              (c.getField("n2")
-                - lit(2.0) * dotD(pqSub(m), c.getField("vec"))).as("d"),
-              c.getField("cell").as("cell")))).getField("cell"))
-          .drop(s"cs$m")
-      }
-      val df = enc.select(col("vec_id"), col("embedding"),
-        normD(col("embedding")).as("nrm"),
-        array((0 until pqM).map(m => col(s"code$m")): _*).as("codes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** S12: PRODUCT-QUANTIZATION ANN with ADC (asymmetric distance
-    * computation) — the third compression leg of the ANN family and
-    * the billion-vector production layout (IVF-PQ): vectors are stored
-    * as [[pqM]] codebook cells (M bytes vs s6's 64 B vs 256 B raw),
-    * each query computes ONE M·K-entry distance table (subquery-to-
-    * centroid distances), candidate scan cost is M table lookups +
-    * M-term adds per vector — NO per-candidate float dot at all, the
-    * property that lets FAISS-style engines scan 10⁹ codes/query —
-    * and only the top-[[pqCandidates]] are reranked with exact float
-    * cosine.
-    *
-    * Scale shape: codebooks and codes are persisted artifacts (train/
-    * encode once per corpus snapshot — the encode is map-only); the
-    * query batch crossJoins one broadcast M·K-row codebook row to
-    * build its distance tables, then scans codes. At 100 TB the scan
-    * composes with s4's IVF cell restriction (probe only the query's
-    * coarse cells) — the gated form scans all codes so the oracle
-    * covers the full ADC ranking. Determinism: codebook components
-    * round to 6 dp per Lloyd round ([[lloyd]]), distance-table entries
-    * are |c|² − 2·q_m·c (fold-order-pinned FloatVecDot), the
-    * candidate ordering key is the M-term left-folded sum of table
-    * entries (same association as the oracle's explicit d0+d1+d2+d3),
-    * ties by cid, and the rerank reuses s1's pinned cosine. */
-  /** Adds the per-query ADC DISTANCE TABLE `dt` (an int-keyed map
-    * m·K+cell → d(q_m, centroid): M·K dots per QUERY, zero dots per
-    * candidate) to a query frame carrying `qe` — the one block every
-    * ADC consumer shares (s12's flat scan, s13/s14's cell-restricted
-    * scans), factored so a change to the table contract cannot reach
-    * one consumer and miss another (round-13 review). */
-  private def withAdcTable(q: DataFrame, s: SparkSession,
-                           dir: String): DataFrame = {
-    val one = pqCodebooks(s, dir).groupBy().agg(
-      array_sort(collect_list(struct(col("m"), col("cell"), col("vec"),
-        col("n2")))).as("cs"))
-    q.crossJoin(broadcast(one))
-      .withColumn("dt", map_from_arrays(
-        transform(col("cs"), c => c.getField("m") * pqK + c.getField("cell")),
-        transform(col("cs"), c => c.getField("n2") - lit(2.0)
-          * dotD(slice(col("qe"), c.getField("m") * pqSubDims + 1,
-            lit(pqSubDims)), c.getField("vec")))))
-      .drop("cs")
-  }
-
-  /** ADC shortlist + exact rerank over a joined candidate frame
-    * (qid, dt, qe, qn × cid, codes, ce, cn): the M-lookup `adist`,
-    * the top-[[pqCandidates]] shortlist (ties by cid), exact-cosine
-    * top-3 — the shared tail of s12/s13/s14 with the pinned fold
-    * order and tie-break contract in ONE place. */
-  private def adcRerank(joined: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wCand = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
-    joined
-      .withColumn("adist", aggregate(sequence(lit(0), lit(pqM - 1)),
-        lit(0.0), (acc, mm) => acc
-          + element_at(col("dt"), mm * pqK + element_at(col("codes"), mm + 1))))
-      .withColumn("crk", row_number().over(wCand))
-      .filter(col("crk") <= pqCandidates)
-      .select(col("qid"), col("cid"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
-      .orderBy("qid", "rk")
-  }
-
-  val s12PqAnn: Q = (s, dir) => {
-    val codes = pqCodes(s, dir)
-    val q = withAdcTable(codes.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn")), s, dir)
-    val c = codes.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("codes"))
-    adcRerank(q.join(c, col("qid") =!= col("cid")))
-  }
-
-  /** Combined IVF-PQ INDEX artifact (vec_id, embedding, nrm, codes,
-    * cluster) — the single table a FAISS-style deployment ships: the
-    * coarse cell from the persisted k-means assignment
-    * ([[kmeansAssigned]]) and the PQ codes from the persisted encode
-    * ([[pqCodes]]), joined ONCE per corpus snapshot and persisted.
-    * Production writes exactly this layout (cluster-partitioned code
-    * lists); re-deriving it per query batch would pay the vec_id join
-    * every time. */
-  private val ivfpqReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def ivfpqIndex(s: SparkSession,
-                                    dir: String): DataFrame =
-    ivfpqReg.getOrCompute(s, dir) {
-      val df = pqCodes(s, dir)
-        .join(kmeansAssigned(s, dir).select("vec_id", "cluster"),
-          Seq("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** S13: IVF-PQ ANN — the two compression layers composed into the
-    * billion-vector production config (what FAISS calls IVFx,PQy and
-    * every vector store runs at scale): the COARSE quantizer (s7's
-    * persisted k-means cells) restricts each query's scan to its own
-    * cell — candidate volume drops by ~|cells|× exactly as in s4 —
-    * and WITHIN the cell, candidates are ranked by s12's ADC table
-    * lookups over 16-byte PQ codes (zero per-candidate float dots),
-    * with only the top-[[pqCandidates]] reranked exactly.
-    *
-    * Scale shape: the [[ivfpqIndex]] artifact is cluster-keyed, so the
-    * candidate join shuffles on the CELL (broadcast for a small query
-    * batch), never corpus-wide; per query the scan cost is
-    * |cell|·(M lookups + M adds) + 20 exact dots. The cell
-    * restriction is the recall/cost dial (multi-probe = join on the
-    * query's p nearest cells — that is [[s14MultiprobeIvfpq]]; this
-    * gated form probes 1 — recall vs the unrestricted s12 measured in
-    * the spec). Degenerate case (round-12 ADVICE): a query whose
-    * coarse cell holds no OTHER vector gets ZERO output rows here —
-    * the inner cluster join plus `qid =!= cid` leaves nothing to rank.
-    * That is the single-probe dial at its floor, exactly the case
-    * multi-probe exists for: s14 answers such a query from its 2nd
-    * cell. Committed data has no singleton cells (s9's occupancy
-    * pre-flight is the guard); a production consumer needing
-    * every-query-answered runs s14 (or left-marks the miss).
-    * Determinism: coarse cells inherit s7's pinned Lloyd; everything
-    * else inherits s12's contract. Implemented as [[ivfpqAnn]] at
-    * probes = 1: the probe ranking's nearest cell IS the stored
-    * assignment (identical distance formula and tie order), so the
-    * semantics equal the original stored-cluster join and the oracle
-    * is the p=1 instance of the same parameterized SQL. */
-  val s13IvfpqAnn: Q = (s, dir) => ivfpqAnn(s, dir, probes = 1)
-
-  /** Probe count of [[s14MultiprobeIvfpq]] — FAISS's `nprobe`: each
-    * query scans its [[ivfProbes]] nearest coarse cells instead of
-    * only its own. Candidate volume scales linearly with p (p·|cell|
-    * ADC terms per query) and buys the recall mass sitting just across
-    * the query's Voronoi boundary — the standard IVF recall/cost
-    * trade, and the dial whose p=1 floor is s13's documented
-    * singleton-cell degenerate case. */
-  private[operators] val ivfProbes = 2
-
-  /** S14: MULTI-PROBE IVF-PQ ANN — s13's recall dial as code (round-12
-    * verdict item 2): rank the query against ALL [[kmeansK]] coarse
-    * centroids (a k-row broadcast, k map-side dots per query — the
-    * same |c|²−2·q·c form and (d, cell) tie order as assignment, so
-    * probe #1 IS the query's own cell), explode to the [[ivfProbes]]
-    * nearest cells, and run s13's ADC + exact-rerank pipeline over the
-    * UNION of the probed cells. Voronoi cells are disjoint, so the
-    * union needs no candidate dedup — each corpus vector joins through
-    * exactly one probe row.
-    *
-    * Scale shape: identical to s13 — the [[ivfpqIndex]] artifact is
-    * cluster-keyed and the candidate join stays on the CELL (query
-    * side = batch × p probe rows, broadcast); per-query scan cost is
-    * p·|cell|·(M lookups + M adds) + [[pqCandidates]] exact dots.
-    * Recall@3 vs exact is spec-measured ≥ the single-probe s13 on the
-    * same corpus (a superset candidate pool can only help the exact
-    * rerank; the ADC shortlist keeps [[pqCandidates]] slots either
-    * way). Determinism: probe ranking reuses the pinned centroid
-    * values and fold order (ties by cell id); everything downstream
-    * inherits s13's contract. */
-  val s14MultiprobeIvfpq: Q = (s, dir) => ivfpqAnn(s, dir, ivfProbes)
-
-  /** Recall cutoff of the s31 eval — the ANN variants' own k (s13/s14
-    * emit top-3), so recall@k compares full result lists. */
-  private[operators] val s31K = 3
-
-  /** S31: ANN RECALL EVAL — the measurement loop every ANN deployment
-    * runs before trusting an index: recall@k of each approximate
-    * variant against the exact brute-force ground truth, per query and
-    * averaged. Recall was previously a SPEC assertion (s14 ≥ s13); this
-    * gates it as a first-class artifact — the number a re-bucket / PQ
-    * retrain / probe retune is accepted or rolled back on, computed by
-    * composing three already-oracled legs (s1 exact, s13/s14 variants)
-    * so the eval itself carries a fully relational oracle. Scale
-    * shape: the variants and the ground truth are batch×k frames
-    * (corpus-independent after their own serving paths); the recall
-    * join is a left-semi on (qid, cid) over those tiny frames and the
-    * means are O(variants). At production scale ground truth comes
-    * from an exact pass over a SAMPLED query set — exactly this shape
-    * with s1's query-window dial widened. */
-  /** THE recall tail (one definition for s31 and s32 — round-18
-    * review): per-qid |approx ∩ exact| via a left-semi join on
-    * `keyCols`, 0-filled over exact's query set, recall = n_hits/k
-    * rounded 6dp. Both frames must be unique on keyCols (rank lists
-    * are), so the semi-join count IS the intersection size. */
-  private def recallPerQid(approx: DataFrame, exact: DataFrame,
-                           keyCols: Seq[String], k: Int): DataFrame = {
-    val hits = approx.select(keyCols.map(col): _*)
-      .join(exact.select(keyCols.map(col): _*), keyCols, "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.select("qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
-  }
-
-  val s31AnnRecall: Q = (s, dir) => {
-    val exact = s1CosineTopK(s, dir).filter(col("rk") <= s31K)
-      .select(col("qid"), col("cid"))
-    def recallOf(approx: DataFrame, name: String): DataFrame =
-      recallPerQid(approx, exact, Seq("qid", "cid"), s31K)
-        .withColumn("variant", lit(name))
-    val rec = recallOf(s13IvfpqAnn(s, dir), "ivfpq_p1")
-      .unionByName(recallOf(s14MultiprobeIvfpq(s, dir), s"ivfpq_p$ivfProbes"))
-    val means = rec.groupBy("variant")
-      .agg(round(avg("recall"), 6).as("mean_recall"))
-    rec.join(broadcast(means), Seq("variant"))
-      .select(col("variant"), col("qid"), col("n_hits"), col("recall"),
-        col("mean_recall"))
-      .orderBy("variant", "qid")
-  }
-
-  /** S32: POST-EVENT RECALL EVAL — s31's accept/rollback measurement
-    * composed with the lifecycle event it exists to adjudicate
-    * (round-17 verdict item 3): replay the s26 re-bucket (committed-
-    * geometry store → staged planes+1 rebuild → rename-aside swap),
-    * then emit the recall frame ENTIRELY off the post-event artifacts.
-    * The served leg is [[retrieveTopK]] over the SWAPPED store under
-    * the new geometry (s26's serving, verbatim); the ground truth is
-    * the brute-force [[exactTwin]] over the SAME swapped store — both
-    * legs read one store lineage, so this is the number a deployment
-    * accepts or rolls back the re-bucket on, measured where it will
-    * serve, not on a parallel in-memory copy. Closes the loop the s31
-    * scaladoc names: build → event → measure → accept/rollback.
-    * Oracle: s26's serving SQL and the exact (bucketless) variant of
-    * the SAME parameterized generator, fused by s31's recall tail —
-    * fully relational, the store invisible to results (d17 pattern).
-    * Scale shape: the event replay is s26's (one map-only re-encode +
-    * one swap, paid per trigger firing); the eval legs are batch×k
-    * frames; the exact leg is O(queries × index) BY DESIGN — in
-    * production ground truth runs over a SAMPLED query set, exactly
-    * this shape with the s10 query window as the sample. */
-  val s32PostEventRecall: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s32") { store =>
-      // serving state BEFORE the trigger: committed-geometry index
-      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
-      // the re-bucket event: staged planes+1 rebuild, atomic swap
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        rebucketIndex(s, dir), Seq("bkt"))
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-    val q = s10QueryFrame(s, dir)
-    val served = retrieveTopK(q, idx, s26Planes, s10K)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"))
-    val exact = exactTwin(q, idx)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"))
-    val rec = recallPerQid(served, exact,
-      Seq("qid", "doc_id", "chunk_idx"), s10K)
-    val mean = rec.agg(round(avg("recall"), 6).as("mean_recall"))
-    rec.crossJoin(broadcast(mean))
-      .select(col("qid"), col("n_hits"), col("recall"),
-        col("mean_recall"))
-      .orderBy("qid")
-  }
-
-  /** Shared s13/s14 core — the IVF-PQ serving pipeline with `probes`
-    * as the nprobe dial: rank the query against ALL [[kmeansK]] coarse
-    * centroids (one broadcast k-row model, k map-side dots per query;
-    * the ranking uses assignment's pinned |c|²−2·q·c distance and
-    * (d, cell) tie order, so probe #1 IS the query's own cell and
-    * probes=1 reproduces the stored-cluster join exactly), explode to
-    * the p nearest cells, join candidates on the CELL from the
-    * persisted [[ivfpqIndex]], then the shared ADC shortlist + exact
-    * rerank ([[adcRerank]]). Voronoi cells are disjoint, so the probed
-    * union needs no candidate dedup — each corpus vector joins through
-    * exactly one probe row. */
-  private def ivfpqAnn(s: SparkSession, dir: String,
-                       probes: Int): DataFrame = {
-    val idx = ivfpqIndex(s, dir)
-    val cents = kmeansCentroids(s, dir).groupBy().agg(
-      array_sort(collect_list(struct(col("cell"), col("vec"), col("n2"))))
-        .as("kc"))
-    val q = withAdcTable(
-      idx.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-        .crossJoin(broadcast(cents))
-        .withColumn("probe", slice(array_sort(transform(col("kc"), c =>
-          struct((c.getField("n2") - lit(2.0)
-            * dotD(col("qe"), c.getField("vec"))).as("d"),
-            c.getField("cell").as("cell")))), 1, probes))
-        .drop("kc"), s, dir)
-      .withColumn("cluster",
-        explode(transform(col("probe"), p => p.getField("cell"))))
-      .drop("probe")
-    val c = idx.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("nrm").as("cn"), col("codes"), col("cluster"))
-    adcRerank(q.join(c, Seq("cluster")).filter(col("qid") =!= col("cid")))
-  }
-
-  /** Arrival slice of the s11 refresh gate (d11's modular-slice
-    * rationale: planted duplicates sit at adjacent ids, so a modular
-    * cut — unlike an id range — puts real semantic mass in the batch). */
-  private[operators] val s11Mod = 7L
-  private[operators] val s11Res = 3L
-
-  /** Init ids of the BASE clustering: the lowest [[kmeansK]] vec_ids
-    * that are NOT in the arrival slice (the base-corpus analog of
-    * s7's first-K init — seed-free, oracle-reproducible). */
-  private[operators] val s11InitIds: Seq[Long] =
-    Iterator.iterate(0L)(_ + 1).filter(_ % s11Mod != s11Res)
-      .take(kmeansK).toSeq
-
-  /** Centroids trained on the BASE corpus only (the model d13-style
-    * serving would hold BEFORE the batch arrives) — same Lloyd loop,
-    * persisted per (session, dir) like [[kmeansCentroids]]. */
-  private val baseCentroidReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def baseCentroids(s: SparkSession,
-                                       dir: String): DataFrame =
-    baseCentroidReg.getOrCompute(s, dir) {
-      val base = t(s, dir, "embeddings")
-        .filter(pmod(col("vec_id"), lit(s11Mod)) =!= lit(s11Res))
-        .select(col("vec_id"), col("embedding"))
-      val df = lloyd(base, s11InitIds)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** MINI-BATCH CENTROID UPDATE core — the online k-means rule
-    * (Bottou/Bengio; the web-scale form in Sculley's web-scale k-means):
-    * for each cluster c with n_c assigned base vectors and an arriving
-    * batch contributing m_c members with component sums S_c,
-    *   new_c = (n_c · old_c + S_c) / (n_c + m_c)
-    * — i.e. old_c moves toward the batch mean with learning rate
-    * m_c/(n_c+m_c), the count-weighted convex combination. Components
-    * round to 6 dp (the [[lloyd]] determinism contract: batch sums are
-    * merge-order-dependent in the last ulp; rounding pins both
-    * engines). Returns one row per cluster: old vec, new vec, counts. */
-  private[operators] def refreshCentroids(cent: DataFrame,
-      baseAssigned: DataFrame, batchAssigned: DataFrame): DataFrame = {
-    val nBase = baseAssigned.groupBy(col("cluster").as("cell"))
-      .agg(count(lit(1)).as("n_base"))
-    val mBatch = batchAssigned.groupBy(col("cluster").as("cell"))
-      .agg(count(lit(1)).as("n_batch"))
-    val batchSums = batchAssigned
-      .select(col("cluster").as("cell"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(sum(col("v").cast("double")).as("sv"))
-    val newPos = cent
-      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "c")))
-      .join(nBase, Seq("cell"), "left")
-      .join(mBatch, Seq("cell"), "left")
-      .join(batchSums, Seq("cell", "pos"), "left")
-      .select(col("cell"), col("pos"),
-        coalesce(col("n_base"), lit(0L)).as("nb"),
-        coalesce(col("n_batch"), lit(0L)).as("mb"),
-        col("c"), coalesce(col("sv"), lit(0.0)).as("sv"))
-      .withColumn("nc",
-        when(col("nb") + col("mb") === 0, round(col("c"), 6))
-          .otherwise(round((col("nb") * col("c") + col("sv"))
-            / (col("nb") + col("mb")), 6)))
-    newPos
-      .groupBy("cell")
-      .agg(max("nb").as("n_base"), max("mb").as("n_batch"),
-        array_sort(collect_list(struct(col("pos"), col("c"), col("nc"))))
-          .as("pc"))
-      .select(col("cell"), col("n_base"), col("n_batch"),
-        transform(col("pc"), x => x.getField("c")).as("old_vec"),
-        transform(col("pc"), x => x.getField("nc")).as("new_vec"))
-  }
-
-  /** S11: ONLINE CENTROID REFRESH — the operational companion of the
-    * d13 streaming cluster tag (round-11 verdict item 3): d13 tags
-    * arriving documents against STATIC centroids, so cluster drift
-    * silently degrades the tags prof6 would flag; the production
-    * pipeline periodically folds the accepted batch into the model
-    * with one mini-batch update and re-persists the k-row artifact.
-    * The gated instance: centroids trained on the BASE slice
-    * (vec_id % [[s11Mod]] != [[s11Res]]), the arrival slice replayed
-    * as the batch, one [[refreshCentroids]] update; output per
-    * cluster: member counts and the 6-dp-pinned movement summary
-    * (shift = L2 distance old→new, n2_new = |new|²).
-    *
-    * Scale shape: both assignment passes are the map-only broadcast-
-    * argmin ([[kmeansAssign]] — no corpus shuffle); the update itself
-    * aggregates k×64 rows. Per refresh at 100 TB: one scan of the
-    * batch + one of the base (and the base pass's n_c is a k-row
-    * statistic a production run persists WITH the centroid artifact,
-    * making the refresh O(batch) — the gated form recomputes it for
-    * oracle independence). Refresh cadence contract in BASELINE.md.
-    * The movement column is exactly what an operator alerts on: shift
-    * >> within-cluster dispersion (s9's avg_dist2) means the tag
-    * model has drifted and d13 consumers should re-tag. */
-  val s11CentroidRefresh: Q = (s, dir) => {
-    val isBatch = pmod(col("vec_id"), lit(s11Mod)) === lit(s11Res)
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val cent = baseCentroids(s, dir)
-    val refreshed = refreshCentroids(cent,
-      kmeansAssign(e.filter(!isBatch), cent),
-      kmeansAssign(e.filter(isBatch), cent))
-    val diff = zip_with(col("new_vec"), col("old_vec"), (a, b) => a - b)
-    refreshed
-      .select(col("cell").as("cluster"), col("n_base"), col("n_batch"),
-        round(sqrt(dotD(diff, diff)), 6).as("shift"),
-        round(dotD(col("new_vec"), col("new_vec")), 6).as("n2_new"))
-      .orderBy("cluster")
-  }
-
-  /** PROF7: EMBEDDING-SPACE drift profile — prof6's PSI applied to the
-    * semantic dimension no raw-column monitor sees: the distribution
-    * of CLUSTER OCCUPANCY under the served centroid model, reference
-    * corpus (s11's base slice) vs arriving batch (its arrival slice).
-    * This is the alarm that tells the d13 tagger and s10 server their
-    * centroid model has gone stale — s11's `shift` column says the
-    * MODEL moved; prof7 says the DATA moved under the model, which is
-    * what triggers an s11 refresh (or full s7 retrain) in production.
-    * Lives here rather than queries/Profile because it consumes the
-    * persisted s11 base-centroid artifact and the shared map-only
-    * assignment pass (the d13 co-location argument).
-    *
-    * Scale shape: both sides assign MAP-ONLY under the broadcast k-row
-    * model ([[kmeansAssign]] — no corpus shuffle); the PSI reduction
-    * runs on the k-row occupancy frame. Output per cluster: counts,
-    * 6-dp shares, the PSI term, and the repeated total (prof6's
-    * eps-floor contract via [[graft.queries.Profile.driftEps]]). */
-  val prof7EmbeddingDrift: Q = (s, dir) => {
-    val eps = graft.queries.Profile.driftEps
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val assigned = kmeansAssign(e, baseCentroids(s, dir))
-      .select(col("cluster"),
-        (pmod(col("vec_id"), lit(s11Mod)) =!= lit(s11Res)).as("is_ref"))
-    val counts = assigned.groupBy("cluster").agg(
-      count(when(col("is_ref"), 1)).as("n_ref"),
-      count(when(!col("is_ref"), 1)).as("n_cur"))
-    val tot = counts.agg(sum("n_ref").as("ref_tot"),
-      sum("n_cur").as("cur_tot"))
-    val terms = counts.crossJoin(broadcast(tot))
-      .withColumn("p", greatest(
-        col("n_ref").cast("double") / col("ref_tot"), lit(eps)))
-      .withColumn("q", greatest(
-        col("n_cur").cast("double") / col("cur_tot"), lit(eps)))
-      .withColumn("term",
-        (col("q") - col("p")) * log(col("q") / col("p")))
-    val psi = terms.agg(round(sum("term"), 6).as("psi"))
-    terms.crossJoin(broadcast(psi))
-      .select(col("cluster"), col("n_ref"), col("n_cur"),
-        round(col("n_ref").cast("double") / col("ref_tot"), 6)
-          .as("ref_share"),
-        round(col("n_cur").cast("double") / col("cur_tot"), 6)
-          .as("cur_share"),
-        round(col("term"), 6).as("psi_term"),
-        col("psi"))
-      .orderBy("cluster")
-  }
-
-  /** PROF10: EMBEDDING OUTLIER PROFILE — the data-quality readout the
-    * embedding families assume but nothing yet measures: per-vector L2
-    * distance to the corpus centroid plus its z-score over the distance
-    * distribution. Encoder faults (zero vectors, NaN-adjacent garbage,
-    * wrong-normalization batches) land as distance outliers long
-    * before they corrupt an index or a semdedup verdict — this is the
-    * pre-flight a deployment runs on every embedding delivery, next to
-    * prof7's drift check (prof7 asks "did the distribution move",
-    * prof10 asks "which rows are broken"). Centroid = per-dim mean
-    * ROUNDED to 6 dp (the kmeansRecomputeSql cross-engine rule — the
-    * rounding makes the artifact bit-identical in both engines, so the
-    * downstream algebra agrees exactly); distance via the |c|² − 2·e·c
-    * + |e|² expansion with [[graft.plans.FloatVecDot]]'s array-order
-    * double fold — the exact IEEE order of the oracle's list_sum.
-    * Scale shape: the centroid is one map-side partial aggregate
-    * (64 doubles per partition — constant-size merge, never a
-    * corpus-sized shuffle), broadcast back; distances are map-only;
-    * the (mu, sd) reduction is one scalar agg. Nothing all-pairs,
-    * nothing driver-side. */
-  val prof10EmbeddingOutliers: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("pos").agg(round(avg(col("v").cast("double")), 6).as("c"))
-      .groupBy().agg(
-        array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(transform(col("pc"), x => x.getField("c")).as("cvec"))
-      .withColumn("cn2", dotD(col("cvec"), col("cvec")))
-    val d = e.crossJoin(broadcast(cent))
-      .withColumn("dist", sqrt(greatest(
-        col("cn2") - lit(2.0) * dotD(col("embedding"), col("cvec")) +
-          dotD(col("embedding"), col("embedding")), lit(0.0))))
-      .select("vec_id", "dist")
-    val stats = d.agg(avg("dist").as("mu"), stddev_samp("dist").as("sd"))
-    d.crossJoin(broadcast(stats))
-      .select(col("vec_id"), round(col("dist"), 6).as("l2_dist"),
-        round((col("dist") - col("mu")) / col("sd"), 6).as("z"))
-      .orderBy("vec_id")
-  }
-
-  /** PROF8: RETRIEVAL-INDEX HEALTH PROFILE — the s9 pre-flight
-    * replayed on the LSH serving index: per-bucket occupancy (count +
-    * 6-dp share) over the persisted [[retrievalIndex]], global
-    * occupancy stats, and the RE-BUCKET TRIGGER readout the s15/s21
-    * cadence contracts name — planes_recommended =
-    * planesFor(n_chunks) vs the committed plane count, computed by
-    * the INTEGER [[planesForCaseSql]] rule in both engines. This is
-    * the O(metadata) check a deployment runs per refresh cadence:
-    * occupancy answers "is any bucket hot enough to blow the probe
-    * cost model" (the Σ n_c² argument from s9), the trigger answers
-    * "has corpus growth outrun the geometry" — both BEFORE a query
-    * batch pays for it. One keyed count over the cached index (map-
-    * side partials, 2^planes-row result), a one-row global aggregate
-    * broadcast back; no corpus reshuffle. */
-  val prof8IndexHealth: Q = (s, dir) => {
-    val occ = retrievalIndex(s, dir).groupBy("bkt")
-      .agg(count(lit(1)).as("n_chunks"))
-    val tot = occ.agg(sum("n_chunks").as("n_total"),
-      count(lit(1)).as("n_buckets"), max("n_chunks").as("max_occ"))
-    occ.crossJoin(broadcast(tot))
-      .withColumn("share6",
-        round(col("n_chunks").cast("double") / col("n_total"), 6))
-      .withColumn("planes_committed", lit(planes))
-      .withColumn("planes_recommended",
-        expr(planesForCaseSql("n_total")).cast("int"))
-      .withColumn("rebucket_due",
-        (col("planes_recommended") > lit(planes)).cast("int"))
-      .select(col("bkt"), col("n_chunks"), col("share6"), col("n_total"),
-        col("n_buckets"), col("max_occ"), col("planes_committed"),
-        col("planes_recommended"), col("rebucket_due"))
-      .orderBy("bkt")
-  }
-
-  /** Read-amplification budget of the compaction cadence: a probed
-    * bucket reading this many files (or more) per query batch is due
-    * for compaction. Base snapshot + up to 3 fold appends = up to 4
-    * files/bucket in the gated lifecycle; a fresh compaction resets to
-    * 1 — the budget sits between so the gate exercises both verdicts. */
-  private[operators] val prof9FileBudget = 3
-
-  /** Fold count of the prof9 fragmentation lifecycle — ONE constant for
-    * the engine's batch slicing AND the oracle's slice predicates (a
-    * cadence retune in one place would otherwise silently desync
-    * files/compact_due across the gate). */
-  private[operators] val prof9Parts = 3
-
-  /** PROF9: ON-DISK STORE HEALTH (round-13 verdict item 3) — prof8
-    * profiles the logical index (occupancy, re-bucket trigger); this
-    * reads the PHYSICAL store the s15/s21 cadence contract actually
-    * triggers on: files-per-bucket of the bucket-partitioned on-disk
-    * index, straight off a FileSystem listing — O(buckets) METADATA,
-    * the check a deployment runs per refresh tick BEFORE any query
-    * batch pays the file-listing + task-launch storm. The gated query
-    * replays the fragmentation lifecycle (base snapshot + the 3 s15
-    * batch-slice appends, each writing exactly one file per touched
-    * bucket — the repartition(bkt) write discipline s21 documents),
-    * lists the store, and emits per bucket: row count, file count,
-    * SIZE in KiB (round-15 verdict item 4 — the quantity operators
-    * actually alert on), and compact_due = files ≥
-    * [[prof9FileBudget]] — the trigger readout the BASELINE.md cadence
-    * contract names, as a query.
-    *
-    * Oracle-ability: under the gated lifecycle the file count is a
-    * DETERMINISTIC function of the data — each of the 4 writes lands
-    * one file in bucket b iff its doc slice has a chunk hashing to b —
-    * so the oracle RECOMPUTES the listing relationally from the same
-    * index CTE chain (presence indicator per write, summed), and the
-    * driver's hash gate covers the actual FileSystem-metadata path
-    * end-to-end. BYTES are not relationally recomputable, but they ARE
-    * content-deterministic (writeStore's in-partition sort pins row
-    * order; parquet encoding is a pure function of rows for a fixed
-    * Spark version), so the KiB column is gated the s23 way: pinned
-    * per scale as golden VALUES, dispatched on the (n_docs, n_pos)
-    * key, harvested from two byte-identical fresh-JVM runs (same
-    * re-harvest rule as [[s23Goldens]]; a Spark/parquet version bump
-    * moves bytes and fails loudly here — re-harvest then). At 100 TB:
-    * the listing is one RPC per bucket dir (namenode metadata, sizes
-    * included in the same FileStatus), the occupancy count is the
-    * prof8 map-side keyed count — no corpus reshuffle, no file
-    * opened. */
-  val prof9StoreHealth: Q = (s, dir) => {
-    import org.apache.hadoop.fs.Path
-    val (store, perBucket) = buildStoreVersion(s, dir, "prof9") { store =>
-      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-      s15BatchSlices(s, dir, parts = prof9Parts.toLong).foreach(
-        writeStore(_, store, Seq("bkt"), append = true))
-      val fs = new Path(store)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // one listStatus per bucket dir — O(buckets) driver-side
-      // metadata, the same scale class as the sinks' affected-
-      // partition collects; this version dir is immutable once built,
-      // so the listing cannot race a later rebuild
-      fs.listStatus(new Path(store))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
-        .map { st =>
-          val data = fs.listStatus(st.getPath).filter(f =>
-            f.isFile && f.getPath.getName.endsWith(".parquet"))
-          val bkt = st.getPath.getName.stripPrefix("bkt=").toLong
-          // bytes ride the SAME listing (FileStatus.getLen — no extra
-          // RPC); KiB-banded for the readout, deterministic because
-          // writeStore's in-partition sort makes file bytes a pure
-          // function of content for a fixed Spark/parquet version
-          (bkt, data.length.toLong, data.map(_.getLen).sum / 1024L)
-        }.toSeq
-    }
-    import s.implicits._
-    val filesDf = perBucket.toDF("bkt", "files", "kib")
-    s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-      .groupBy("bkt").agg(count(lit(1)).as("n_chunks"))
-      .join(broadcast(filesDf), Seq("bkt"))
-      .withColumn("compact_due",
-        (col("files") >= prof9FileBudget).cast("int"))
-      .crossJoin(broadcast(
-        graft.queries.MlQueries.goldenDispatchKey(s, dir)))
-      .select(col("n_docs"), col("n_pos"), col("bkt"), col("n_chunks"),
-        col("files"), col("kib"), col("compact_due"))
-      .orderBy("bkt")
-  }
-
-  /** Top-k of [[s10Retrieve]]; query set = documents with
-    * doc_id < [[s10QueryDocs]], query text = the document's first
-    * [[s10QueryTokens]] whitespace tokens (a corpus-prefix query set:
-    * deterministic, and guaranteed to have relevant chunks to find). */
-  private[operators] val s10K = 5
-  private[operators] val s10QueryDocs = 8
-  private[operators] val s10QueryTokens = 12
-
-  /** Chunk token-hash array → feature-hashing embedding (plans
-    * .HashEmbed over the shared h60 domain). The "embedder" every
-    * retrieval deployment swaps in a learned model for — here a
-    * deterministic hashing-trick text embedding (±1 per token on
-    * dimension h % 64), chosen because it is (a) vocabulary-free and
-    * corpus-independent like a real embedding service, (b) computable
-    * by the DuckDB oracle, so the WHOLE serving path — corpus build,
-    * indexing, probe, rerank, provenance — sits inside the hash gate,
-    * and (c) integer-valued, so candidate cosines compare EXACTLY
-    * across engines. The Spark-side plumbing (index artifact schema,
-    * bucket probe, rerank join) is unchanged when a real embedder
-    * replaces it. */
-  private def embedTokens(tokens: Column): Column =
-    Portable.hashEmbed(Portable.h60Array(tokens, modP = true), dims)
-
-  /** The RETRIEVAL INDEX artifact over the c3 chunk corpus: each chunk
-    * embedded, normed, and LSH-bucketed under the committed plane
-    * geometry, persisted per (session, dir) with the [[graft.core
-    * .Registry]] lifecycle every silver stage here follows. This is
-    * the table a production retrieval deployment WRITES once per
-    * corpus snapshot (bucketed/partitioned by `bkt`) and serves every
-    * query batch from — the read-side counterpart of c3's build side.
-    * Zero-norm chunks (a hash-embedding artifact of token-sign
-    * cancellation; measure-zero in practice) are excluded at build
-    * time in both engines — they cannot be cosine-ranked. */
-  private val retrievalReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  /** The index ENCODE step — embed, norm-filter, bucket, project — as
-    * a per-chunk map over any chunk frame. Factored out so the
-    * incremental refresh (s15) encodes ONLY the arriving batch: unlike
-    * centroids (s11), nothing here depends on corpus statistics, so
-    * fold-in is a pure per-row encode + append and the refreshed index
-    * is row-identical to a full rebuild (the spec asserts it). */
-  private[operators] def encodeChunks(chunks: DataFrame,
-                           nPlanes: Int = planes): DataFrame =
-    chunks
-      .withColumn("ce", embedTokens(split(col("chunk_text"), " ")))
-      .withColumn("cn", normD(col("ce")))
-      .filter(col("cn") > 0)
-      .withColumn("bkt", bucketOf(col("ce"), nPlanes))
-      .select(col("doc_id"), col("chunk_idx"), col("source"),
-        col("quality_score"), col("chunk_text"), col("ce"), col("cn"),
-        col("bkt"))
-
-  private[operators] def retrievalIndex(s: SparkSession,
-                                        dir: String): DataFrame =
-    retrievalReg.getOrCompute(s, dir) {
-      val df = encodeChunks(TextAnalysis.queries("c3_chunk_corpus")(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Corpus-prefix query-embedding frame over an arbitrary doc window
-    * (first [[s10QueryTokens]] whitespace tokens of each query doc
-    * through the same embedder) — ONE recipe for both gated windows,
-    * the Scala twin of the parameterized [[s10SqlFor]]: a change to
-    * the embedding recipe cannot reach one gate and miss the other. A
-    * production serving path binds this to the incoming query batch
-    * instead. */
-  /** First-[[s10QueryTokens]]-whitespace-tokens array of a documents
-    * row — THE query-text recipe, shared by the dense embedder
-    * ([[queryFrame]]) and the sparse token probe ([[s16SparseLeg]]) so
-    * a recipe change cannot desynchronize the hybrid legs. */
-  private def queryTokenArray: Column =
-    slice(split(trim(col("text")), "\\s+"), 1, s10QueryTokens)
-
-  private def queryFrame(s: SparkSession, dir: String,
-                         docWindow: Column): DataFrame =
-    t(s, dir, "documents").filter(docWindow)
-      .select(col("doc_id").as("qid"),
-        embedTokens(queryTokenArray).as("qe"))
-      .withColumn("qn", normD(col("qe")))
-      .filter(col("qn") > 0)
-
-  /** The s10 gated query frame: doc_id < [[s10QueryDocs]]. */
-  private[graft] def s10QueryFrame(s: SparkSession, dir: String): DataFrame =
-    queryFrame(s, dir, col("doc_id") < s10QueryDocs)
-
-  /** Serving core: ANN candidates via the multi-probe bucket join,
-    * exact cosine rerank, top-k per query with chunk text + provenance.
-    * `indexPlanes` is the PLANE COUNT THE INDEX WAS BUCKETED WITH —
-    * query buckets are computed under the same geometry
-    * (bucketOf(qe, indexPlanes)), and the probe set is every bucket
-    * within hamming `radius` of the query's own ([[probeMasks]];
-    * default radius 1 — s20 dials 2). Passing a value
-    * other than the index's own plane count would bucket the two sides
-    * in different keyspaces and silently collapse recall to ~0, so a
-    * production caller derives BOTH from one planesFor(n_chunks) call
-    * at index-build time and stores it with the artifact.
-    *
-    * Scale shape — the property the whole operator exists for: the
-    * CORPUS SIDE NEVER RESHUFFLES PER QUERY BATCH. The index is read
-    * straight off its persisted bucket-keyed artifact and the query
-    * side (batch × (p+1) probe rows — serving-batch-sized) is
-    * broadcast, so the candidate join is a BroadcastHashJoin with the
-    * corpus streaming in place; the only exchange after the scan is
-    * the per-query rank window over candidates (≈ probes · bucket
-    * occupancy per query — with [[planesFor]] occupancy is flat in
-    * corpus size, so per-query serving cost is corpus-size-invariant).
-    * The rerank is exact cosine within the probed union (s2's
-    * contract); recall vs the exact twin is measured in
-    * SimilaritySpec, the s2-vs-s1 pattern. */
-  /** Probe-mask set of an LSH serving call: every bucket id within
-    * hamming distance ≤ `radius` of the query's own — the XOR masks
-    * {0} ∪ {2^i} ∪ (radius ≥ 2) {2^i|2^j, i<j}. Distinct masks XOR a
-    * bucket to distinct buckets, so the probed union is duplicate-free
-    * regardless of radius. ONE generator for the engine fold and the
-    * oracle literal ([[probeMasksSqlFor]]) — the [[probeMasksSql]]
-    * derivation rationale, now parameterized: the committed dial
-    * values are radius 1 (s10, 1+p probes) and radius 2 (s20,
-    * 1+p+p(p-1)/2 — 22 at the committed 6-plane geometry). */
-  private[operators] def probeMasks(p: Int, radius: Int): Seq[Long] = {
-    require(radius >= 1 && radius <= 2, s"unsupported probe radius $radius")
-    val h1 = (0 until p).map(i => 1L << i)
-    val h2 = if (radius < 2) Seq.empty[Long]
-      else for { i <- 0 until p; j <- (i + 1) until p }
-        yield (1L << i) | (1L << j)
-    0L +: (h1 ++ h2)
-  }
-
-  private[graft] def retrieveTopK(q: DataFrame, idx: DataFrame,
-                                  indexPlanes: Int, k: Int,
-                                  radius: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val masks = probeMasks(indexPlanes, radius).map(lit)
-    val qp = q
-      .withColumn("bkt0", bucketOf(col("qe"), indexPlanes))
-      .withColumn("bkt",
-        explode(array(masks.map(m => col("bkt0").bitwiseXOR(m)): _*)))
-      .select(col("qid"), col("qe"), col("qn"), col("bkt"))
-    val w = Window.partitionBy("qid")
-      .orderBy(desc("cosine"), col("doc_id"), col("chunk_idx"))
-    idx.join(broadcast(qp), Seq("bkt"))
-      .select(col("qid"), col("doc_id"), col("chunk_idx"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"),
-        col("source"), col("quality_score"), col("chunk_text"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("cosine"), col("source"), col("quality_score"),
-        col("chunk_text"))
-      .orderBy("qid", "rk")
-  }
-
-  /** S10: RAG RETRIEVAL SERVING — the read side of the corpus this
-    * engine builds (round-11 verdict item 1): given a query-embedding
-    * frame, return the top-[[s10K]] chunks of the c3 retrieval corpus
-    * with text + provenance (source doc, chunk index, quality score).
-    * Composes the shipped pieces end-to-end: c3's chunk corpus →
-    * [[retrievalIndex]] (persisted, bucket-keyed) → multi-probe LSH
-    * candidates → exact cosine rerank → top-k per query. The gated
-    * instance runs the committed 6-plane geometry its oracle embeds;
-    * production passes [[planesFor]](n_chunks). */
-  val s10Retrieve: Q = (s, dir) =>
-    retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir),
-      planes, s10K)
-
-  /** Exact brute-force twin of [[s10Retrieve]] (no bucket restriction)
-    * — the spec-side recall oracle, s1's role for the chunk domain.
-    * Not in the registry: O(queries × chunks), the baseline the ANN
-    * path is measured against. */
-  private[graft] def s10ExactTwin(s: SparkSession, dir: String,
-                                  idxFilter: Column = lit(true)): DataFrame =
-    exactTwin(s10QueryFrame(s, dir), retrievalIndex(s, dir).filter(idxFilter))
-
-  /** Brute-force exact top-[[s10K]] for ANY (query frame, index) pair —
-    * no bucket restriction; the recall oracle every served path is
-    * measured against (s10's hash-embedded index, s23's learned one). */
-  private[graft] def exactTwin(q: DataFrame, idx: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid")
-      .orderBy(desc("cosine"), col("doc_id"), col("chunk_idx"))
-    idx
-      .crossJoin(broadcast(q))
-      .select(col("qid"), col("doc_id"), col("chunk_idx"),
-        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= s10K)
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("cosine"))
-      .orderBy("qid", "rk")
-  }
-
-  /** Per-store-ROOT monitors for the lifecycle gates (s21/s24/s25/
-    * s26/prof9/s27): builds of the same root serialize (two concurrent
-    * identical rebuilds would only burn CPU — content is a pure
-    * function of the source dir; different gates / source dirs stay
-    * independent — the stagingLocks rationale in Streams). Reader
-    * safety does NOT ride on this lock: [[buildStoreVersion]] gives
-    * every invocation its own immutable store version with
-    * previous-version retention, so a LAZY serving frame returned
-    * before a later rebuild keeps reading its own snapshot (round-15
-    * advice closed: the old wipe-in-place protocol documented a
-    * single-concurrent-consumer contract it could not enforce). */
-  private val storeLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withStoreLifecycle[T](store: String)(body: => T): T =
-    storeLocks.computeIfAbsent(store, _ => new Object).synchronized(body)
-
-  /** S27: STREAMING DELETE INGEST — the operational arrival path of
-    * s24's tombstones: in production, deletes are CDC/curation EVENTS,
-    * not a frame someone hands the compactor, so this gate replays the
-    * s24 delete set as a genuinely multi-batch AvailableNow stream
-    * (2-file staging, maxFilesPerTrigger = 1 — the d12 harness) whose
-    * foreachBatch ACCUMULATES arrivals into a tombstone side table
-    * (idempotent batch=<id> overwrite subdirs — at-least-once retries
-    * cannot duplicate a batch, and the fold's distinct makes duplicate
-    * tombstone ROWS harmless anyway), then folds the accumulated set
-    * at the next compaction and serves from the folded store. No
-    * per-event store work: a delete costs one tiny append at arrival
-    * and rides the compaction rewrite at cadence — the same
-    * amortization s24 pins, now with the arrival leg real. Oracle =
-    * [[s24Sql]] verbatim: tombstone folding is batch-split invariant
-    * (the union of arrivals is the delete set), the d12-reuses-d11
-    * relationship replayed on the delete dimension. */
-  val s27StreamDelete: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s27") { store =>
-      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-      writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
-      val tomb = s24Tombstones(s, dir)
-      val fp = graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")
-      // staging key carries the delete-rule constants (a retuned rule
-      // must not replay an old set); the shared harness (the d12/d13
-      // one) adds pid + _SUCCESS staging, the per-call idempotent
-      // batch=<id> sink, and PlanEvidence recording of the arrival leg
-      val arrived = graft.streaming.Streams.replayForeachBatch(s,
-        tomb.repartitionByRange(2, col("doc_id")),
-        s"tomb-$fp-${s24DelMod}m$s24DelRes", shape = "r2",
-        tag = "s27_stream_delete")(identity)
-      // an empty delete set streams zero micro-batches and the harness
-      // returns the empty frame: compact without tombstones (nothing
-      // to fold — compactPartitioned's empty-fold guard must not fire)
-      val any = !arrived.limit(1).isEmpty
-      graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
-        if (any) Some(arrived.select(col("doc_id"))) else None,
-        if (any) Seq("doc_id") else Nil)
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
-  }
-
-  /** One-plane-up geometry of the s26 re-bucket gate: planes+1 is
-    * EXACTLY the action [[prof8IndexHealth]]'s rebucket_due prescribes
-    * — when corpus growth pushes planesFor(n_chunks) past the stored
-    * plane count it crosses by one power of two, so the rebuild adds
-    * one plane (halving expected occupancy back to target). */
-  private[operators] val s26Planes = planes + 1
-
-  /** The index REBUILT under the new geometry — the offline job the
-    * re-bucket trigger hands off to (s7-retrain's analog): a full
-    * re-encode of the corpus with one more sign plane. Embeddings and
-    * norms are unchanged (the embedder is geometry-independent); only
-    * the bucket key is recomputed, so the rebuild is the same map-only
-    * encode pass as the original build. Persisted per (session, dir);
-    * the GATE writes it through the on-disk store path and swaps
-    * (see [[s26RebucketRebuild]]) — this frame is the staged content
-    * and the spec's ground truth for the swapped store. */
-  private val rebucketReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[graft] def rebucketIndex(s: SparkSession, dir: String): DataFrame =
-    rebucketReg.getOrCompute(s, dir) {
-      val df = encodeChunks(
-        TextAnalysis.queries("c3_chunk_corpus")(s, dir), s26Planes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** S26: RE-BUCKET REBUILD — the ACTION leg of prof8's re-bucket
-    * trigger, closing the last open loop of the index lifecycle
-    * (build → refresh → compact → delete → RE-BUCKET): rebuild the
-    * chunk index under planes+1, commit it THROUGH THE ON-DISK STORE
-    * PATH (round-15 verdict item 1), and serve the s10 query window
-    * FROM THE SWAPPED STORE through the SAME [[retrieveTopK]] with the
-    * new geometry on BOTH sides (query buckets and probe masks derive
-    * from the index's own plane count — the keyspace contract
-    * retrieveTopK documents). The gate replays the full production
-    * sequence: the bucket-partitioned store a deployment holds under
-    * the COMMITTED geometry (what its readers are pruning on when the
-    * trigger fires), then the rebuild staged aside and committed by
-    * [[graft.sources.Sinks.rewritePartitioned]] — the same checked
-    * rename-aside protocol as compaction, which is exactly where a
-    * geometry swap earns it: the `bkt=` directory set itself changes,
-    * so a partition-pruned reader must see old or new geometry
-    * atomically, never a mix (SinksSpec pins sibling survival and the
-    * mid-swap states; SimilaritySpec pins store ≡ rebuilt index).
-    * Oracle = the s10 serving SQL with nPlanes = 7 through the SAME
-    * parameterized generators (bucketSql/probeMasks) — the store must
-    * be invisible to results, the plane count the only semantic diff
-    * from s10. Scale shape: the rebuild is one map-only encode pass +
-    * one store write (the original build's cost — paid once per
-    * trigger firing, amortized over the growth that fired it); serving
-    * cost per query RETURNS to target occupancy — probes·occupancy
-    * halves back, which is the entire point of the trigger. */
-  val s26RebucketRebuild: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s26") { store =>
-      // the store serving holds BEFORE the trigger fires: the
-      // committed-geometry index under the s21 bucket layout
-      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
-      // the re-bucket ACTION: stage the planes+1 re-encode aside and
-      // swap it into the serving path (rename-aside, crash-safe)
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        rebucketIndex(s, dir), Seq("bkt"))
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-    retrieveTopK(s10QueryFrame(s, dir), idx, s26Planes, s10K)
-  }
-
-  // ------------------------------------------------------------------ //
-  // s23: learned embedder behind the SAME serving stack
-  // ------------------------------------------------------------------ //
-
-  /** The TRAINED embedder at the [[embedTokens]] swap point (round-13
-    * verdict item 1): a seeded MLlib Word2Vec fit on the c3 chunk
-    * corpus — the production move every retrieval deployment makes
-    * when the hashing-trick stand-in is replaced by a learned model.
-    * Fit once per (session, dir) via the registry; determinism is
-    * pinned the m3/m7 way: the training sentences are repartition(1) +
-    * in-partition (doc_id, chunk_idx) sorted + persisted before the
-    * fit, and the fit runs single-partition with a fixed seed, so
-    * vocabulary order and the SGD stream are content-deterministic and
-    * the fitted vectors (and the s23 golden top-k) reproduce across
-    * hosts and input layouts. The m7 BLAS caveat applies identically
-    * (MLlib's axpy rides netlib; a native-BLAS host could drift a low
-    * bit — the spec pins in-session refit equality so such a failure
-    * is diagnosable as fit nondeterminism, not serving plumbing).
-    * minCount 2 (not the default 5): the sf0.001 corpus is small and a
-    * tiny vocabulary would zero out most chunk embeddings. */
-  private val w2vReg =
-    new graft.core.Registry[org.apache.spark.ml.feature.Word2VecModel](_ => ())
-
-  /** The raw fit — exposed (bypassing the registry cache) so the spec
-    * can pin in-session refit determinism: two fits over the same
-    * content must produce identical vectors. */
-  private[graft] def fitLearnedEmbedder(
-      s: SparkSession, dir: String): org.apache.spark.ml.feature.Word2VecModel = {
-    val sents = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-      .select(col("doc_id"), col("chunk_idx"),
-        split(col("chunk_text"), " ").as("toks"))
-      .repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sents.count()
-    try {
-      new org.apache.spark.ml.feature.Word2Vec()
-        .setInputCol("toks").setOutputCol("we")
-        .setVectorSize(dims).setSeed(42L)
-        .setNumPartitions(1).setMaxIter(1).setMinCount(2)
-        .fit(sents)
-    } finally sents.unpersist(false)
-  }
-
-  private[operators] def learnedEmbedder(
-      s: SparkSession, dir: String): org.apache.spark.ml.feature.Word2VecModel =
-    w2vReg.getOrCompute(s, dir)(fitLearnedEmbedder(s, dir))
-
-  /** The learned-metric RETRIEVAL INDEX — [[encodeChunks]]'s exact
-    * shape (embed → norm-filter → bucket under the committed plane
-    * geometry) with the Word2Vec transform in the embedder slot,
-    * persisted per (session, dir). Everything downstream — the bucket
-    * probe, [[retrieveTopK]], provenance — is UNTOUCHED: the point of
-    * the gate is that the serving stack is embedder-agnostic in code,
-    * not prose. Zero-norm chunks (every token OOV) are excluded at
-    * build time like the hash path's sign-cancelled ones. */
-  private val learnedIdxReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[graft] def learnedIndex(s: SparkSession, dir: String): DataFrame =
-    learnedIdxReg.getOrCompute(s, dir) {
-      val m = learnedEmbedder(s, dir)
-      val df = m.transform(
-          TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-            .withColumn("toks", split(col("chunk_text"), " ")))
-        .withColumn("ce",
-          org.apache.spark.ml.functions.vector_to_array(col("we")))
-        .withColumn("cn", normD(col("ce")))
-        .filter(col("cn") > 0)
-        .withColumn("bkt", bucketOf(col("ce"), planes))
-        .select(col("doc_id"), col("chunk_idx"), col("source"),
-          col("quality_score"), col("chunk_text"), col("ce"), col("cn"),
-          col("bkt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** The s10 query window through the LEARNED embedder — same
-    * [[queryTokenArray]] recipe, same norm filter; only the embedder
-    * differs from [[s10QueryFrame]]. */
-  private[graft] def s23QueryFrame(s: SparkSession, dir: String): DataFrame =
-    learnedEmbedder(s, dir).transform(
-        t(s, dir, "documents").filter(col("doc_id") < s10QueryDocs)
-          .select(col("doc_id").as("qid"), queryTokenArray.as("toks")))
-      .withColumn("qe",
-        org.apache.spark.ml.functions.vector_to_array(col("we")))
-      .withColumn("qn", normD(col("qe")))
-      .filter(col("qn") > 0)
-      .select(col("qid"), col("qe"), col("qn"))
-
-  /** S23: LEARNED-EMBEDDING RETRIEVAL SERVING — the s10 serving path
-    * with a TRAINED embedder in the swap slot: fit (once, registry) →
-    * index under the same committed plane geometry → the SAME
-    * [[retrieveTopK]] multi-probe + exact-rerank join. Gated the
-    * m7/u14 way: fitted vectors aren't SQL-recomputable, but the fit
-    * is content-deterministic (see [[learnedEmbedder]]), so the
-    * BOUNDED per-qid top-k id frame (8 qids × 5 ranks) is a stable
-    * golden pinned per scale as VALUES and dispatched on the
-    * (n_docs, n_pos) key DuckDB recomputes through the m6 chain.
-    * Ranks only — cosines under trained vectors stay engine-side;
-    * recall vs the exact twin under the learned metric and in-session
-    * refit determinism live in SimilaritySpec.
-    * Scale shape: identical to s10 (the entire point) — corpus side
-    * never reshuffles per batch, broadcast probes, flat occupancy
-    * under planesFor; the fit itself is the one new cost, paid once
-    * per corpus snapshot like any index build. */
-  val s23LearnedEmbed: Q = (s, dir) =>
-    retrieveTopK(s23QueryFrame(s, dir), learnedIndex(s, dir), planes, s10K)
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"))
-      .crossJoin(broadcast(
-        graft.queries.MlQueries.goldenDispatchKey(s, dir)))
-      .select(col("n_docs"), col("n_pos"), col("qid"), col("rk"),
-        col("doc_id"), col("chunk_idx"))
-      .orderBy("qid", "rk")
-
-  /** The s23 learned-dense serving top-k as a fusion leg — the
-    * [[s10DenseLeg]] shape with the TRAINED embedder's index/query
-    * frames in the dense slot; shared by [[s28LearnedHybrid]] and its
-    * spec (which recomputes the fusion from this leg's own output). */
-  private[operators] def s23DenseLeg(s: SparkSession,
-                                     dir: String): DataFrame =
-    retrieveTopK(s23QueryFrame(s, dir), learnedIndex(s, dir), planes,
-      s10K)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"),
-        col("rk").as("dense_rk"))
-
-  /** S28: LEARNED-DENSE + BM25 HYBRID (round-15 verdict item 2) — the
-    * full production retrieval stack with the TRAINED embedder: s19's
-    * RRF fusion with s23's learned index/query frames in the dense
-    * slot and the unchanged BM25 sparse leg (s17). One variable vs
-    * each neighbor gate: vs s19, the dense leg's embedder (hashing
-    * trick → trained Word2Vec); vs s23, the fusion added — so the
-    * embedder-agnostic claim now covers the COMPOSED stack, not just
-    * the dense serving path. Oracle = the s23 golden-dispatch pattern:
-    * fusion is pure rank arithmetic over two deterministic legs
-    * (dense ranks content-deterministic per [[learnedEmbedder]],
-    * sparse ranks integer-exact), so the bounded per-qid fused top-k
-    * — WITH each leg's contributing rank, nulls where a leg missed —
-    * is a stable golden pinned per scale and dispatched on the
-    * (n_docs, n_pos) key; the rrf double stays engine-side (derivable
-    * from the pinned ranks; the spec recomputes it). Scale shape: both
-    * legs are the already-measured serving paths; fusion joins two
-    * batch×[[s10K]]-row frames — corpus-independent. */
-  val s28LearnedHybrid: Q = (s, dir) =>
-    rrfFuse(s23DenseLeg(s, dir),
-      s17Bm25(s, dir)
-        .select(col("qid"), col("doc_id"), col("chunk_idx"),
-          col("rk").as("sparse_rk")))
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("dense_rk"), col("sparse_rk"))
-      .crossJoin(broadcast(
-        graft.queries.MlQueries.goldenDispatchKey(s, dir)))
-      .select(col("n_docs"), col("n_pos"), col("qid"), col("rk"),
-        col("doc_id"), col("chunk_idx"), col("dense_rk"),
-        col("sparse_rk"))
-      .orderBy("qid", "rk")
-
-  /** Metadata floor of the s22 filtered-retrieval gate (chunk
-    * quality_score ≥ this; the c1 floor is 0.5, so the index retains a
-    * real spread above it — τ=0.6 keeps ~80% of chunks at sf0.01).
-    * Exact-double threshold compares are the proven c1-floor pattern:
-    * both engines compute quality_score by the same fold, so the
-    * comparison is bit-identical. */
-  private[operators] val s22QualityFloor = 0.6
-
-  /** S22: FILTERED RETRIEVAL — metadata-constrained ANN serving, the
-    * standard production "filtered vector search" (retrieve only
-    * chunks whose quality clears a floor / whose metadata matches the
-    * request). PRE-filter semantics: the predicate restricts the
-    * CANDIDATE set before ranking, so every returned rank is the best
-    * of the allowed domain and k slots fill whenever the filtered
-    * domain has k probed candidates — post-filtering a generic top-k
-    * would silently return < k and leak excluded-domain ranks. The
-    * filter composes with the serving join as a map-side predicate on
-    * the persisted index scan (no new shuffle, no rebuild — the same
-    * artifact serves filtered and unfiltered queries; a deployment
-    * with a STABLE filter taxonomy would partition the store by the
-    * filter column instead, the s21 layout argument). Oracle = the
-    * s10 serving SQL with the same predicate in its index CTE — the
-    * predicate is the ONLY diff from s10Sql, the one-variable gate
-    * pattern (s20's mask-literal relationship, replayed on the
-    * metadata dimension). */
-  val s22FilteredRetrieve: Q = (s, dir) =>
-    retrieveTopK(s10QueryFrame(s, dir),
-      retrievalIndex(s, dir)
-        .filter(col("quality_score") >= s22QualityFloor),
-      planes, s10K)
-
-  /** Quality-band count of the s25 banded store layout (fixed-width
-    * over [0,1], the prof3/u13 deterministic-edges argument) and the
-    * band the s22 floor lands in. Monotonicity makes band pruning
-    * SAFE: for any double x ≥ double(0.6), x·10 ≥ double(0.6)·10 = 6.0
-    * (IEEE multiplication is monotone), so every row passing the s22
-    * predicate lives in a band ≥ [[s25FloorBand]] partition; the exact
-    * predicate is re-applied as a residual filter on the pruned scan
-    * (a band-6 row just BELOW the floor — possible when x·10 rounds up
-    * across the boundary — is pruned there), so the result is
-    * bit-identical to s22's unpartitioned filter. */
-  private[operators] val s25Bands = 10
-  // capped at the top band like withQband's least(): a floor retune to
-  // 1.0 must prune to band 9 (which holds qs ∈ [0.9, 1.0]), not to an
-  // empty band range
-  private[operators] val s25FloorBand =
-    math.min(math.floor(s22QualityFloor * s25Bands).toInt, s25Bands - 1)
-
-  private def withQband(df: DataFrame): DataFrame =
-    df.withColumn("qband",
-      least(floor(col("quality_score") * s25Bands), lit(s25Bands - 1))
-        .cast("int"))
-
-  /** S25: BANDED STORE LAYOUT (round-13 verdict item 6) — s22's
-    * metadata filter pushed into the s21 on-disk store layout: a
-    * deployment with a STABLE filter taxonomy partitions the store by
-    * (bkt, quality_band) so filtered serving PARTITION-PRUNES the
-    * excluded bands instead of map-filtering every row of the probed
-    * buckets — at 100 TB with τ=0.6 that is ~20% of bytes never
-    * listed, opened, or scanned (the exact trade s22's scaladoc
-    * names). The gated query writes the full index under the banded
-    * layout (one repartition-routed write, one file per (bkt, band)),
-    * then serves the s10 query window with the filter split into the
-    * pruning predicate (qband ≥ [[s25FloorBand]]) plus the exact
-    * residual (quality_score ≥ τ — see [[s25FloorBand]] for why the
-    * pair is lossless). Oracle = [[s22Sql]] VERBATIM: the layout must
-    * be invisible to results — only the plan changes (SimilaritySpec
-    * pins row-identity with s22 and the pruned scan shape).
-    * Scale shape: serving is s10's (corpus side never reshuffles;
-    * broadcast probes → BHJ with dynamic bucket pruning), with the
-    * band dimension pruned STATICALLY at the scan — both partition
-    * columns filter before a byte is read. */
-  val s25BandedStore: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s25") { store =>
-      writeStore(withQband(retrievalIndex(s, dir)), store,
-        Seq("bkt", "qband"))
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-      .filter(col("qband") >= lit(s25FloorBand) &&
-        col("quality_score") >= s22QualityFloor)
-    retrieveTopK(s10QueryFrame(s, dir), idx, planes, s10K)
-  }
-
-  /** S29: RE-BUCKET OF THE BANDED STORE — the two lifecycle dimensions
-    * the round-16 gates exercise separately, composed: a deployment
-    * running s25's (bkt, qband) layout fires prof8's re-bucket trigger,
-    * so the offline rebuild must re-encode the corpus under planes+1
-    * AND carry the metadata bands through the swap — the bucket
-    * keyspace doubles while the band dimension is untouched, and a
-    * pruned reader must see old or new layout atomically on BOTH
-    * partition columns (exactly [[graft.sources.Sinks
-    * .rewritePartitioned]]'s contract). Serving is s25's shape under
-    * the new geometry: static qband pruning + dynamic bucket pruning +
-    * the exact residual, through the SAME [[retrieveTopK]] with
-    * [[s26Planes]] on both sides. Two variables vs neighbors, each
-    * already gated alone: vs s26, the banded layout + filter (s22/s25's
-    * dimension); vs s25, the plane count (s26's dimension) — so the
-    * oracle is the SAME parameterized generator with both dials set:
-    * s10SqlFor(window, masks(radius 1, 7 planes), quality ≥ τ,
-    * 7 planes), fully relational, no goldens. Scale shape: one staged
-    * re-encode write + one swap per trigger firing (the s26 cost), and
-    * serving returns to target occupancy with ~20% of store bytes
-    * still never listed at τ=0.6 (the s25 trade) — the composition
-    * keeps both properties because the layout carries both partition
-    * columns. */
-  val s29BandedRebucket: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s29") { store =>
-      // the banded store a deployment serves under the committed
-      // geometry (what its pruned readers hold when the trigger fires)
-      writeStore(withQband(retrievalIndex(s, dir)), store,
-        Seq("bkt", "qband"))
-      // the re-bucket ACTION on the banded layout: geometry and
-      // directory keyspace change together, bands carry over — one
-      // staged rewrite, one atomic swap
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        withQband(rebucketIndex(s, dir)), Seq("bkt", "qband"))
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-      .filter(col("qband") >= lit(s25FloorBand) &&
-        col("quality_score") >= s22QualityFloor)
-    retrieveTopK(s10QueryFrame(s, dir), idx, s26Planes, s10K)
-  }
-
-  /** S30: PUBLISHED-VERSION DIFF — the audit that closes the versioned
-    * store lineage: every lifecycle gate now publishes snapshots with
-    * {current, previous} retention, and this operator READS that
-    * window — per document, the chunk-count delta between the two
-    * published versions, labeled added/removed. This is the "what
-    * changed between yesterday's index and today's" report a serving
-    * team publishes with every swap (and the tripwire when a fold
-    * silently drops or duplicates a slice: the diff must equal the
-    * arrival minus the tombstones, nothing else). The replayed
-    * lineage: previous = the index before the d11 arrival slice
-    * landed; current = the full index after the fold AND the s24
-    * tombstone maintenance — so the diff carries BOTH directions
-    * (arrivals 'added', tombstoned docs 'removed', and a doc in both
-    * sets appears only under its net effect). The two logical versions
-    * are MATERIALIZED under ONE published snapshot (prev/ + curr/
-    * subtrees): holding two real published versions would consume the
-    * entire {current, previous} vacuum window in a single invocation,
-    * so one later rebuild would retire the prev side under a live lazy
-    * reader (round-17 review finding) — staged under one version, the
-    * diff's own readers keep the standard survive-one-rebuild
-    * retention contract every other gate's frames enjoy. Oracle:
-    * per-doc chunk counts of the SERVED index chain (the cidx CTE —
-    * post cn>0, see [[s30Sql]]'s pinned-contract note) with the two
-    * modular predicates — the diff is fully relational, the store is
-    * the physical path.
-    * Scale shape: each side is one doc-keyed count over its snapshot
-    * (partial-aggregated map-side), then a full-outer join of two
-    * doc-level count frames — O(docs), not O(chunks), and orders of
-    * magnitude under the corpus; on a batch-partitioned lineage
-    * (d17's) the added side is readable from the delta partitions
-    * alone — this operator is the GENERAL differ for post-fold
-    * snapshots where the batch dimension has been compacted away. */
-  val s30VersionDiff: Q = (s, dir) => {
-    val idx = retrievalIndex(s, dir)
-    val arriving = pmod(col("doc_id"), lit(Dedup.d11Mod)) ===
-      lit(Dedup.d11Res)
-    val tombstoned = pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes)
-    val store = buildStoreVersion(s, dir, "s30") { st =>
-      writeStore(idx.filter(!arriving), s"$st/prev", Seq("bkt"))
-      writeStore(idx.filter(!tombstoned), s"$st/curr", Seq("bkt"))
-    }._1
-    val np = s.read.parquet(s"$store/prev")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_prev"))
-    val nc = s.read.parquet(s"$store/curr")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_curr"))
-    np.join(nc, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
-        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
-      .filter(col("n_prev") =!= col("n_curr"))
-      .withColumn("change",
-        when(col("n_prev") === 0, "added").otherwise("removed"))
-      .orderBy("doc_id")
-  }
-
-  /** S20: MULTI-PROBE LSH SERVING — the recall dial on [[s10Retrieve]]
-    * (the s14-on-s13 relationship, replayed on the LSH index): the
-    * SAME query window, index artifact, and rerank, with the probe set
-    * widened from hamming-1 to hamming-2 ([[probeMasks]] radius 2 — 22
-    * buckets at the committed 6-plane geometry vs s10's 7). The two
-    * gates isolate exactly one variable — the probe radius — so their
-    * diff IS the dial's recall/cost trade: candidate volume grows by
-    * the probed-bucket ratio (≈(1+p+p(p-1)/2)/(1+p), ~3.1× at p=6)
-    * while the per-rank cosine list dominates s10's elementwise (a
-    * superset candidate pool can only improve the exact-reranked
-    * top-k — SimilaritySpec pins both properties, plus measured recall
-    * vs the exact twin for the two radii).
-    *
-    * Scale shape: identical to s10 — the corpus side never reshuffles
-    * (broadcast of batch×22 probe rows into the persisted bucket-keyed
-    * artifact); per-query cost stays corpus-size-invariant under
-    * [[planesFor]] occupancy, just with the 3.1× constant. Production
-    * picks the radius per query class (head queries radius 2, tail
-    * radius 1) — the dial is a literal, not a rebuild: BOTH radii
-    * serve the SAME artifact. */
-  val s20MultiprobeLsh: Q = (s, dir) =>
-    retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir),
-      planes, s10K, radius = 2)
-
-  /** Base-corpus slice of the s15 index-refresh gate (doc domain;
-    * d11's modular-slice rationale — a modular cut puts semantically
-    * real chunks in the arriving batch, unlike an id range). */
-  private[operators] val s15Mod = 5L
-  private[operators] val s15Res = 2L
-
-  /** Retrieval index over the BASE doc slice only — the artifact a
-    * serving deployment holds BEFORE the batch lands; persisted per
-    * (session, dir) with the [[retrievalIndex]] lifecycle. */
-  private val baseIdxReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def baseRetrievalIndex(s: SparkSession,
-                                            dir: String): DataFrame =
-    baseIdxReg.getOrCompute(s, dir) {
-      val df = encodeChunks(
-        TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-          .filter(pmod(col("doc_id"), lit(s15Mod)) =!= lit(s15Res)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** The ARRIVING BATCH's chunks through the encode, LAZY by measured
-    * choice: the chain from the documents scan through c3's curation ∩
-    * chunking to [[encodeChunks]] is narrow in doc_id, so every
-    * consumer's doc_id restriction PUSHES DOWN to the parquet scan —
-    * s21's three sub-batch appends each run a 1/15-of-corpus pipeline,
-    * summing to ONE batch encode of work. A persisted variant (the
-    * [[batchPostings]] registry pattern) was tried and MEASURED SLOWER
-    * end-to-end (s21 sf1 steady 11.2 s lazy vs 16-20 s persisted;
-    * sf0.1 6.4 s vs 6.9-7.3 s): materialize + cache-read-back of the
-    * wide (chunk_text, ce[64]) rows costs more than the pushed-down
-    * recompute, and the cache competes with the serving artifacts for
-    * storage memory. Don't "fix" this back without re-measuring both
-    * scales. */
-  private def encodedBatch(s: SparkSession, dir: String): DataFrame =
-    encodeChunks(
-      TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res)))
-
-  /** The refreshed index: fold the arriving batch's chunks into the
-    * persisted base index. LSH buckets don't drift with the corpus the
-    * way centroids do (the plane geometry is literal, the embedding is
-    * corpus-independent), so — unlike the s11 centroid fold — refresh
-    * is a PURE per-row encode + append: no base row is touched, no
-    * statistic recomputed, and the result is row-identical to a full
-    * rebuild (SimilaritySpec asserts set equality). Production appends
-    * the encoded batch to the bucket-partitioned artifact; the
-    * re-bucketing trigger is planesFor(n_chunks) crossing a power of
-    * two — the cadence contract in BASELINE.md pairs this with s11's. */
-  private[graft] def refreshedIndex(s: SparkSession, dir: String): DataFrame =
-    baseRetrievalIndex(s, dir).unionByName(encodedBatch(s, dir))
-
-  /** Query frame of the s15 gate: the NEXT [[s10QueryDocs]] corpus-
-    * prefix queries (doc_id in [8, 16)) — disjoint from s10's so the
-    * two gated entries exercise different probes; same [[queryFrame]]
-    * recipe. */
-  private[graft] def s15QueryFrame(s: SparkSession, dir: String): DataFrame =
-    queryFrame(s, dir,
-      col("doc_id") >= s10QueryDocs && col("doc_id") < 2 * s10QueryDocs)
-
-  /** S15: INCREMENTAL RETRIEVAL-INDEX REFRESH (round-12 verdict item
-    * 4) — the operational leg s10 names: accept a batch of new
-    * documents, fold their chunks into the persisted bucket-keyed
-    * index WITHOUT a rebuild, and serve from the refreshed index. The
-    * gated query serves the [8,16) query set through
-    * [[refreshedIndex]]; its oracle is the full-corpus serving SQL
-    * (the refreshed index ≡ full rebuild — the equality the spec pins
-    * row-for-row), so the gate verifies the fold-in path end-to-end.
-    * Scale shape: the fold costs O(batch) encode (map-only) + the
-    * union read; the base artifact never reshuffles. */
-  val s15IndexRefresh: Q = (s, dir) =>
-    retrieveTopK(s15QueryFrame(s, dir), refreshedIndex(s, dir),
-      planes, s10K)
-
-  /** Root dir of a gated lifecycle store — pid-keyed (the i1 store
-    * pattern; TmpHygiene reclaims dead-pid copies), one root per `tag`
-    * (s21 compaction, s24 delete fold, prof9 store profile, …) so the
-    * lifecycle gates never collide on a path. Store VERSIONS live
-    * under the root — see [[buildStoreVersion]]. */
-  private def storeRoot(s: SparkSession, dir: String, tag: String): String =
-    graft.core.StoreFs.base(s) +
-      s"/graft-$tag-store-${graft.core.Tables.sourceFingerprint(s"$dir/documents.parquet")}" +
-      s"-p${ProcessHandle.current.pid}"
-
-  /** Monotone per-root version counters (JVM-wide: store content is a
-    * pure function of the source dir, so versions are interchangeable
-    * across sessions of one JVM). `alloc` hands out build targets;
-    * `published` trails it and only advances when a build SUCCEEDS, so
-    * [[idxStore]] never resolves to a half-built or failed version. */
-  private val storeAlloc = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicLong]()
-  private val storePublished = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.atomic.AtomicLong]()
-
-  private def counter(m: java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.atomic.AtomicLong], root: String) =
-    m.computeIfAbsent(root,
-      _ => new java.util.concurrent.atomic.AtomicLong(0L))
-
-  /** CURRENT version path of a gated lifecycle store — the one the
-    * gate most recently finished building in this JVM (the serving
-    * reads and the store-inspecting specs resolve through this). */
-  private[operators] def idxStore(s: SparkSession, dir: String,
-                                  tag: String): String = {
-    val root = storeRoot(s, dir, tag)
-    s"$root/v${counter(storePublished, root).get()}/idx"
-  }
-
-  private[operators] def s21Store(s: SparkSession, dir: String): String =
-    idxStore(s, dir, "s21")
-
-  /** Build a FRESH VERSION of a gated lifecycle store and return
-    * (path, build result) — SNAPSHOT ISOLATION for the lifecycle
-    * gates (round-15 advice: a wipe-in-place protocol let a later
-    * invocation delete the store a prior caller's LAZY serving frame
-    * was still scanning). Each invocation writes `$root/v<n>/idx` for
-    * a fresh monotone n, so a returned frame reads its own immutable
-    * version UNTIL VACUUM RETIRES IT; retention keeps {current,
-    * previous published} — the Delta/Iceberg vacuum-retention
-    * contract: a reader is safe while at most one newer rebuild has
-    * completed (a frame held across TWO completed rebuilds is outside
-    * the retention window and fails like any vacuumed Delta reader),
-    * and the on-disk footprint is bounded at two versions per store.
-    * Builds of the SAME root serialize on the per-store monitor
-    * (concurrent identical rebuilds would only burn CPU — content is
-    * a pure function of the source dir). */
-  private[operators] def buildStoreVersion[T](s: SparkSession, dir: String,
-                                   tag: String)
-                                  (build: String => T): (String, T) = {
-    val root = storeRoot(s, dir, tag)
-    withStoreLifecycle(root) {
-      val v = counter(storeAlloc, root).incrementAndGet()
-      val store = s"$root/v$v/idx"
-      // pre-wipe the allocated dir: pid recycling across JVM restarts
-      // can revisit a killed run's version numbers (the replay-sink
-      // rationale), and writeStore's base write is ErrorIfExists
-      graft.core.StoreFs.deleteQuietly(s, s"$root/v$v")
-      val out = build(store)
-      val prevPub = counter(storePublished, root)
-        .getAndAccumulate(v, math.max(_, _))
-      // vacuum: keep {v, previous PUBLISHED} — retention must be keyed
-      // on published versions, not allocation numbers, or a failed
-      // build in between would shift the window onto the version a
-      // live reader still holds; everything else (older published,
-      // failed partials) is retired
-      graft.core.StoreFs.listNames(s, root)
-        .filter { name =>
-          name.startsWith("v") &&
-            name.drop(1).toLongOption
-              .exists(n => n != v && n != prevPub)
-        }
-        .foreach(n => graft.core.StoreFs.deleteQuietly(s, s"$root/$n"))
-      (store, out)
-    }
-  }
-
-  /** THE store write discipline (one definition for every lifecycle
-    * gate): repartition on the partition columns routes each value's
-    * rows to a single task, so every write lands exactly one file per
-    * touched partition dir — the fold cadence prof9 counts and s21
-    * compacts. The in-partition (doc_id, chunk_idx) sort makes each
-    * file's ROW ORDER content-deterministic (shuffle fetch order is
-    * not), so for a fixed Spark/parquet/codec version the written
-    * BYTES reproduce run-to-run — the property prof9's size readout
-    * gates on (and a generally good one: stable encodings, stable
-    * min/max stats). `append` = the fold writes; false = the base
-    * snapshot. `dynamicOverwrite` = the STREAMING fold writes (d17's
-    * tick): overwrite ONLY the partitions this frame touches — with a
-    * batch partition column that is exactly the write's own batch=<id>
-    * dirs, so an at-least-once foreachBatch retry REWRITES its own
-    * partitions instead of appending duplicates (the idempotent
-    * batch-subdir rule, expressed through the store writer). */
-  private[operators] def writeStore(df: DataFrame, store: String,
-                         partCols: Seq[String],
-                         append: Boolean = false,
-                         dynamicOverwrite: Boolean = false,
-                         rowKeyCols: Seq[String] = Seq("doc_id", "chunk_idx"))
-      : Unit = {
-    require(!(append && dynamicOverwrite),
-      "append and dynamicOverwrite are different fold disciplines")
-    // rowKeyCols parameterized (round-17 review): non-chunk stores
-    // (ZOrder's event layout) ride the same discipline with their own
-    // in-partition row key instead of forking the writer
-    val sortCols = (partCols ++ rowKeyCols).map(col)
-    val w = df.repartition(partCols.map(col): _*)
-      .sortWithinPartitions(sortCols: _*).write
-      // pin the writer knobs the prof9 byte goldens depend on (round-16
-      // advice): codec and row-group size are otherwise AMBIENT defaults
-      // (spark.sql.parquet.compression.codec / parquet.block.size), so a
-      // config drift would move every store's bytes at once — pinned
-      // here, the golden's environment surface is the code plus the
-      // Spark/parquet library version (the documented re-harvest axis).
-      // Values = today's defaults, so committed goldens stay valid.
-      .option("compression", "snappy")
-      .option("parquet.block.size", (128L * 1024 * 1024).toString)
-    val modal =
-      if (dynamicOverwrite)
-        w.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-      else if (append) w.mode(org.apache.spark.sql.SaveMode.Append)
-      else w
-    modal.partitionBy(partCols: _*).parquet(store)
-  }
-
-  /** The arriving batch of the s15 fold, split into `parts` sub-batches
-    * (modular cut on doc_id — deterministic, roughly even): the append
-    * cadence that fragments the on-disk index s21 compacts. Slices of
-    * the LAZY [[encodedBatch]] — the slice filter pushes down to the
-    * scan, so the three appends sum to one batch encode of work (the
-    * measured trade-off documented there). */
-  private[operators] def s15BatchSlices(s: SparkSession, dir: String,
-                                        parts: Long): Seq[DataFrame] = {
-    val batch = encodedBatch(s, dir)
-    (0L until parts).map(r =>
-      batch.filter(pmod(col("doc_id"), lit(parts)) === lit(r)))
-  }
-
-  /** S21: RETRIEVAL-INDEX COMPACTION — the maintenance leg the s15 fold
-    * cadence creates: each accepted batch APPENDS one-plus small files
-    * to every touched `bkt=v` directory of the on-disk bucket-
-    * partitioned index, so after N folds a probed bucket reads N files
-    * (at 100 TB: a file-listing + task-launch storm on every query
-    * batch). The gated query replays the whole lifecycle — snapshot
-    * write of the base index partitioned by bucket, three batch
-    * appends (the fragmentation), [[graft.sources.Sinks
-    * .compactPartitioned]] (one file per bucket, directory layout
-    * preserved, rename-aside swap), then serves the s15 query window
-    * FROM THE COMPACTED STORE. Oracle = [[s15Sql]] verbatim: compaction
-    * must be invisible to serving (row-identical to the refreshed
-    * in-memory index ≡ full rebuild), which the spec pins alongside the
-    * one-file-per-bucket layout. Cadence contract: BASELINE.md pairs
-    * this with s15's fold (compact when files-per-bucket crosses the
-    * read-amplification budget; the swap is partition-pruned-reader
-    * safe because the layout never changes). Partition-column type
-    * note: `bkt` round-trips through the directory name as an int —
-    * cast back to long before the serving join so both gates join in
-    * one keyspace. */
-  val s21IndexCompaction: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s21") { store =>
-      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-      // one file per touched bucket per fold (the writeStore
-      // discipline) — fragmentation is still linear in folds (base +
-      // 3 appends = up to 4 files/bucket), which the compaction erases
-      s15BatchSlices(s, dir, parts = 3L).foreach(
-        writeStore(_, store, Seq("bkt"), append = true))
-      graft.sources.Sinks.compactPartitioned(s, store, "bkt")
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
-  }
-
-  /** Tombstone doc rule of the s24 delete gate: doc_id ≡ [[s24DelRes]]
-    * (mod [[s24DelMod]]) — a modular cut (the d11 slice rationale)
-    * that hits BOTH the base snapshot and the appended batch, so the
-    * fold is exercised against rows in old and new files alike
-    * (~1/9 of docs retro-dropped, the curation-revocation story). */
-  private[operators] val s24DelMod = 9L
-  private[operators] val s24DelRes = 4L
-
-  /** The DELETE SET as it arrives in production — doc ids a curation
-    * gate retro-dropped, metadata-scale by contract (broadcast). */
-  private[operators] def s24Tombstones(s: SparkSession,
-                                       dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"))
-      .filter(pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes))
-
-  /** Delete-aware serving while tombstones are PENDING (serve-through):
-    * broadcast anti-join on the delete key upstream of the probe join —
-    * a map-side filter on the index scan, no new shuffle, no store
-    * rewrite. This is what every query batch runs between a delete
-    * landing and the next compaction folding it; SimilaritySpec pins
-    * serve-through ≡ serve-over-the-folded-store row-for-row. */
-  private[graft] def serveThroughTombstones(q: DataFrame, idx: DataFrame,
-                                            tomb: DataFrame,
-                                            keyCols: Seq[String]): DataFrame =
-    retrieveTopK(q,
-      graft.sources.Sinks.antiJoinTombstones(idx, tomb, keyCols),
-      planes, s10K)
-
-  /** S24: INDEX DELETE / TOMBSTONE FOLD (round-13 verdict item 2) —
-    * the delete leg that completes the store lifecycle s15/s21 opened:
-    * append-only index stores can't rewrite a file per revoked doc, so
-    * deletes land as TOMBSTONES (a metadata-scale doc-id set) and are
-    * FOLDED — physically removed — at the compaction cadence the store
-    * already pays for ([[graft.sources.Sinks.compactPartitioned]]'s
-    * tombstone parameter). The gated query replays the lifecycle:
-    * snapshot write of the base index (partitioned by bucket), one
-    * batch append (the s15 fold), the [[s24Tombstones]] delete set
-    * folded at compaction, then serves the s15 query window from the
-    * folded store. Oracle = the s15 serving SQL with the delete rule
-    * excluded in the index CTE (the s22 one-variable pattern: the
-    * predicate is the ONLY diff), so the gate verifies
-    * fold ≡ rebuild-minus-deleted end-to-end; the serve-THROUGH twin
-    * ([[serveThroughTombstones]], what queries run before the fold) is
-    * spec-pinned equal. Scale shape: the anti-join broadcasts the
-    * delete set (map-side against the store scan inside the rewrite);
-    * compaction cost is the store rewrite already budgeted by the s21
-    * cadence — the delete itself adds no pass. */
-  val s24IndexDelete: Q = (s, dir) => {
-    val store = buildStoreVersion(s, dir, "s24") { store =>
-      writeStore(baseRetrievalIndex(s, dir), store, Seq("bkt"))
-      writeStore(encodedBatch(s, dir), store, Seq("bkt"), append = true)
-      graft.sources.Sinks.compactPartitioned(s, store, Seq("bkt"),
-        Some(s24Tombstones(s, dir)), Seq("doc_id"))
-    }._1
-    val idx = s.read.parquet(store)
-      .withColumn("bkt", col("bkt").cast("long"))
-    retrieveTopK(s15QueryFrame(s, dir), idx, planes, s10K)
-  }
-
-  /** RRF constant (Cormack et al.'s k=60 — the published default). */
-  private[operators] val rrfK = 60
-
-  /** The sparse-probe (qid, token) frame over a doc window — THE
-    * query-token recipe for every sparse leg (s16 TF-IDF, s17/s19
-    * BM25, s18's refresh window), one body so a probe-recipe change
-    * (e.g. lowercasing) cannot desynchronize the legs — the
-    * [[queryFrame]] rationale on the sparse side. Distinct tokens:
-    * a repeated query token must not double-count a posting. */
-  private def sparseQueryTokens(s: SparkSession, dir: String,
-                                docWindow: Column): DataFrame =
-    t(s, dir, "documents").filter(docWindow)
-      .select(col("doc_id").as("qid"),
-        explode(array_distinct(queryTokenArray)).as("token"))
-
-  /** The sparse (TF-IDF) top-k leg of [[s16HybridRrf]] — exposed so
-    * the spec can compute the dense∩sparse intersection independently
-    * of the fused output.
-    *
-    * Served off the ONE postings layout ([[rawPostingsFull]] +
-    * [[fullTokenStats]] + [[fullCorpusCounts]] — the refresh-friendly
-    * artifacts s17/s18 already serve from): idf6 =
-    * round(ln(n_chunks/df)·10⁶) INTEGER micro-nats is realized AT
-    * QUERY TIME on the broadcast query side (the [[bm25TopK]] qstats
-    * pattern — the per-(qid, token) frame absorbs df and N, so the
-    * corpus-sized postings artifact is touched exactly once, via the
-    * broadcast token join), not baked into a second corpus-sized
-    * artifact at build time. A dedicated idf6-baked postings table
-    * existed through round 13 and was DELETED (round-13 verdict item
-    * 5): it duplicated the raw postings row-for-row (8.7 s / 218 MB
-    * redundant build at sf1) and its baked statistic made it
-    * unmaintainable by the s18 fold. Arithmetic is unchanged — the
-    * same log over the same double-cast counts, one rounding per
-    * (token), then the exact integer sum Σ tf·idf6 — so the committed
-    * s16 oracle (which recomputes idf relationally) gates this layout
-    * verbatim. */
-  private[graft] def s16SparseLeg(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qtok = sparseQueryTokens(s, dir, col("doc_id") < s10QueryDocs)
-    val wS = Window.partitionBy("qid")
-      .orderBy(desc("ssc"), col("doc_id"), col("chunk_idx"))
-    val qidf = fullTokenStats(s, dir).join(broadcast(qtok), Seq("token"))
-      .crossJoin(broadcast(fullCorpusCounts(s, dir)))
-      .withColumn("idf6",
-        round(log(col("n_chunks").cast("double") / col("df")) * lit(1e6))
-          .cast("long"))
-      .select(col("qid"), col("token"), col("idf6"))
-    rawPostingsFull(s, dir).join(broadcast(qidf), Seq("token"))
-      .groupBy("qid", "doc_id", "chunk_idx")
-      .agg(sum(col("tf") * col("idf6")).as("ssc"))
-      .withColumn("sparse_rk", row_number().over(wS))
-      .filter(col("sparse_rk") <= s10K)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"), col("sparse_rk"))
-  }
-
-  /** S16: HYBRID RETRIEVAL WITH RRF (round-12 verdict item 5) — the
-    * standard production retrieval shape neither leg covers alone:
-    * the DENSE leg is s10's serving path (persisted bucket-keyed
-    * index, broadcast probes, exact rerank) and the SPARSE leg is a
-    * TF-IDF inverted-index probe of the [[rawPostingsFull]] artifact
-    * (t13's scoring domain at chunk granularity); reciprocal-rank
-    * fusion (Σ 1/(k+rank), k=[[rrfK]]) merges the two top-k lists.
-    * Fusion is pure rank arithmetic — the oracle recomputes it exactly
-    * — and surfaces results either leg alone would miss-rank: lexical
-    * matches the hash embedding cancels, semantic matches with no
-    * token overlap.
-    *
-    * Scale shape: dense leg unchanged from s10 (corpus never
-    * reshuffles per batch); sparse leg joins the postings artifact on
-    * TOKEN against a broadcast query-token frame (batch×≤12 rows) —
-    * candidate volume = Σ posting-list lengths of the query's tokens,
-    * the classic inverted-index bound; fusion joins two
-    * batch×[[s10K]]-row frames. Determinism: sparse scores are exact
-    * integer sums (see [[s16SparseLeg]]); RRF terms are the same two
-    * IEEE divisions + one add in both engines, rounded to 6 dp; all
-    * ranks tie-break (doc_id, chunk_idx). */
-  val s16HybridRrf: Q = (s, dir) =>
-    rrfFuse(s10DenseLeg(s, dir), s16SparseLeg(s, dir))
-
-  /** s10's serving top-k as a fusion leg — (qid, doc, chunk,
-    * dense_rk); shared by [[s16HybridRrf]] and [[s19HybridBm25]]. */
-  private[operators] def s10DenseLeg(s: SparkSession,
-                                     dir: String): DataFrame =
-    retrieveTopK(s10QueryFrame(s, dir), retrievalIndex(s, dir), planes,
-      s10K)
-      .select(col("qid"), col("doc_id"), col("chunk_idx"),
-        col("rk").as("dense_rk"))
-
-  /** Reciprocal-rank fusion of a dense and a sparse top-k leg —
-    * Σ 1/(k+rank) with an absent leg contributing 0, 6-dp
-    * rounded (the same two IEEE divisions + one add in both engines);
-    * fused rank ties break (doc_id, chunk_idx). Pure rank arithmetic
-    * over two batch×[[s10K]]-row frames — fusion cost is
-    * corpus-independent regardless of what the legs scored. The k
-    * constant defaults to the committed [[rrfK]] (both gates); it is a
-    * parameter because its VALUE is a sensitivity dial, not part of
-    * the fusion's contract — SimilaritySpec pins the k-invariant
-    * properties (both-leg survival, both-leg rank dominance, plain-
-    * Scala recompute) at k ∈ {10, 60, 240} so a retuned k cannot
-    * silently change fusion semantics. */
-  private[operators] def rrfFuse(dense: DataFrame, sparse: DataFrame,
-                                 k: Int = rrfK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wF = Window.partitionBy("qid")
-      .orderBy(desc("rrf"), col("doc_id"), col("chunk_idx"))
-    dense.join(sparse, Seq("qid", "doc_id", "chunk_idx"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(k) + col("dense_rk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(k) + col("sparse_rk")), lit(0.0)), 6))
-      .withColumn("rk", row_number().over(wF))
-      .filter(col("rk") <= s10K)
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("rrf"), col("dense_rk"), col("sparse_rk"))
-      .orderBy("qid", "rk")
-  }
-
-  /** BM25 parameters — Robertson's published defaults (k1 term-
-    * frequency saturation, b length normalization). */
-  private[operators] val bm25K1 = 1.2
-  private[operators] val bm25B = 0.75
-
-  /** RAW sparse postings over a chunk frame — (token, doc_id,
-    * chunk_idx, tf, len): per-chunk term frequencies plus the chunk's
-    * own token length, NO corpus statistic baked in. This is the
-    * refresh-friendly layout (s18): tf and len are pure per-chunk
-    * values, so folding a batch in is a pure APPEND, and the corpus
-    * statistics BM25 needs (df per token, N, avgdl) live in a separate
-    * additive stats frame ([[tokenStats]]) merged by +. Baking a
-    * statistic (idf) into the postings rows was tried and deleted:
-    * fine for a frozen gate, wrong shape for incremental maintenance,
-    * and a redundant corpus-sized build — every sparse leg (s16 TF-IDF
-    * included) now realizes its statistic query-side off this ONE
-    * layout. */
-  private[operators] def rawPostings(chunks: DataFrame): DataFrame =
-    chunks
-      // one split per chunk: the alias is computed in the Project the
-      // Generate sits on, so len and the explode share the array
-      // instead of re-running the regex over the corpus twice
-      .withColumn("toks", split(col("chunk_text"), " "))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("toks")).as("len"),
-        explode(col("toks")).as("token"))
-      .groupBy("token", "doc_id", "chunk_idx", "len")
-      .agg(count(lit(1)).as("tf"))
-
-  /** ADDITIVE per-token corpus statistics of a postings frame:
-    * (token, df). df is a plain count of chunks containing the token,
-    * so base + batch MERGE by sum — the property that makes the
-    * sparse index incrementally maintainable where centroids (s11)
-    * need the weighted-fold rule. */
-  private def tokenStats(post: DataFrame): DataFrame =
-    post.groupBy("token").agg(count(lit(1)).as("df"))
-
-  /** ADDITIVE corpus-population counters of a postings frame — ONE row
-    * (n_chunks, len_sum), both plain sums over disjoint chunk sets, so
-    * base + batch merge by +. avgdl is NOT stored: it is the realized
-    * quotient round(len_sum/n_chunks, 6) at query time — storing the
-    * quotient would break additivity (the s18 contract). */
-  private def corpusCounts(post: DataFrame): DataFrame =
-    post.select(col("doc_id"), col("chunk_idx"), col("len")).distinct()
-      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("len_sum"))
-
-  /** BM25 top-k serving over (postings, token stats, corpus counters):
-    * the QUERY side absorbs every corpus statistic first — the tiny
-    * (qid, token) frame joins the vocab-keyed stats (broadcast probe,
-    * stats never shuffle), crosses the one-row counters, and realizes
-    * idf and avgdl per query token — so each postings shard then
-    * needs ONE broadcast join: candidates = matched posting rows only,
-    * map-side up to the (qid, doc, chunk) aggregation whose input is
-    * Σ posting-list lengths of the query's tokens (the classic sparse-
-    * retrieval bound). Term weights are integer MICRO-UNITS
-    * (round(term·10⁶) as BIGINT — the s16 idf6 contract: one rounding
-    * exposure per (token, chunk), then an EXACT integer sum no
-    * partition order or engine can perturb); ranks tie-break
-    * (doc_id, chunk_idx), keep [[s10K]].
-    * Term: ln((N − df + 0.5)/(df + 0.5) + 1) · tf·(k1+1) /
-    * (tf + k1·(1 − b + b·len/avgdl)) — written with the same
-    * association in the oracle SQL. */
-  private def bm25TopK(qtok: DataFrame, shards: Seq[DataFrame],
-                       stats: DataFrame, counts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wS = Window.partitionBy("qid")
-      .orderBy(desc("bm25_6"), col("doc_id"), col("chunk_idx"))
-    val qstats = stats.join(broadcast(qtok), Seq("token"))
-      .crossJoin(broadcast(counts))
-      .withColumn("avgdl",
-        round(col("len_sum").cast("double") / col("n_chunks"), 6))
-      .withColumn("idf", log((col("n_chunks") - col("df") + lit(0.5))
-        / (col("df") + lit(0.5)) + lit(1.0)))
-      .select(col("qid"), col("token"), col("idf"), col("avgdl"))
-    val sat = (col("tf") * lit(bm25K1 + 1)) /
-      (col("tf") + lit(bm25K1) * (lit(1.0 - bm25B)
-        + lit(bm25B) * col("len") / col("avgdl")))
-    // Per-shard candidate aggregation: the postings artifacts are
-    // cached off a chunk-keyed build exchange, so grouping by
-    // (qid, doc, chunk) — a SUPERSET of that clustering — is
-    // exchange-free within a shard, and because shards hold DISJOINT
-    // (doc_id, chunk_idx) sets (the s18 fold precondition) the
-    // aggregation distributes over their union: aggregate each shard
-    // in place, union the scored groups. Only the group-limited
-    // per-qid top rows then cross an exchange for the rank window.
-    val scored = shards.map { post =>
-      post.join(broadcast(qstats), Seq("token"))
-        .withColumn("term6",
-          round(col("idf") * sat * lit(1e6)).cast("long"))
-        .groupBy("qid", "doc_id", "chunk_idx")
-        .agg(sum("term6").as("bm25_6"))
-    }.reduce(_.unionByName(_))
-    scored
-      .withColumn("rk", row_number().over(wS))
-      .filter(col("rk") <= s10K)
-      .select(col("qid"), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("bm25_6"))
-      .orderBy("qid", "rk")
-  }
-
-  /** Raw-postings artifact over the FULL chunk corpus — persisted per
-    * (session, dir); the inverted index s17 serves from and the
-    * rebuild-equivalence target of the s18 fold. */
-  private val rawPostReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def rawPostingsFull(s: SparkSession,
-                                         dir: String): DataFrame =
-    rawPostReg.getOrCompute(s, dir) {
-      val df = rawPostings(TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Full-corpus (token, df) stats artifact — persisted: the vocab-
-    * bounded counter frame is computed ONCE per corpus snapshot; a
-    * serving call must never re-shuffle the whole postings artifact
-    * for statistics it can read off a counter table. */
-  private val fullStatsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def fullTokenStats(s: SparkSession,
-                                        dir: String): DataFrame =
-    fullStatsReg.getOrCompute(s, dir) {
-      val df = tokenStats(rawPostingsFull(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Full-corpus one-row (n_chunks, len_sum) counters — persisted for
-    * the same reason as [[fullTokenStats]] (the distinct over the full
-    * postings artifact is a corpus-sized shuffle). */
-  private val fullCountsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def fullCorpusCounts(s: SparkSession,
-                                          dir: String): DataFrame =
-    fullCountsReg.getOrCompute(s, dir) {
-      val df = corpusCounts(rawPostingsFull(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** S17: BM25 SPARSE RANKING — the production-grade sparse leg
-    * (Robertson's Okapi BM25 with k1/b defaults) over the raw postings
-    * artifact: where s16's TF-IDF leg scores tf·idf linearly, BM25
-    * saturates term frequency (k1) and normalizes by chunk length
-    * (b·len/avgdl) — the ranking every production sparse retriever
-    * actually runs. Same query set as s10/s16 (corpus-prefix queries,
-    * doc_id < [[s10QueryDocs]]).
-    *
-    * Scale shape: the postings artifact is the inverted index and the
-    * stats are PERSISTED counter artifacts built once per corpus
-    * snapshot ([[fullTokenStats]] vocab-keyed, [[fullCorpusCounts]]
-    * one row) — a serving call touches the corpus-sized postings
-    * exactly once, via the broadcast query-side join; candidate
-    * volume is Σ posting-list lengths of the query's tokens.
-    * Determinism: integer micro-unit term weights (exact integer
-    * sums), ranks tie-break (doc_id, chunk_idx); the whole output is
-    * integer-valued, so the oracle compares exactly. */
-  val s17Bm25: Q = (s, dir) =>
-    bm25TopK(sparseQueryTokens(s, dir, col("doc_id") < s10QueryDocs),
-      Seq(rawPostingsFull(s, dir)), fullTokenStats(s, dir),
-      fullCorpusCounts(s, dir))
-
-  /** Base-slice raw postings (the artifact serving holds BEFORE the
-    * batch lands) — the s15 base-index pattern on the sparse side;
-    * same [[s15Mod]]/[[s15Res]] doc split, so dense and sparse
-    * maintenance tell one consistent arriving-batch story. */
-  private val basePostReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def basePostings(s: SparkSession,
-                                      dir: String): DataFrame =
-    basePostReg.getOrCompute(s, dir) {
-      val df = rawPostings(TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .filter(pmod(col("doc_id"), lit(s15Mod)) =!= lit(s15Res))
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Base-side (token, df) stats artifact — persisted WITH the base
-    * postings (a production index ships its counter table); the
-    * refresh merges against this, never re-scanning the base corpus. */
-  private val baseStatsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def baseTokenStats(s: SparkSession,
-                                        dir: String): DataFrame =
-    baseStatsReg.getOrCompute(s, dir) {
-      val df = tokenStats(basePostings(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Base-side one-row (n_chunks, len_sum) counters — persisted with
-    * the base index for the same no-rescan reason. */
-  private val baseCountsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[operators] def baseCorpusCounts(s: SparkSession,
-                                          dir: String): DataFrame =
-    baseCountsReg.getOrCompute(s, dir) {
-      val df = corpusCounts(basePostings(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** The arriving batch's postings — the [[s15Res]] doc slice pushed
-    * through the SAME chunk + encode chain as the base (encode is
-    * corpus-independent: tf and len are per-chunk values). STAGED
-    * (persisted) because one refresh consumes the encoded batch three
-    * ways — append to postings, token-stats merge, counter merge — and
-    * a production refresh encodes the arriving batch ONCE, not once
-    * per consumer; O(batch) memory, same contract as s15's slice. */
-  private val batchPostReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private def batchPostings(s: SparkSession, dir: String): DataFrame =
-    batchPostReg.getOrCompute(s, dir) {
-      val df = rawPostings(TextAnalysis.queries("c3_chunk_corpus")(s, dir)
-        .filter(pmod(col("doc_id"), lit(s15Mod)) === lit(s15Res))
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** The refreshed sparse index: base postings + the batch's encoded
-    * postings — pure APPEND (tf/len are per-chunk, no corpus statistic
-    * rides the postings rows). Row-identical to a full rebuild
-    * (spec-pinned), so the s18 gate serves through the fold against
-    * the full-rebuild oracle SQL. */
-  private[graft] def refreshedPostings(s: SparkSession,
-                                       dir: String): DataFrame =
-    basePostings(s, dir).unionByName(batchPostings(s, dir))
-
-  /** Merged token stats: PERSISTED base counters + the batch's stats
-    * summed per token — the O(vocab ∪ batch-vocab) counter merge a
-    * production refresh ships instead of re-scanning the base corpus.
-    * The merged frame is RE-PERSISTED (the s11 "apply the update and
-    * re-persist the artifact" pattern: a refresh WRITES the new
-    * counter table once; every query batch then reads it), so the
-    * vocab-sized merge shuffle is refresh-time cost, not serving-time.
-    * ≡ tokenStats(refreshedPostings) by df additivity over disjoint
-    * chunk sets (spec-pinned). */
-  private val refStatsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[graft] def refreshedStats(s: SparkSession,
-                                    dir: String): DataFrame =
-    refStatsReg.getOrCompute(s, dir) {
-      val df = baseTokenStats(s, dir)
-        .withColumnRenamed("df", "df_base")
-        .join(tokenStats(batchPostings(s, dir))
-          .withColumnRenamed("df", "df_batch"), Seq("token"),
-          "full_outer")
-        .select(col("token"),
-          (coalesce(col("df_base"), lit(0L))
-            + coalesce(col("df_batch"), lit(0L))).as("df"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** Merged corpus counters: base one-row + batch one-row, summed —
-    * n_chunks and len_sum are additive over disjoint chunk sets, so
-    * avgdl realizes correctly from the merged counters at query time.
-    * Re-persisted with [[refreshedStats]] (one row; the cost it saves
-    * is the batch-side counter recompute, not the merge itself).
-    * ≡ corpusCounts(refreshedPostings) (spec-pinned). */
-  private val refCountsReg =
-    new graft.core.Registry[DataFrame](_.unpersist(false))
-
-  private[graft] def refreshedCounts(s: SparkSession,
-                                     dir: String): DataFrame =
-    refCountsReg.getOrCompute(s, dir) {
-      val df = baseCorpusCounts(s, dir)
-        .unionByName(corpusCounts(batchPostings(s, dir)))
-        .agg(sum(col("n_chunks")).as("n_chunks"),
-          sum(col("len_sum")).as("len_sum"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    }
-
-  /** S18: INCREMENTAL SPARSE-INDEX REFRESH — s15's operational leg for
-    * the sparse side, closing the maintenance triad: centroids fold by
-    * the count-weighted rule (s11), the LSH chunk index by pure append
-    * (s15), and the sparse index by APPEND + ADDITIVE COUNTER MERGE —
-    * postings rows are per-chunk (insert), df/N/lensum are sums over
-    * disjoint chunk sets (merge by +), and idf/avgdl are REALIZED AT
-    * QUERY TIME from the merged stats, never baked into the artifact.
-    * The gated query serves BM25 for the [8,16) query window through
-    * the folded artifacts, aggregating candidates PER SHARD (base,
-    * batch) on each side's own chunk-keyed cached partitioning — the
-    * (doc, chunk)-disjointness of the fold means the aggregation
-    * distributes over the union, so the refresh never reintroduces a
-    * corpus-sized candidate shuffle. The oracle is the full-corpus
-    * BM25 SQL over that window, so the gate verifies fold ≡ rebuild
-    * end-to-end (the spec additionally pins artifact row-identity). */
-  val s18SparseRefresh: Q = (s, dir) =>
-    bm25TopK(sparseQueryTokens(s, dir,
-        col("doc_id") >= s10QueryDocs && col("doc_id") < 2 * s10QueryDocs),
-      Seq(basePostings(s, dir), batchPostings(s, dir)),
-      refreshedStats(s, dir), refreshedCounts(s, dir))
-
-  /** S19: HYBRID DENSE + BM25 RETRIEVAL — the full production
-    * retrieval stack: s10's dense ANN serving leg fused by RRF with
-    * the BM25 sparse leg (s17), replacing s16's linear TF-IDF leg
-    * with the saturated, length-normalized ranking production systems
-    * actually deploy. Same query window as s10/s16/s17, same
-    * [[rrfFuse]] arithmetic — so the three retrieval gates (s16 s17
-    * s19) isolate exactly one variable each: fusion, sparse scoring
-    * function, and their composition.
-    *
-    * Scale shape: both legs are the already-measured serving paths
-    * (dense: corpus-side index never reshuffles; sparse: exchange-free
-    * candidate aggregation over the postings artifact — see
-    * [[s17Bm25]]); fusion joins two batch×k frames. Determinism:
-    * both legs' ranks are integer-exact, RRF is 6-dp rounded rank
-    * arithmetic the oracle recomputes verbatim. */
-  val s19HybridBm25: Q = (s, dir) =>
-    rrfFuse(s10DenseLeg(s, dir),
-      s17Bm25(s, dir)
-        .select(col("qid"), col("doc_id"), col("chunk_idx"),
-          col("rk").as("sparse_rk")))
-
-  /** Analytic candidate volume of the s5 self-join at plane count `p`:
-    * Σ over (bucket, probe mask) of n_bucket · n_probedBucket — the
-    * number of (query, candidate) pairs the bucket join materializes
-    * (includes the n self-pairs the qid≠cid filter drops). Computed
-    * from the 2^p-row histogram alone (no join over the corpus) — the
-    * pre-flight cost model behind [[planesFor]], reported by the scale
-    * harness so candidate growth is MEASURED, not asserted. */
-  private[graft] def s5CandidateVolume(s: SparkSession, dir: String,
-                                       p: Int): Long = {
-    val h = t(s, dir, "embeddings")
-      .select(bucketOf(col("embedding"), p).as("bkt"))
-      .groupBy("bkt").agg(count(lit(1)).as("n"))
-    val masks = 0L +: (0 until p).map(i => (1L << i))
-    h.select(col("n").as("qn"),
-        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m))): _*))
-          .as("pb"))
-      .join(h.select(col("bkt").as("pb"), col("n").as("cn")), Seq("pb"))
-      .agg(sum(col("qn") * col("cn")))
-      .collect()(0).getLong(0)
-  }
-
-  // ---------------------------------------------------------------- oracles
-
-  /** DuckDB fragment: bucket id of `e.embedding` under `nPlanes` sign
-    * planes (default: the committed geometry) — the SAME planeVal
-    * constants the engine's bucketOf folds, so a geometry change can't
-    * desynchronize the two sides (s26 dials nPlanes up by one). */
-  private def bucketSql(emb: String, nPlanes: Int = planes): String =
-    (0 until nPlanes).map { p =>
-      val terms = (0 until dims).map(d =>
-        s"CAST($emb[${d + 1}] AS DOUBLE) * (${planeVal(p, d)})")
-        .mkString(" + ")
-      s"CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
-
-  private val dotSql =
-    "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
-
-  /** Multi-probe mask list derived from the SAME [[probeMasks]]
-    * generator (and `planes` constant) the Spark side folds over — a
-    * literal list here would silently desynchronize engine and oracle
-    * if the committed geometry or radius set changed. */
-  private def probeMasksSqlFor(radius: Int, nPlanes: Int = planes): String =
-    probeMasks(nPlanes, radius).mkString("[", ", ", "]")
-
-  private val probeMasksSql: String = probeMasksSqlFor(1)
-
-  private val normCte =
-    """e AS (
-         SELECT vec_id, embedding,
-           sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         FROM embeddings)"""
-
-  // s7 oracle building blocks: one assignment CTE (argmin by the SAME
-  // |c|^2 - 2*v.c formula and fold order the Spark side computes, ties
-  // by cell) and one recompute CTE (per-dim AVG, list re-assembled in
-  // pos order — the s4 pattern), chained kmeansIters times.
-  private def kmeansAssignSql(centCte: String, out: String,
-                              src: String = "e"): String =
-    s"""$out AS (
-        SELECT vec_id, embedding, cell, d FROM (
-          SELECT vec_id, embedding, cell, d,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
-              AS rk
-          FROM (
-            SELECT e.vec_id, e.embedding, c.cell,
-              list_sum(list_transform(range(1, ${dims + 1}),
-                i -> c.vec[i] * c.vec[i]))
-              - 2 * list_sum(list_transform(range(1, ${dims + 1}),
-                  i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i])) AS d
-            FROM $src e, $centCte c))
-        WHERE rk = 1)"""
-
-  private def kmeansRecomputeSql(assignCte: String, out: String): String =
-    s"""$out AS (
-        SELECT cell, list(c ORDER BY pos) AS vec FROM (
-          SELECT cell, r.i AS pos,
-            round(AVG(CAST(embedding[r.i] AS DOUBLE)), 6) AS c
-          FROM $assignCte, range(1, ${dims + 1}) r(i) GROUP BY 1, 2)
-        GROUP BY 1)"""
-
-  /** The full Lloyd chain as CTEs ending in `af` (vec_id, embedding,
-    * cell, d — the FINAL assignment under the final centroids
-    * c$kmeansIters), parameterized by a WHERE clause on the embeddings
-    * scan and the init ids ([[lloyd]]'s SQL twin): shared by the s7/s8/
-    * s9 oracles and d13's cluster-tag oracle (full corpus, init
-    * 0..K-1) and the s11 refresh oracle (base slice, lowest K base
-    * ids). */
-  private[operators] def lloydChainCtes(where: String,
-                                        initIds: Seq[Long]): String = {
-    val iterCtes = (1 to kmeansIters).map { it =>
-      kmeansAssignSql(s"c${it - 1}", s"a$it") + ",\n" +
-        kmeansRecomputeSql(s"a$it", s"c$it")
-    }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding FROM embeddings $where),
-        c0 AS (
-          SELECT CAST(vec_id AS INT) AS cell,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-          FROM e WHERE vec_id IN (${initIds.mkString(", ")})),
-        $iterCtes,
-        ${kmeansAssignSql(s"c$kmeansIters", "af")}"""
-  }
-
-  private[operators] lazy val s7ChainCtes: String =
-    lloydChainCtes("", 0L until kmeansK.toLong)
-
-  // s12 oracle building blocks: the s7 Lloyd chain re-derived per PQ
-  // subspace (16-dim slices, CTE names suffixed by subspace), the
-  // final-codebook encode pass, per-query ADC distance tables, and the
-  // explicit left-associated d0+d1+d2+d3 candidate sum — relational
-  // end-to-end, independent of the Spark artifacts.
-  private def pqSubCte(m: Int): String = {
-    val lo = m * pqSubDims + 1
-    val hi = (m + 1) * pqSubDims
-    s"""em$m AS (
-        SELECT vec_id,
-          list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS sub
-        FROM embeddings)"""
-  }
-
-  private def pqAssignCte(m: Int, centCte: String, out: String): String =
-    s"""$out AS (
-        SELECT vec_id, sub, cell, d FROM (
-          SELECT vec_id, sub, cell, d,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
-              AS rk
-          FROM (
-            SELECT ee.vec_id, ee.sub, c.cell,
-              list_sum(list_transform(range(1, ${pqSubDims + 1}),
-                i -> c.vec[i] * c.vec[i]))
-              - 2 * list_sum(list_transform(range(1, ${pqSubDims + 1}),
-                  i -> ee.sub[i] * c.vec[i])) AS d
-            FROM em$m ee, $centCte c))
-        WHERE rk = 1)"""
-
-  private def pqRecomputeCte(assignCte: String, out: String): String =
-    s"""$out AS (
-        SELECT cell, list(c ORDER BY pos) AS vec FROM (
-          SELECT cell, r.i AS pos, round(AVG(sub[r.i]), 6) AS c
-          FROM $assignCte, range(1, ${pqSubDims + 1}) r(i) GROUP BY 1, 2)
-        GROUP BY 1)"""
-
-  /** Per-subspace chain ending in `enc\$m` (the final-codebook encode)
-    * and `dt\$m` (the query-side ADC distance table). */
-  private def pqChainCtes(m: Int): String = {
-    val iters = (1 to kmeansIters).map { it =>
-      pqAssignCte(m, s"cb$m${it - 1}", s"a$m$it") + ",\n" +
-        pqRecomputeCte(s"a$m$it", s"cb$m$it")
-    }.mkString(",\n")
-    s"""${pqSubCte(m)},
-        cb${m}0 AS (
-          SELECT CAST(vec_id AS INT) AS cell, sub AS vec
-          FROM em$m WHERE vec_id IN (${(0 until pqK).mkString(", ")})),
-        $iters,
-        ${pqAssignCte(m, s"cb$m$kmeansIters", s"enc$m")},
-        dt$m AS (
-          SELECT qq.vec_id AS qid, c.cell,
-            list_sum(list_transform(range(1, ${pqSubDims + 1}),
-              i -> c.vec[i] * c.vec[i]))
-            - 2 * list_sum(list_transform(range(1, ${pqSubDims + 1}),
-                i -> qq.sub[i] * c.vec[i])) AS d
-          FROM em$m qq, cb$m$kmeansIters c WHERE qq.vec_id < 10)"""
-  }
-
-  private lazy val s12Sql: String = {
-    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
-    val encJoin = (1 until pqM)
-      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
-    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
-    val dtJoins = (0 until pqM).map(m =>
-      s"JOIN dt$m d$m ON d$m.qid = q.qid AND d$m.cell = en.c$m")
-      .mkString("\n          ")
-    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
-    s"""WITH $chains,
-        $normCte,
-        enc AS (
-          SELECT e0.vec_id, $codeCols
-          FROM enc0 e0 $encJoin),
-        q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10),
-        cand AS (
-          SELECT q.qid, en.vec_id AS cid, $adist AS adist
-          FROM q JOIN enc en ON en.vec_id <> q.qid
-          $dtJoins),
-        top AS (
-          SELECT qid, cid,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
-              AS crk
-          FROM cand),
-        rr AS (
-          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
-            a.nrm AS qn, b.nrm AS cn
-          FROM top t JOIN e a ON a.vec_id = t.qid
-            JOIN e b ON b.vec_id = t.cid
-          WHERE t.crk <= $pqCandidates),
-        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
-        ranked AS (
-          SELECT qid, cid, cosine,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS INT) AS rk
-          FROM scored)
-        SELECT qid, cid, cosine, rk FROM ranked
-        WHERE rk <= 3 ORDER BY qid, rk"""
-  }
-
-  /** prof7 oracle: the s11 base-slice Lloyd chain (af = base assigned
-    * under the final base centroids), the arrival slice assigned under
-    * the same model, then the prof6 PSI formula over the k-row
-    * occupancy frame — same eps floor, same 6-dp rounding. */
-  private lazy val prof7Sql: String = {
-    val eps = graft.queries.Profile.driftEps
-    s"""WITH ${lloydChainCtes(s"WHERE vec_id % $s11Mod != $s11Res",
-          s11InitIds)},
-        bb AS (SELECT vec_id, embedding FROM embeddings
-               WHERE vec_id % $s11Mod = $s11Res),
-        ${kmeansAssignSql(s"c$kmeansIters", "ba", "bb")},
-        cr AS (SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_ref
-               FROM af GROUP BY 1),
-        cc AS (SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_cur
-               FROM ba GROUP BY 1),
-        occ AS (
-          SELECT COALESCE(cr.cluster, cc.cluster) AS cluster,
-            COALESCE(cr.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
-          FROM cr FULL JOIN cc ON cr.cluster = cc.cluster),
-        tt AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS ref_tot,
-                      CAST(sum(n_cur) AS DOUBLE) AS cur_tot FROM occ),
-        terms AS (
-          SELECT cluster, n_ref, n_cur,
-            n_ref / ref_tot AS rs, n_cur / cur_tot AS cs,
-            greatest(n_ref / ref_tot, $eps) AS p,
-            greatest(n_cur / cur_tot, $eps) AS q
-          FROM occ, tt),
-        t2 AS (SELECT *, (q - p) * ln(q / p) AS term FROM terms),
-        ps AS (SELECT round(sum(term), 6) AS psi FROM t2)
-        SELECT cluster, n_ref, n_cur, round(rs, 6) AS ref_share,
-          round(cs, 6) AS cur_share, round(term, 6) AS psi_term, ps.psi
-        FROM t2, ps ORDER BY cluster"""
-  }
-
-  /** PROF10 oracle: the same 6-dp-rounded centroid, the same expansion
-    * algebra, the same list_sum fold order. */
-  private lazy val prof10Sql: String =
-    s"""WITH cent AS (
-          SELECT list(c ORDER BY pos) AS vec FROM (
-            SELECT r.i AS pos,
-              round(AVG(CAST(embedding[r.i] AS DOUBLE)), 6) AS c
-            FROM embeddings, range(1, ${dims + 1}) r(i) GROUP BY 1)),
-        d AS (
-          SELECT e.vec_id,
-            sqrt(greatest(
-              list_sum(list_transform(range(1, ${dims + 1}),
-                i -> c.vec[i] * c.vec[i]))
-              - 2 * list_sum(list_transform(range(1, ${dims + 1}),
-                  i -> CAST(e.embedding[i] AS DOUBLE) * c.vec[i]))
-              + list_sum(list_transform(range(1, ${dims + 1}),
-                  i -> CAST(e.embedding[i] AS DOUBLE)
-                    * CAST(e.embedding[i] AS DOUBLE))), 0)) AS dist
-          FROM embeddings e, cent c),
-        st AS (SELECT avg(dist) AS mu, stddev_samp(dist) AS sd FROM d)
-        SELECT d.vec_id, round(d.dist, 6) AS l2_dist,
-          round((d.dist - st.mu) / st.sd, 6) AS z
-        FROM d, st ORDER BY d.vec_id"""
-
-  /** Parameterized s13/s14 oracle (the SQL twin of [[ivfpqAnn]]):
-    * the s7 coarse chain + the four PQ subspace chains, with the
-    * candidate restriction set by the `qprobe` CTE — each query ranked
-    * against the final centroids by the same |c|²−2·q·c distance and
-    * (d, cell) tie order the assignment uses, kept to the `probes`
-    * nearest cells. prk=1 is the query's own cell, so probes=1 IS the
-    * single-probe s13 semantics; one generator keeps both oracles and
-    * both engine paths on a single contract (round-13 review). */
-  private def ivfpqSqlFor(probes: Int): String = {
-    val chains = (0 until pqM).map(pqChainCtes).mkString(",\n")
-    val encJoin = (1 until pqM)
-      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
-    val codeCols = (0 until pqM).map(m => s"e$m.cell AS c$m").mkString(", ")
-    val encxCols = (0 until pqM).map(m => s"x.c$m").mkString(", ")
-    val dtJoins = (0 until pqM).map(m =>
-      s"JOIN dt$m d$m ON d$m.qid = q.vec_id AND d$m.cell = en.c$m")
-      .mkString("\n          ")
-    val adist = (0 until pqM).map(m => s"d$m.d").mkString(" + ")
-    s"""WITH $s7ChainCtes,
-        $chains,
-        nn AS (
-          SELECT vec_id, embedding, cell AS coarse,
-            sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-          FROM af),
-        encx AS (
-          SELECT e0.vec_id, $codeCols
-          FROM enc0 e0 $encJoin),
-        qprobe AS (
-          SELECT vec_id, cell FROM (
-            SELECT vec_id, cell,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell)
-                AS prk
-            FROM (
-              SELECT qq.vec_id, c.cell,
-                list_sum(list_transform(range(1, ${dims + 1}),
-                  i -> c.vec[i] * c.vec[i]))
-                - 2 * list_sum(list_transform(range(1, ${dims + 1}),
-                    i -> CAST(qq.embedding[i] AS DOUBLE) * c.vec[i])) AS d
-              FROM (SELECT vec_id, embedding FROM nn WHERE vec_id < 10) qq,
-                c$kmeansIters c))
-          WHERE prk <= $probes),
-        cand AS (
-          SELECT q.vec_id AS qid, en.vec_id AS cid, $adist AS adist
-          FROM qprobe q
-          JOIN (SELECT x.vec_id, n.coarse, $encxCols
-                FROM encx x JOIN nn n USING (vec_id)) en
-            ON en.coarse = q.cell AND en.vec_id <> q.vec_id
-          $dtJoins),
-        top AS (
-          SELECT qid, cid,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, cid)
-              AS crk
-          FROM cand),
-        rr AS (
-          SELECT t.qid, t.cid, a.embedding AS qe, b.embedding AS ce,
-            a.nrm AS qn, b.nrm AS cn
-          FROM top t JOIN nn a ON a.vec_id = t.qid
-            JOIN nn b ON b.vec_id = t.cid
-          WHERE t.crk <= $pqCandidates),
-        scored AS (SELECT qid, cid, $dotSql / (qn * cn) AS cosine FROM rr),
-        ranked AS (
-          SELECT qid, cid, cosine,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS INT) AS rk
-          FROM scored)
-        SELECT qid, cid, cosine, rk FROM ranked
-        WHERE rk <= 3 ORDER BY qid, rk"""
-  }
-
-  private lazy val s13Sql: String = ivfpqSqlFor(1)
-  private lazy val s14Sql: String = ivfpqSqlFor(ivfProbes)
-
-  /** S1 oracle (named so [[s31Sql]] can compose it as the ground-truth
-    * leg): exact all-pairs cosine top-5 over the query subset. */
-  private lazy val s1Sql: String =
-    s"""WITH $normCte,
-        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
-              WHERE vec_id < 10),
-        c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e),
-        scored AS (
-          SELECT qid, cid, $dotSql / (qn * cn) AS cosine
-          FROM q JOIN c ON qid <> cid),
-        ranked AS (
-          SELECT qid, cid, cosine,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, cid) AS INT) AS rk
-          FROM scored)
-        SELECT qid, cid, cosine, rk FROM ranked
-        WHERE rk <= 5 ORDER BY qid, rk"""
-
-  /** S31 oracle: the three legs' own SQL contracts composed — exact
-    * top-3 from [[s1Sql]], each ANN variant from its parameterized
-    * generator, recall as the per-qid semi-join count over 3. */
-  private lazy val s31Sql: String = {
-    def leg(name: String, sql: String): String =
-      s"""SELECT '$name' AS variant, q.qid,
-            CAST(count(a.cid) AS BIGINT) AS n_hits
-          FROM (SELECT DISTINCT qid FROM exact) q
-          LEFT JOIN (
-            SELECT x.qid, x.cid FROM (SELECT qid, cid FROM ($sql)) x
-            JOIN exact e ON e.qid = x.qid AND e.cid = x.cid) a
-            ON a.qid = q.qid
-          GROUP BY q.qid"""
-    s"""WITH exact AS (
-          SELECT qid, cid FROM ($s1Sql) WHERE rk <= $s31K),
-        hits AS (${leg("ivfpq_p1", s13Sql)}
-          UNION ALL ${leg(s"ivfpq_p$ivfProbes", s14Sql)}),
-        rec AS (
-          SELECT variant, qid, n_hits,
-            round(CAST(n_hits AS DOUBLE) / $s31K, 6) AS recall
-          FROM hits),
-        mr AS (
-          SELECT variant, round(avg(recall), 6) AS mean_recall
-          FROM rec GROUP BY variant)
-        SELECT r.variant, r.qid, r.n_hits, r.recall, mr.mean_recall
-        FROM rec r JOIN mr ON mr.variant = r.variant
-        ORDER BY r.variant, r.qid"""
-  }
-
-  private lazy val s7Sql: String =
-    s"""WITH $s7ChainCtes
-        SELECT vec_id, cell AS cluster,
-          round(d + list_sum(list_transform(embedding,
-            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS dist2
-        FROM af ORDER BY vec_id"""
-
-  private lazy val s9Sql: String =
-    s"""WITH $s7ChainCtes,
-        d AS (
-          SELECT cell,
-            round(d + list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS dist2
-          FROM af),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings)
-        SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_vectors,
-          round(CAST(count(*) AS DOUBLE) / n.n_total, 6) AS share,
-          round(avg(dist2), 6) AS avg_dist2, max(dist2) AS max_dist2
-        FROM d, n GROUP BY cell, n.n_total ORDER BY cluster"""
-
-  private lazy val s8Sql: String =
-    s"""WITH $s7ChainCtes,
-        nn AS (
-          SELECT vec_id, embedding, cell,
-            sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-          FROM af),
-        pr AS (
-          SELECT b.vec_id AS bid,
-            list_sum(list_transform(range(1, ${dims + 1}),
-              i -> CAST(a.embedding[i] AS DOUBLE)
-                   * CAST(b.embedding[i] AS DOUBLE)))
-              / (a.nrm * b.nrm) AS cosine
-          FROM nn a JOIN nn b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        m AS (
-          SELECT bid, CAST(count(*) AS BIGINT) AS n_dups,
-            max(cosine) AS best_cosine
-          FROM pr WHERE cosine >= $s8Tau GROUP BY 1)
-        SELECT af.vec_id, af.cell AS cluster,
-          COALESCE(m.n_dups, 0) AS n_dups, m.best_cosine,
-          CASE WHEN m.bid IS NULL THEN 'keep' ELSE 'prune' END AS verdict
-        FROM af LEFT JOIN m ON m.bid = af.vec_id
-        ORDER BY af.vec_id"""
-
-  /** S11 oracle: the base-slice Lloyd chain (same CTE generator as
-    * s7's, different WHERE + init ids), the batch assigned under the
-    * final base centroids, and the same count-weighted update —
-    * recomputed relationally end-to-end. */
-  private lazy val s11Sql: String = {
-    val D = dims + 1
-    s"""WITH ${lloydChainCtes(s"WHERE vec_id % $s11Mod != $s11Res",
-          s11InitIds)},
-        bb AS (SELECT vec_id, embedding FROM embeddings
-               WHERE vec_id % $s11Mod = $s11Res),
-        ${kmeansAssignSql(s"c$kmeansIters", "ba", "bb")},
-        nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
-               FROM af GROUP BY 1),
-        mb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
-               FROM ba GROUP BY 1),
-        bs AS (SELECT cell, r.i AS pos,
-                 sum(CAST(embedding[r.i] AS DOUBLE)) AS sv
-               FROM ba, range(1, $D) r(i) GROUP BY 1, 2),
-        cf AS (SELECT cell, vec FROM c$kmeansIters),
-        np AS (
-          SELECT cf.cell, r.i AS pos,
-            coalesce(nb.n_base, 0) AS nbv, coalesce(mb.n_batch, 0) AS mbv,
-            cf.vec[r.i] AS c, coalesce(bs.sv, 0.0) AS sv
-          FROM cf CROSS JOIN range(1, $D) r(i)
-          LEFT JOIN nb ON nb.cell = cf.cell
-          LEFT JOIN mb ON mb.cell = cf.cell
-          LEFT JOIN bs ON bs.cell = cf.cell AND bs.pos = r.i),
-        ncte AS (
-          SELECT cell, pos, nbv, mbv,
-            CASE WHEN nbv + mbv = 0 THEN round(c, 6)
-                 ELSE round((nbv * c + sv) / (nbv + mbv), 6) END AS nc
-          FROM np),
-        nv AS (SELECT cell, max(nbv) AS n_base, max(mbv) AS n_batch,
-                 list(nc ORDER BY pos) AS nvec
-               FROM ncte GROUP BY 1)
-        SELECT nv.cell AS cluster, nv.n_base, nv.n_batch,
-          round(sqrt(list_sum(list_transform(range(1, $D),
-            i -> (nv.nvec[i] - cf.vec[i]) * (nv.nvec[i] - cf.vec[i])))), 6)
-            AS shift,
-          round(list_sum(list_transform(nv.nvec, x -> x * x)), 6) AS n2_new
-        FROM nv JOIN cf ON cf.cell = nv.cell
-        ORDER BY cluster"""
-  }
-
-  /** S10 oracle: an INDEPENDENT plan for the same serving path — the
-    * c3 oracle chain feeds an unnest/GROUP BY recomputation of the
-    * feature-hash embeddings (vs the Spark side's per-row HashEmbed
-    * loop), the same plane geometry buckets both sides, and the same
-    * multi-probe + exact-rerank join ranks. Embedding components are
-    * integer sums, so every cosine compares exactly. */
-  /** The hash-to-sign fold of the oracle's feature-hash embedder — ONE
-    * definition for the index side ([[cidxCtes]]) and the query side
-    * ([[s10SqlFor]]): two copies could silently desynchronize the
-    * oracle's query embeddings from its index embeddings. */
-  private lazy val signSumSql: String =
-    "CAST(sum(CASE WHEN (h // $D) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE)"
-      .replace("$D", dims.toString)
-
-  /** The corpus-side index CTE chain (c3 chunks → hash embeddings →
-    * norms → buckets → the cidx frame), shared by every oracle that
-    * reads the serving index ([[s10SqlFor]]'s family and [[prof8Sql]]).
-    * `cWhere` is the s22 metadata pre-filter — applied in the SAME CTE
-    * the engine filters (the persisted index), default TRUE. */
-  private[operators] def cidxCtes(cWhere: String = "TRUE",
-                       nPlanes: Int = planes): String = {
-    val signSum = signSumSql
-    s"""c3 AS (SELECT * FROM (${TextAnalysis.c3Sql})),
-        ctok AS (SELECT doc_id, chunk_idx,
-                   unnest(string_split(chunk_text, ' ')) AS w FROM c3),
-        csum AS (
-          SELECT doc_id, chunk_idx, h % $dims AS d, $signSum AS v
-          FROM (SELECT doc_id, chunk_idx, ${Portable.h60pSql("w")} AS h
-                FROM ctok)
-          GROUP BY 1, 2, 3),
-        cemb0 AS (
-          SELECT c.doc_id, c.chunk_idx, r.i AS d, coalesce(s.v, 0.0) AS v
-          FROM c3 c CROSS JOIN range(0, $dims) r(i)
-          LEFT JOIN csum s ON s.doc_id = c.doc_id
-            AND s.chunk_idx = c.chunk_idx AND s.d = r.i),
-        cemb1 AS (SELECT doc_id, chunk_idx, list(v ORDER BY d) AS ce
-                  FROM cemb0 GROUP BY 1, 2),
-        cidx AS (
-          SELECT c3.doc_id, c3.chunk_idx, c3.source, c3.quality_score,
-            c3.chunk_text, e.ce,
-            sqrt(list_sum(list_transform(e.ce, x -> x * x))) AS cn,
-            ${bucketSql("e.ce", nPlanes)} AS bkt
-          FROM c3 JOIN cemb1 e ON e.doc_id = c3.doc_id
-            AND e.chunk_idx = c3.chunk_idx
-          WHERE sqrt(list_sum(list_transform(e.ce, x -> x * x))) > 0
-            AND ($cWhere))"""
-  }
-
-  /** `bucketed = false` drops the LSH candidate restriction entirely —
-    * the scored CTE becomes the brute-force cross join, i.e. the SQL
-    * twin of [[exactTwin]]; everything else (embedders, cosine, rank,
-    * k) is shared, so the exact and served oracles can only diverge on
-    * the one variable the eval measures (s32's contract). */
-  private def s10SqlFor(qdWhere: String,
-                        masksSql: String = probeMasksSql,
-                        cWhere: String = "TRUE",
-                        nPlanes: Int = planes,
-                        bucketed: Boolean = true): String = {
-    val signSum = signSumSql
-    s"""WITH ${cidxCtes(cWhere, nPlanes)},
-        qd AS (
-          SELECT doc_id AS qid,
-            list_slice(string_split_regex(trim(text), '\\s+'), 1,
-              $s10QueryTokens) AS qtk
-          FROM documents WHERE $qdWhere),
-        qtok AS (SELECT qid, unnest(qtk) AS w FROM qd),
-        qsum AS (
-          SELECT qid, h % $dims AS d, $signSum AS v
-          FROM (SELECT qid, ${Portable.h60pSql("w")} AS h FROM qtok)
-          GROUP BY 1, 2),
-        qemb0 AS (
-          SELECT q.qid, r.i AS d, coalesce(s.v, 0.0) AS v
-          FROM qd q CROSS JOIN range(0, $dims) r(i)
-          LEFT JOIN qsum s ON s.qid = q.qid AND s.d = r.i),
-        qemb1 AS (SELECT qid, list(v ORDER BY d) AS qe
-                  FROM qemb0 GROUP BY 1),
-        qx AS (
-          SELECT qid, qe,
-            sqrt(list_sum(list_transform(qe, x -> x * x))) AS qn,
-            ${bucketSql("qe", nPlanes)} AS bkt0
-          FROM qemb1
-          WHERE sqrt(list_sum(list_transform(qe, x -> x * x))) > 0),
-        ${
-      if (bucketed)
-        s"""qp AS (SELECT qid, qe, qn, xor(bkt0, m.m) AS bkt
-               FROM qx, (SELECT unnest($masksSql) AS m) m),
-        scored AS (
-          SELECT q.qid, c.doc_id, c.chunk_idx, c.source, c.quality_score,
-            c.chunk_text, $dotSql / (q.qn * c.cn) AS cosine
-          FROM qp q JOIN cidx c USING (bkt)),"""
-      else
-        s"""scored AS (
-          SELECT q.qid, c.doc_id, c.chunk_idx, c.source, c.quality_score,
-            c.chunk_text, $dotSql / (q.qn * c.cn) AS cosine
-          FROM qx q CROSS JOIN cidx c),"""
-    }
-        ranked AS (
-          SELECT qid, doc_id, chunk_idx, source, quality_score,
-            chunk_text, cosine,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, doc_id, chunk_idx) AS INT) AS rk
-          FROM scored)
-        SELECT qid, rk, doc_id, chunk_idx, cosine, source,
-          quality_score, chunk_text
-        FROM ranked WHERE rk <= $s10K ORDER BY qid, rk"""
-  }
-
-  private[operators] lazy val s10Sql: String =
-    s10SqlFor(s"doc_id < $s10QueryDocs")
-
-  /** s20 oracle: the s10 serving SQL with the radius-2 mask literal —
-    * the mask list is the ONLY diff from [[s10Sql]], exactly mirroring
-    * the engine-side pair (retrieveTopK radius 1 vs 2). */
-  private lazy val s20Sql: String =
-    s10SqlFor(s"doc_id < $s10QueryDocs", probeMasksSqlFor(2))
-
-  /** s22 oracle: the s10 serving SQL with the quality pre-filter in
-    * the index CTE — the predicate is the ONLY diff from [[s10Sql]],
-    * mirroring the engine pair (filtered vs unfiltered index). */
-  private lazy val s22Sql: String =
-    s10SqlFor(s"doc_id < $s10QueryDocs", probeMasksSql,
-      s"c3.quality_score >= $s22QualityFloor")
-
-  /** prof8 oracle: bucket occupancy + the integer re-bucket rule over
-    * the same index CTE chain; [[planesForCaseSql]] emits the SAME
-    * CASE text both engines evaluate. SUM(BIGINT) is HUGEINT in
-    * DuckDB — cast back (the standing divergence note). */
-  private lazy val prof8Sql: String =
-    s"""WITH ${cidxCtes()},
-        occ AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks
-                FROM cidx GROUP BY 1),
-        tot AS (SELECT CAST(sum(n_chunks) AS BIGINT) AS n_total,
-                  CAST(count(*) AS BIGINT) AS n_buckets,
-                  CAST(max(n_chunks) AS BIGINT) AS max_occ FROM occ)
-        SELECT occ.bkt, occ.n_chunks,
-          round(occ.n_chunks / CAST(t.n_total AS DOUBLE), 6) AS share6,
-          t.n_total, t.n_buckets, t.max_occ,
-          $planes AS planes_committed,
-          CAST(${planesForCaseSql("t.n_total")} AS INT)
-            AS planes_recommended,
-          CAST(${planesForCaseSql("t.n_total")} > $planes AS INT)
-            AS rebucket_due
-        FROM occ, tot t ORDER BY occ.bkt"""
-
-  /** prof9 oracle: the deterministic-listing recompute — one presence
-    * indicator per lifecycle write (base slice, then each of the 3
-    * batch sub-slices), summed per bucket: a write lands exactly one
-    * file in bucket b iff its doc slice contributes a chunk hashing to
-    * b (the repartition-by-bucket write discipline). Slice predicates
-    * are generated from the SAME s15Mod/s15Res constants the engine
-    * slices by. Occupancy over the same index CTE chain as prof8. */
-  /** prof9 golden VALUES rows — (n_docs, n_pos, bkt, kib) per
-    * committed scale: the per-bucket store size in KiB under the
-    * deterministic write discipline; harvested from two byte-identical
-    * fresh-JVM runs per scale (2026-08-15; the sf1 key (50000, 49944)
-    * added 2026-08-15 round 17 per the verdict — the full sf1 sweep
-    * now exercises the size readout instead of failing the dispatch
-    * join). Same re-harvest rule and pinned keys as [[s23Goldens]]. */
-  private val prof9Goldens: String =
-    """(500, 352, 0, 2),
-            (500, 352, 1, 2),
-            (500, 352, 2, 2),
-            (500, 352, 3, 2),
-            (500, 352, 4, 8),
-            (500, 352, 5, 5),
-            (500, 352, 7, 5),
-            (500, 352, 14, 2),
-            (500, 352, 16, 19),
-            (500, 352, 17, 14),
-            (500, 352, 18, 14),
-            (500, 352, 19, 12),
-            (500, 352, 20, 24),
-            (500, 352, 21, 22),
-            (500, 352, 22, 15),
-            (500, 352, 23, 18),
-            (500, 352, 24, 3),
-            (500, 352, 25, 8),
-            (500, 352, 26, 8),
-            (500, 352, 27, 6),
-            (500, 352, 28, 10),
-            (500, 352, 29, 13),
-            (500, 352, 30, 2),
-            (500, 352, 31, 9),
-            (500, 352, 32, 2),
-            (500, 352, 34, 2),
-            (500, 352, 36, 9),
-            (500, 352, 37, 2),
-            (500, 352, 38, 2),
-            (500, 352, 48, 13),
-            (500, 352, 49, 6),
-            (500, 352, 50, 7),
-            (500, 352, 51, 5),
-            (500, 352, 52, 29),
-            (500, 352, 53, 17),
-            (500, 352, 54, 16),
-            (500, 352, 55, 15),
-            (500, 352, 56, 2),
-            (500, 352, 58, 2),
-            (500, 352, 59, 2),
-            (500, 352, 60, 5),
-            (500, 352, 61, 9),
-            (500, 352, 62, 3),
-            (500, 352, 63, 6),
-            (500, 343, 0, 2),
-            (500, 343, 2, 2),
-            (500, 343, 3, 5),
-            (500, 343, 4, 6),
-            (500, 343, 5, 8),
-            (500, 343, 6, 2),
-            (500, 343, 7, 8),
-            (500, 343, 10, 2),
-            (500, 343, 13, 2),
-            (500, 343, 16, 18),
-            (500, 343, 17, 15),
-            (500, 343, 18, 14),
-            (500, 343, 19, 16),
-            (500, 343, 20, 24),
-            (500, 343, 21, 22),
-            (500, 343, 22, 15),
-            (500, 343, 23, 17),
-            (500, 343, 24, 6),
-            (500, 343, 25, 3),
-            (500, 343, 26, 5),
-            (500, 343, 27, 3),
-            (500, 343, 28, 13),
-            (500, 343, 29, 12),
-            (500, 343, 30, 5),
-            (500, 343, 31, 13),
-            (500, 343, 36, 2),
-            (500, 343, 38, 2),
-            (500, 343, 48, 14),
-            (500, 343, 49, 3),
-            (500, 343, 50, 10),
-            (500, 343, 51, 2),
-            (500, 343, 52, 26),
-            (500, 343, 53, 17),
-            (500, 343, 54, 15),
-            (500, 343, 55, 14),
-            (500, 343, 56, 3),
-            (500, 343, 58, 2),
-            (500, 343, 60, 6),
-            (500, 343, 61, 11),
-            (500, 343, 62, 2),
-            (500, 343, 63, 6),
-            (5000, 3468, 0, 9),
-            (5000, 3468, 1, 8),
-            (5000, 3468, 2, 6),
-            (5000, 3468, 3, 13),
-            (5000, 3468, 4, 16),
-            (5000, 3468, 5, 15),
-            (5000, 3468, 6, 15),
-            (5000, 3468, 7, 17),
-            (5000, 3468, 8, 2),
-            (5000, 3468, 12, 5),
-            (5000, 3468, 13, 5),
-            (5000, 3468, 14, 2),
-            (5000, 3468, 15, 5),
-            (5000, 3468, 16, 76),
-            (5000, 3468, 17, 45),
-            (5000, 3468, 18, 42),
-            (5000, 3468, 19, 48),
-            (5000, 3468, 20, 133),
-            (5000, 3468, 21, 101),
-            (5000, 3468, 22, 56),
-            (5000, 3468, 23, 78),
-            (5000, 3468, 24, 15),
-            (5000, 3468, 25, 16),
-            (5000, 3468, 26, 11),
-            (5000, 3468, 27, 16),
-            (5000, 3468, 28, 20),
-            (5000, 3468, 29, 29),
-            (5000, 3468, 30, 14),
-            (5000, 3468, 31, 25),
-            (5000, 3468, 32, 2),
-            (5000, 3468, 34, 5),
-            (5000, 3468, 35, 2),
-            (5000, 3468, 36, 9),
-            (5000, 3468, 37, 9),
-            (5000, 3468, 38, 9),
-            (5000, 3468, 39, 12),
-            (5000, 3468, 45, 5),
-            (5000, 3468, 47, 2),
-            (5000, 3468, 48, 45),
-            (5000, 3468, 49, 17),
-            (5000, 3468, 50, 24),
-            (5000, 3468, 51, 17),
-            (5000, 3468, 52, 157),
-            (5000, 3468, 53, 74),
-            (5000, 3468, 54, 51),
-            (5000, 3468, 55, 43),
-            (5000, 3468, 56, 12),
-            (5000, 3468, 57, 3),
-            (5000, 3468, 58, 9),
-            (5000, 3468, 59, 12),
-            (5000, 3468, 60, 20),
-            (5000, 3468, 61, 17),
-            (5000, 3468, 62, 10),
-            (5000, 3468, 63, 16),
-            (50000, 49944, 0, 1492),
-            (50000, 49944, 1, 210),
-            (50000, 49944, 2, 494),
-            (50000, 49944, 3, 80),
-            (50000, 49944, 4, 619),
-            (50000, 49944, 5, 102),
-            (50000, 49944, 6, 192),
-            (50000, 49944, 7, 41),
-            (50000, 49944, 8, 2166),
-            (50000, 49944, 9, 481),
-            (50000, 49944, 10, 1413),
-            (50000, 49944, 11, 366),
-            (50000, 49944, 12, 569),
-            (50000, 49944, 13, 169),
-            (50000, 49944, 14, 398),
-            (50000, 49944, 15, 128),
-            (50000, 49944, 16, 444),
-            (50000, 49944, 17, 98),
-            (50000, 49944, 18, 149),
-            (50000, 49944, 19, 43),
-            (50000, 49944, 20, 450),
-            (50000, 49944, 21, 120),
-            (50000, 49944, 22, 152),
-            (50000, 49944, 23, 48),
-            (50000, 49944, 24, 671),
-            (50000, 49944, 25, 255),
-            (50000, 49944, 26, 414),
-            (50000, 49944, 27, 177),
-            (50000, 49944, 28, 492),
-            (50000, 49944, 29, 220),
-            (50000, 49944, 30, 336),
-            (50000, 49944, 31, 167),
-            (50000, 49944, 32, 1037),
-            (50000, 49944, 33, 124),
-            (50000, 49944, 34, 301),
-            (50000, 49944, 35, 45),
-            (50000, 49944, 36, 905),
-            (50000, 49944, 37, 121),
-            (50000, 49944, 38, 249),
-            (50000, 49944, 39, 45),
-            (50000, 49944, 40, 3278),
-            (50000, 49944, 41, 684),
-            (50000, 49944, 42, 1888),
-            (50000, 49944, 43, 481),
-            (50000, 49944, 44, 1980),
-            (50000, 49944, 45, 479),
-            (50000, 49944, 46, 1115),
-            (50000, 49944, 47, 347),
-            (50000, 49944, 48, 268),
-            (50000, 49944, 49, 54),
-            (50000, 49944, 50, 79),
-            (50000, 49944, 51, 27),
-            (50000, 49944, 52, 608),
-            (50000, 49944, 53, 134),
-            (50000, 49944, 54, 179),
-            (50000, 49944, 55, 51),
-            (50000, 49944, 56, 781),
-            (50000, 49944, 57, 257),
-            (50000, 49944, 58, 419),
-            (50000, 49944, 59, 176),
-            (50000, 49944, 60, 1268),
-            (50000, 49944, 61, 531),
-            (50000, 49944, 62, 789),
-            (50000, 49944, 63, 396)"""
-
-  private lazy val prof9Sql: String = {
-    val base = s"doc_id % $s15Mod <> $s15Res"
-    val slices = (0 until prof9Parts).map(r =>
-      s"doc_id % $s15Mod = $s15Res AND doc_id % $prof9Parts = $r")
-    val presence = (base +: slices).map(p =>
-      s"max(CASE WHEN $p THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH ${graft.queries.MlQueries.dispatchKeyCtes},
-        ${cidxCtes()},
-        pb AS (
-          SELECT bkt, CAST(count(*) AS BIGINT) AS n_chunks,
-            CAST($presence AS BIGINT) AS files,
-            CAST(($presence) >= $prof9FileBudget AS INT) AS compact_due
-          FROM cidx GROUP BY bkt),
-        g AS (
-          SELECT v.bkt, v.kib FROM (VALUES
-            $prof9Goldens)
-            v(n_docs, n_pos, bkt, kib)
-          JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos)
-        SELECT k.n_docs, k.n_pos, pb.bkt, pb.n_chunks, pb.files,
-          CAST(g.kib AS BIGINT) AS kib, pb.compact_due
-        FROM pb JOIN g ON g.bkt = pb.bkt, k
-        ORDER BY pb.bkt"""
-  }
-
-
-  /** s23 golden VALUES rows — (n_docs, n_pos, qid, rk, doc_id,
-    * chunk_idx) per committed scale; harvested from two byte-identical
-    * fresh-JVM runs per scale (2026-08-15). The m7 BLAS caveat applies
-    * (Word2Vec's axpy rides netlib).
-    *
-    * RE-HARVEST RULE (new scale / changed corpus or embedder): the
-    * pinned keys are sf0.001 (500, 352), sf0.01 (500, 343), sf0.1
-    * (5000, 3468) — running the gate at any OTHER scale joins zero
-    * VALUES rows and fails as an oracle row-count mismatch (0 vs 40):
-    * that failure means "no golden harvested for this scale", not a
-    * serving bug. To extend: run the engine query twice in fresh JVMs
-    * at the new scale, assert byte-identical output, and append the
-    * rows here keyed by the new (n_docs, n_pos) — the m7/u14
-    * procedure. */
-  private val s23Goldens: String =
-    """(500, 352, 0, 1, 373, 0),
-            (500, 352, 0, 2, 2, 1),
-            (500, 352, 0, 3, 402, 1),
-            (500, 352, 0, 4, 34, 2),
-            (500, 352, 0, 5, 343, 1),
-            (500, 352, 1, 1, 499, 0),
-            (500, 352, 1, 2, 420, 1),
-            (500, 352, 1, 3, 205, 0),
-            (500, 352, 1, 4, 295, 0),
-            (500, 352, 1, 5, 374, 0),
-            (500, 352, 2, 1, 249, 1),
-            (500, 352, 2, 2, 187, 2),
-            (500, 352, 2, 3, 322, 1),
-            (500, 352, 2, 4, 330, 0),
-            (500, 352, 2, 5, 31, 1),
-            (500, 352, 3, 1, 452, 0),
-            (500, 352, 3, 2, 390, 0),
-            (500, 352, 3, 3, 19, 1),
-            (500, 352, 3, 4, 247, 0),
-            (500, 352, 3, 5, 223, 0),
-            (500, 352, 4, 1, 412, 2),
-            (500, 352, 4, 2, 111, 1),
-            (500, 352, 4, 3, 494, 3),
-            (500, 352, 4, 4, 474, 3),
-            (500, 352, 4, 5, 498, 3),
-            (500, 352, 5, 1, 124, 0),
-            (500, 352, 5, 2, 173, 0),
-            (500, 352, 5, 3, 380, 1),
-            (500, 352, 5, 4, 213, 0),
-            (500, 352, 5, 5, 421, 1),
-            (500, 352, 6, 1, 44, 1),
-            (500, 352, 6, 2, 177, 0),
-            (500, 352, 6, 3, 255, 1),
-            (500, 352, 6, 4, 230, 2),
-            (500, 352, 6, 5, 124, 1),
-            (500, 352, 7, 1, 240, 0),
-            (500, 352, 7, 2, 316, 1),
-            (500, 352, 7, 3, 465, 2),
-            (500, 352, 7, 4, 486, 1),
-            (500, 352, 7, 5, 162, 0),
-            (500, 343, 0, 1, 409, 1),
-            (500, 343, 0, 2, 137, 0),
-            (500, 343, 0, 3, 215, 2),
-            (500, 343, 0, 4, 45, 0),
-            (500, 343, 0, 5, 267, 0),
-            (500, 343, 1, 1, 22, 0),
-            (500, 343, 1, 2, 218, 0),
-            (500, 343, 1, 3, 285, 1),
-            (500, 343, 1, 4, 301, 1),
-            (500, 343, 1, 5, 73, 0),
-            (500, 343, 2, 1, 466, 3),
-            (500, 343, 2, 2, 35, 0),
-            (500, 343, 2, 3, 91, 0),
-            (500, 343, 2, 4, 325, 0),
-            (500, 343, 2, 5, 278, 2),
-            (500, 343, 3, 1, 311, 1),
-            (500, 343, 3, 2, 3, 0),
-            (500, 343, 3, 3, 294, 3),
-            (500, 343, 3, 4, 316, 2),
-            (500, 343, 3, 5, 150, 1),
-            (500, 343, 4, 1, 351, 0),
-            (500, 343, 4, 2, 17, 0),
-            (500, 343, 4, 3, 484, 1),
-            (500, 343, 4, 4, 174, 0),
-            (500, 343, 4, 5, 28, 0),
-            (500, 343, 5, 1, 188, 1),
-            (500, 343, 5, 2, 5, 0),
-            (500, 343, 5, 3, 297, 1),
-            (500, 343, 5, 4, 399, 1),
-            (500, 343, 5, 5, 453, 1),
-            (500, 343, 6, 1, 436, 1),
-            (500, 343, 6, 2, 266, 1),
-            (500, 343, 6, 3, 465, 2),
-            (500, 343, 6, 4, 388, 1),
-            (500, 343, 6, 5, 250, 1),
-            (500, 343, 7, 1, 215, 0),
-            (500, 343, 7, 2, 360, 2),
-            (500, 343, 7, 3, 135, 1),
-            (500, 343, 7, 4, 499, 0),
-            (500, 343, 7, 5, 102, 2),
-            (5000, 3468, 0, 1, 4486, 1),
-            (5000, 3468, 0, 2, 4652, 2),
-            (5000, 3468, 0, 3, 4048, 3),
-            (5000, 3468, 0, 4, 4385, 3),
-            (5000, 3468, 0, 5, 3309, 2),
-            (5000, 3468, 1, 1, 3728, 3),
-            (5000, 3468, 1, 2, 1717, 0),
-            (5000, 3468, 1, 3, 3446, 3),
-            (5000, 3468, 1, 4, 1249, 2),
-            (5000, 3468, 1, 5, 212, 1),
-            (5000, 3468, 2, 1, 1132, 1),
-            (5000, 3468, 2, 2, 1630, 1),
-            (5000, 3468, 2, 3, 2030, 0),
-            (5000, 3468, 2, 4, 4007, 1),
-            (5000, 3468, 2, 5, 3007, 1),
-            (5000, 3468, 3, 1, 1779, 2),
-            (5000, 3468, 3, 2, 3, 0),
-            (5000, 3468, 3, 3, 3039, 1),
-            (5000, 3468, 3, 4, 4170, 1),
-            (5000, 3468, 3, 5, 1084, 1),
-            (5000, 3468, 4, 1, 2201, 1),
-            (5000, 3468, 4, 2, 1125, 0),
-            (5000, 3468, 4, 3, 2088, 0),
-            (5000, 3468, 4, 4, 3988, 2),
-            (5000, 3468, 4, 5, 1155, 0),
-            (5000, 3468, 5, 1, 5, 0),
-            (5000, 3468, 5, 2, 88, 0),
-            (5000, 3468, 5, 3, 3919, 0),
-            (5000, 3468, 5, 4, 4970, 2),
-            (5000, 3468, 5, 5, 2811, 1),
-            (5000, 3468, 6, 1, 2444, 2),
-            (5000, 3468, 6, 2, 1480, 1),
-            (5000, 3468, 6, 3, 1324, 2),
-            (5000, 3468, 6, 4, 875, 2),
-            (5000, 3468, 6, 5, 2625, 2),
-            (5000, 3468, 7, 1, 2736, 2),
-            (5000, 3468, 7, 2, 2594, 0),
-            (5000, 3468, 7, 3, 7, 0),
-            (5000, 3468, 7, 4, 2844, 0),
-            (5000, 3468, 7, 5, 2967, 1)"""
-
-  /** s23 oracle: the m7 golden-dispatch pattern on the serving domain —
-    * fitted Word2Vec vectors aren't SQL-recomputable, but the fit is
-    * content-deterministic, so the bounded top-k id frame is pinned per
-    * scale as VALUES and dispatched on the (n_docs, n_pos) key DuckDB
-    * recomputes through the m6 label chain (the ONE dispatchKeyCtes
-    * text m7/u14/c4 share). */
-  private lazy val s23Sql: String =
-    s"""WITH ${graft.queries.MlQueries.dispatchKeyCtes}
-        SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
-          CAST(v.n_pos AS BIGINT) AS n_pos,
-          CAST(v.qid AS BIGINT) AS qid, CAST(v.rk AS INT) AS rk,
-          CAST(v.doc_id AS BIGINT) AS doc_id,
-          CAST(v.chunk_idx AS INT) AS chunk_idx
-        FROM (VALUES
-            $s23Goldens)
-            v(n_docs, n_pos, qid, rk, doc_id, chunk_idx)
-        JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
-        ORDER BY v.qid, v.rk"""
-
-  /** s28 golden VALUES rows — (n_docs, n_pos, qid, rk, doc_id,
-    * chunk_idx, dense_rk, sparse_rk) per committed scale, NULL where a
-    * leg missed the fused item; harvested from two byte-identical
-    * fresh-JVM runs per scale (2026-08-15). Same re-harvest rule and
-    * pinned keys as [[s23Goldens]] (a new scale joins zero rows and
-    * fails as an oracle row-count mismatch — harvest, verify two
-    * fresh-JVM runs byte-identical, append). The m7 BLAS caveat
-    * applies through the dense leg's Word2Vec fit. */
-  private val s28Goldens: String =
-    """(500, 352, 0, 1, 338, 1, NULL, 1),
-            (500, 352, 0, 2, 373, 0, 1, NULL),
-            (500, 352, 0, 3, 2, 1, 2, NULL),
-            (500, 352, 0, 4, 381, 1, NULL, 2),
-            (500, 352, 0, 5, 387, 0, NULL, 3),
-            (500, 352, 1, 1, 205, 0, 3, 3),
-            (500, 352, 1, 2, 1, 0, NULL, 1),
-            (500, 352, 1, 3, 499, 0, 1, NULL),
-            (500, 352, 1, 4, 227, 2, NULL, 2),
-            (500, 352, 1, 5, 420, 1, 2, NULL),
-            (500, 352, 2, 1, 2, 0, NULL, 1),
-            (500, 352, 2, 2, 249, 1, 1, NULL),
-            (500, 352, 2, 3, 187, 2, 2, NULL),
-            (500, 352, 2, 4, 453, 0, NULL, 2),
-            (500, 352, 2, 5, 236, 0, NULL, 3),
-            (500, 352, 3, 1, 212, 1, NULL, 1),
-            (500, 352, 3, 2, 452, 0, 1, NULL),
-            (500, 352, 3, 3, 30, 1, NULL, 2),
-            (500, 352, 3, 4, 390, 0, 2, NULL),
-            (500, 352, 3, 5, 19, 1, 3, NULL),
-            (500, 352, 4, 1, 110, 2, NULL, 1),
-            (500, 352, 4, 2, 412, 2, 1, NULL),
-            (500, 352, 4, 3, 111, 1, 2, NULL),
-            (500, 352, 4, 4, 467, 2, NULL, 2),
-            (500, 352, 4, 5, 148, 0, NULL, 3),
-            (500, 352, 5, 1, 124, 0, 1, 2),
-            (500, 352, 5, 2, 380, 1, 3, 5),
-            (500, 352, 5, 3, 113, 1, NULL, 1),
-            (500, 352, 5, 4, 173, 0, 2, NULL),
-            (500, 352, 5, 5, 99, 0, NULL, 3),
-            (500, 352, 6, 1, 44, 1, 1, NULL),
-            (500, 352, 6, 2, 224, 1, NULL, 1),
-            (500, 352, 6, 3, 76, 0, NULL, 2),
-            (500, 352, 6, 4, 177, 0, 2, NULL),
-            (500, 352, 6, 5, 6, 0, NULL, 3),
-            (500, 352, 7, 1, 7, 0, NULL, 1),
-            (500, 352, 7, 2, 240, 0, 1, NULL),
-            (500, 352, 7, 3, 272, 0, NULL, 2),
-            (500, 352, 7, 4, 316, 1, 2, NULL),
-            (500, 352, 7, 5, 453, 0, NULL, 3),
-            (500, 343, 0, 1, 0, 0, NULL, 1),
-            (500, 343, 0, 2, 409, 1, 1, NULL),
-            (500, 343, 0, 3, 99, 0, NULL, 2),
-            (500, 343, 0, 4, 137, 0, 2, NULL),
-            (500, 343, 0, 5, 215, 2, 3, NULL),
-            (500, 343, 1, 1, 22, 0, 1, NULL),
-            (500, 343, 1, 2, 252, 0, NULL, 1),
-            (500, 343, 1, 3, 1, 0, NULL, 2),
-            (500, 343, 1, 4, 218, 0, 2, NULL),
-            (500, 343, 1, 5, 285, 1, 3, NULL),
-            (500, 343, 2, 1, 35, 0, 2, 2),
-            (500, 343, 2, 2, 2, 0, NULL, 1),
-            (500, 343, 2, 3, 466, 3, 1, NULL),
-            (500, 343, 2, 4, 91, 0, 3, NULL),
-            (500, 343, 2, 5, 386, 2, NULL, 3),
-            (500, 343, 3, 1, 3, 0, 2, 1),
-            (500, 343, 3, 2, 311, 1, 1, NULL),
-            (500, 343, 3, 3, 14, 2, NULL, 2),
-            (500, 343, 3, 4, 131, 1, NULL, 3),
-            (500, 343, 3, 5, 294, 3, 3, NULL),
-            (500, 343, 4, 1, 174, 0, 4, 4),
-            (500, 343, 4, 2, 145, 0, NULL, 1),
-            (500, 343, 4, 3, 351, 0, 1, NULL),
-            (500, 343, 4, 4, 17, 0, 2, NULL),
-            (500, 343, 4, 5, 24, 0, NULL, 2),
-            (500, 343, 5, 1, 5, 0, 2, 4),
-            (500, 343, 5, 2, 188, 1, 1, NULL),
-            (500, 343, 5, 3, 437, 1, NULL, 1),
-            (500, 343, 5, 4, 430, 0, NULL, 2),
-            (500, 343, 5, 5, 173, 0, NULL, 3),
-            (500, 343, 6, 1, 436, 1, 1, 3),
-            (500, 343, 6, 2, 326, 0, NULL, 1),
-            (500, 343, 6, 3, 266, 1, 2, NULL),
-            (500, 343, 6, 4, 457, 0, NULL, 2),
-            (500, 343, 6, 5, 465, 2, 3, NULL),
-            (500, 343, 7, 1, 360, 2, 2, 2),
-            (500, 343, 7, 2, 215, 0, 1, 5),
-            (500, 343, 7, 3, 7, 0, NULL, 1),
-            (500, 343, 7, 4, 135, 1, 3, NULL),
-            (500, 343, 7, 5, 280, 1, NULL, 3),
-            (5000, 3468, 0, 1, 4652, 2, 2, 4),
-            (5000, 3468, 0, 2, 0, 0, NULL, 1),
-            (5000, 3468, 0, 3, 4486, 1, 1, NULL),
-            (5000, 3468, 0, 4, 3606, 0, NULL, 2),
-            (5000, 3468, 0, 5, 4048, 3, 3, NULL),
-            (5000, 3468, 1, 1, 212, 1, 5, 4),
-            (5000, 3468, 1, 2, 65, 0, NULL, 1),
-            (5000, 3468, 1, 3, 3728, 3, 1, NULL),
-            (5000, 3468, 1, 4, 985, 1, NULL, 2),
-            (5000, 3468, 1, 5, 1717, 0, 2, NULL),
-            (5000, 3468, 2, 1, 213, 0, NULL, 1),
-            (5000, 3468, 2, 2, 1132, 1, 1, NULL),
-            (5000, 3468, 2, 3, 1630, 1, 2, NULL),
-            (5000, 3468, 2, 4, 3495, 0, NULL, 2),
-            (5000, 3468, 2, 5, 2030, 0, 3, NULL),
-            (5000, 3468, 3, 1, 3, 0, 2, 2),
-            (5000, 3468, 3, 2, 1779, 2, 1, NULL),
-            (5000, 3468, 3, 3, 4792, 1, NULL, 1),
-            (5000, 3468, 3, 4, 190, 1, NULL, 3),
-            (5000, 3468, 3, 5, 3039, 1, 3, NULL),
-            (5000, 3468, 4, 1, 2201, 1, 1, NULL),
-            (5000, 3468, 4, 2, 4378, 2, NULL, 1),
-            (5000, 3468, 4, 3, 1125, 0, 2, NULL),
-            (5000, 3468, 4, 4, 1594, 0, NULL, 2),
-            (5000, 3468, 4, 5, 1922, 1, NULL, 3),
-            (5000, 3468, 5, 1, 5, 0, 1, 2),
-            (5000, 3468, 5, 2, 3919, 0, 3, 3),
-            (5000, 3468, 5, 3, 4749, 0, NULL, 1),
-            (5000, 3468, 5, 4, 88, 0, 2, NULL),
-            (5000, 3468, 5, 5, 3918, 0, NULL, 4),
-            (5000, 3468, 6, 1, 2444, 2, 1, NULL),
-            (5000, 3468, 6, 2, 4697, 0, NULL, 1),
-            (5000, 3468, 6, 3, 1480, 1, 2, NULL),
-            (5000, 3468, 6, 4, 3176, 0, NULL, 2),
-            (5000, 3468, 6, 5, 1324, 2, 3, NULL),
-            (5000, 3468, 7, 1, 7, 0, 3, 1),
-            (5000, 3468, 7, 2, 2736, 2, 1, NULL),
-            (5000, 3468, 7, 3, 481, 1, NULL, 2),
-            (5000, 3468, 7, 4, 2594, 0, 2, NULL),
-            (5000, 3468, 7, 5, 4488, 1, NULL, 3)"""
-
-  /** s28 oracle: the s23 golden-dispatch pattern on the FUSED stack —
-    * both legs' ranks ride in the pinned rows (ints, NULL where a leg
-    * missed), the rrf double stays engine-side (pure arithmetic over
-    * the pinned ranks; the spec recomputes it), and the rows dispatch
-    * on the (n_docs, n_pos) key DuckDB recomputes through the m6
-    * chain. */
-  private lazy val s28Sql: String =
-    s"""WITH ${graft.queries.MlQueries.dispatchKeyCtes}
-        SELECT CAST(v.n_docs AS BIGINT) AS n_docs,
-          CAST(v.n_pos AS BIGINT) AS n_pos,
-          CAST(v.qid AS BIGINT) AS qid, CAST(v.rk AS INT) AS rk,
-          CAST(v.doc_id AS BIGINT) AS doc_id,
-          CAST(v.chunk_idx AS INT) AS chunk_idx,
-          CAST(v.dense_rk AS INT) AS dense_rk,
-          CAST(v.sparse_rk AS INT) AS sparse_rk
-        FROM (VALUES
-            $s28Goldens)
-            v(n_docs, n_pos, qid, rk, doc_id, chunk_idx, dense_rk,
-              sparse_rk)
-        JOIN k ON v.n_docs = k.n_docs AND v.n_pos = k.n_pos
-        ORDER BY v.qid, v.rk"""
-
-  /** Parameterized s17/s18 oracle — a full relational BM25 recompute
-    * over the c3 chunk chain: per-chunk tf + len, per-token df, corpus
-    * (N, avgdl), then the SAME term expression as [[bm25TopK]] with
-    * identical association and the Scala-interpolated double constants
-    * (Double.toString round-trips, so both engines see bit-identical
-    * k1/b values); term weights cast to integer micro-units before the
-    * exact integer sum, so the whole output compares exactly. */
-  /** Raw-postings dual as CTE text — `st` (exploded tokens + chunk
-    * len) and `tf` (per-(token, doc, chunk) counts) over a
-    * chunk-corpus CTE `src` with an optional doc predicate: the ONE
-    * oracle-side twin of [[rawPostings]], shared by the s17/s18 BM25
-    * duals and d16's fold counts so a tokenization change cannot
-    * desynchronize the oracle copies (the engine side already has one
-    * definition for exactly this reason). */
-  private[operators] def postingsTfCtes(src: String,
-                                        where: String = "TRUE"): String =
-    s"""st AS (SELECT doc_id, chunk_idx,
-                 len(string_split(chunk_text, ' ')) AS len,
-                 unnest(string_split(chunk_text, ' ')) AS token
-               FROM $src WHERE $where),
-        tf AS (SELECT token, doc_id, chunk_idx, len,
-                 CAST(count(*) AS BIGINT) AS tf
-               FROM st GROUP BY 1, 2, 3, 4)"""
-
-  private def bm25SqlFor(qdWhere: String): String =
-    s"""WITH c3s AS (SELECT * FROM (${TextAnalysis.c3Sql})),
-        ${postingsTfCtes("c3s")},
-        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-                FROM tf GROUP BY 1),
-        ns AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
-                 round(CAST(sum(len) AS DOUBLE) / count(*), 6) AS avgdl
-               FROM (SELECT DISTINCT doc_id, chunk_idx, len FROM tf)),
-        qt0 AS (
-          SELECT doc_id AS qid,
-            unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1,
-              $s10QueryTokens)) AS token
-          FROM documents WHERE $qdWhere),
-        qt AS (SELECT DISTINCT qid, token FROM qt0),
-        terms AS (
-          SELECT q.qid, p.doc_id, p.chunk_idx,
-            CAST(round(ln((n.n_chunks - d.df + 0.5) / (d.df + 0.5) + 1.0)
-              * ((p.tf * CAST(${bm25K1 + 1} AS DOUBLE))
-                 / (p.tf + CAST($bm25K1 AS DOUBLE)
-                    * (CAST(${1.0 - bm25B} AS DOUBLE)
-                       + CAST($bm25B AS DOUBLE) * p.len / n.avgdl)))
-              * 1e6) AS BIGINT) AS term6
-          FROM qt q JOIN tf p USING (token) JOIN dfq d USING (token), ns n),
-        sc AS (SELECT qid, doc_id, chunk_idx,
-                 CAST(sum(term6) AS BIGINT) AS bm25_6
-               FROM terms GROUP BY 1, 2, 3),
-        rankedb AS (
-          SELECT qid, doc_id, chunk_idx, bm25_6,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY bm25_6 DESC, doc_id, chunk_idx) AS INT) AS rk
-          FROM sc)
-        SELECT qid, rk, doc_id, chunk_idx, bm25_6 FROM rankedb
-        WHERE rk <= $s10K ORDER BY qid, rk"""
-
-  private lazy val s17Sql: String =
-    bm25SqlFor(s"doc_id < $s10QueryDocs")
-
-  private lazy val s18Sql: String =
-    bm25SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}")
-
-  /** s15 oracle: the SAME full-corpus serving SQL over the [8,16)
-    * query window — the refreshed index is row-identical to a full
-    * rebuild (encode is corpus-independent; spec pins the set
-    * equality), so the fold-in path must reproduce exactly what a
-    * rebuild would serve. */
-  private lazy val s15Sql: String =
-    s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}")
-
-  /** s26 oracle: the s10 serving SQL with the plane count dialed to
-    * [[s26Planes]] through the SAME parameterized generators — the
-    * geometry is the ONLY diff from [[s10Sql]] (the one-variable
-    * pattern on the re-bucket dimension). */
-  private lazy val s26Sql: String =
-    s10SqlFor(s"doc_id < $s10QueryDocs",
-      probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes)
-
-  /** S32 oracle: s26's serving SQL (the post-event served leg) and the
-    * bucketless exact variant of the SAME generator (the post-event
-    * ground truth), fused by s31's recall tail — the three pieces the
-    * engine composes, each already an oracled contract. */
-  private lazy val s32Sql: String = {
-    val exactSql = s10SqlFor(s"doc_id < $s10QueryDocs",
-      probeMasksSqlFor(1, s26Planes), "TRUE", s26Planes, bucketed = false)
-    s"""WITH served AS (
-          SELECT qid, doc_id, chunk_idx FROM ($s26Sql)),
-        exact AS (
-          SELECT qid, doc_id, chunk_idx FROM ($exactSql)),
-        hits AS (
-          SELECT q.qid, CAST(count(a.doc_id) AS BIGINT) AS n_hits
-          FROM (SELECT DISTINCT qid FROM exact) q
-          LEFT JOIN (
-            SELECT s.qid, s.doc_id FROM served s
-            JOIN exact e ON e.qid = s.qid AND e.doc_id = s.doc_id
-              AND e.chunk_idx = s.chunk_idx) a ON a.qid = q.qid
-          GROUP BY q.qid),
-        rec AS (
-          SELECT qid, n_hits,
-            round(CAST(n_hits AS DOUBLE) / $s10K, 6) AS recall
-          FROM hits),
-        mr AS (SELECT round(avg(recall), 6) AS mean_recall FROM rec)
-        SELECT r.qid, r.n_hits, r.recall, mr.mean_recall
-        FROM rec r CROSS JOIN mr ORDER BY r.qid"""
-  }
-
-  /** s29 oracle: the SAME parameterized generator with both gated
-    * dials set — s26's plane count and s22/s25's quality predicate. */
-  private lazy val s29Sql: String =
-    s10SqlFor(s"doc_id < $s10QueryDocs",
-      probeMasksSqlFor(1, s26Planes),
-      s"c3.quality_score >= $s22QualityFloor", s26Planes)
-
-  /** s24 oracle: the s15 serving SQL with the tombstone rule excluded
-    * in the index CTE — the delete predicate is the ONLY diff (the s22
-    * one-variable pattern), so the gate isolates exactly the fold:
-    * served-after-fold ≡ rebuild-minus-deleted. */
-  private[operators] lazy val s24Sql: String =
-    s10SqlFor(s"doc_id >= $s10QueryDocs AND doc_id < ${2 * s10QueryDocs}",
-      probeMasksSql,
-      s"NOT (c3.doc_id % $s24DelMod = $s24DelRes)")
-
-  /** s16 oracle: the s10 serving SQL as the dense leg, a relational
-    * TF-IDF inverted-index recompute as the sparse leg (tf per
-    * (token, chunk), df per token, idf in integer micro-nats — the
-    * exact-integer-sum contract), and the RRF arithmetic verbatim
-    * (CAST(1 AS DOUBLE) so DuckDB divides in DOUBLE, not DECIMAL). */
-  private lazy val s16Sql: String =
-    s"""WITH den AS (
-          SELECT qid, doc_id, chunk_idx, rk AS dense_rk FROM ($s10Sql)),
-        c3s AS (SELECT * FROM (${TextAnalysis.c3Sql})),
-        st AS (SELECT doc_id, chunk_idx,
-                 unnest(string_split(chunk_text, ' ')) AS token
-               FROM c3s),
-        tf AS (SELECT token, doc_id, chunk_idx,
-                 CAST(count(*) AS BIGINT) AS tf
-               FROM st GROUP BY 1, 2, 3),
-        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-                FROM tf GROUP BY 1),
-        nch AS (SELECT CAST(count(*) AS DOUBLE) AS n_chunks FROM c3s),
-        post AS (
-          SELECT tf.token, tf.doc_id, tf.chunk_idx, tf.tf,
-            CAST(round(ln(n.n_chunks / dfq.df) * 1e6) AS BIGINT) AS idf6
-          FROM tf JOIN dfq USING (token), nch n),
-        qt0 AS (
-          SELECT doc_id AS qid,
-            unnest(list_slice(string_split_regex(trim(text), '\\s+'), 1,
-              $s10QueryTokens)) AS token
-          FROM documents WHERE doc_id < $s10QueryDocs),
-        qt AS (SELECT DISTINCT qid, token FROM qt0),
-        ssc AS (
-          SELECT q.qid, p.doc_id, p.chunk_idx, sum(p.tf * p.idf6) AS ssc
-          FROM qt q JOIN post p USING (token) GROUP BY 1, 2, 3),
-        sp AS (
-          SELECT qid, doc_id, chunk_idx, sparse_rk FROM (
-            SELECT qid, doc_id, chunk_idx,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid
-                ORDER BY ssc DESC, doc_id, chunk_idx) AS INT) AS sparse_rk
-            FROM ssc)
-          WHERE sparse_rk <= $s10K),
-        $rrfFuseSqlTail"""
-
-  /** Shared RRF fusion SQL tail — appended after CTEs `den`
-    * (qid, doc_id, chunk_idx, dense_rk) and `sp` (…, sparse_rk); the
-    * verbatim arithmetic of [[rrfFuse]] (CAST(1 AS DOUBLE) so DuckDB
-    * divides in DOUBLE, not DECIMAL). Shared by the s16 and s19
-    * oracles so fusion semantics are written exactly once. */
-  private lazy val rrfFuseSqlTail: String =
-    s"""fu AS (
-          SELECT COALESCE(d.qid, s.qid) AS qid,
-            COALESCE(d.doc_id, s.doc_id) AS doc_id,
-            COALESCE(d.chunk_idx, s.chunk_idx) AS chunk_idx,
-            d.dense_rk, s.sparse_rk,
-            round(COALESCE(CAST(1 AS DOUBLE) / ($rrfK + d.dense_rk), 0)
-              + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + s.sparse_rk), 0), 6)
-              AS rrf
-          FROM den d FULL JOIN sp s
-            ON d.qid = s.qid AND d.doc_id = s.doc_id
-              AND d.chunk_idx = s.chunk_idx),
-        rankedf AS (
-          SELECT qid, doc_id, chunk_idx, rrf, dense_rk, sparse_rk,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY rrf DESC, doc_id, chunk_idx) AS INT) AS rk
-          FROM fu)
-        SELECT qid, rk, doc_id, chunk_idx, rrf, dense_rk, sparse_rk
-        FROM rankedf WHERE rk <= $s10K ORDER BY qid, rk"""
-
-  /** S30 oracle: per-doc chunk counts of the INDEX chain (the cidx
-    * CTE, not raw c3 chunks) under the two modular predicates —
-    * previous excludes the d11 arrival slice, current excludes the s24
-    * tombstones; the diff is the full-outer count comparison. cidx is
-    * the row basis by construction (round-17 advice): the engine
-    * snapshots [[retrievalIndex]], whose encode drops zero-norm chunks
-    * (cn > 0), so an oracle counting raw c3 chunks would diverge the
-    * moment any chunk embeds to the zero vector — both sides now share
-    * the cn > 0 predicate through the one cidx definition.
-    *
-    * PINNED CONTRACT (round-18 advice): the post-cn>0 INDEX chain is
-    * the INTENDED row basis for version diffs, not an artifact of
-    * aligning the oracle to the engine. A version diff answers "what
-    * changed in what the store SERVES"; zero-norm chunks are never
-    * servable (they cannot score under cosine), so counting them
-    * would report phantom adds/removes for rows no query can ever
-    * see. If a raw-corpus-chunk diff is ever wanted, it is a NEW
-    * operator over c3, not a redefinition of s30. Pinned by
-    * SimilaritySpec ("s30 row basis is the served index chain"). */
-  private lazy val s30Sql: String =
-    s"""WITH ${cidxCtes()},
-        ch AS (
-          SELECT doc_id, count(*) AS n
-          FROM cidx GROUP BY doc_id),
-        prev AS (SELECT doc_id, n FROM ch
-                 WHERE doc_id % ${Dedup.d11Mod} != ${Dedup.d11Res}),
-        curr AS (SELECT doc_id, n FROM ch
-                 WHERE doc_id % $s24DelMod != $s24DelRes)
-        SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
-          CAST(COALESCE(p.n, 0) AS BIGINT) AS n_prev,
-          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_curr,
-          CASE WHEN COALESCE(p.n, 0) = 0 THEN 'added'
-               ELSE 'removed' END AS change
-        FROM prev p FULL JOIN curr c ON p.doc_id = c.doc_id
-        WHERE COALESCE(p.n, 0) != COALESCE(c.n, 0)
-        ORDER BY 1"""
-
-  /** s19 oracle: the s10 dense serving SQL and the s17 BM25 SQL as
-    * leg subqueries (each already an oracled contract of its own
-    * gate), fused by the shared RRF tail — the oracle composes the
-    * SAME three pieces the engine does. */
-  private lazy val s19Sql: String =
-    s"""WITH den AS (
-          SELECT qid, doc_id, chunk_idx, rk AS dense_rk FROM ($s10Sql)),
-        sp AS (
-          SELECT qid, doc_id, chunk_idx, rk AS sparse_rk FROM ($s17Sql)),
-        $rrfFuseSqlTail"""
+object Similarity
+    extends SimilarityBase
+    with SimilarityAnn
+    with SimilarityRetrieval
+    with SimilarityStoreLifecycle
+    with SimilarityHybrid
+    with SimilaritySparse
+    with SimilarityOracles {
+
+  // Round-19 mechanical split (VERDICT r18 item 6): the family's
+  // members live in the six traits above — mixed in ORIGINAL file
+  // order, so runtime initialization order is unchanged — and the
+  // self-type on each keeps every cross-reference resolving against
+  // this one object. The registry maps below are the public seam.
 
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1CosineTopK,
