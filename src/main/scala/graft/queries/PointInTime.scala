@@ -313,7 +313,8 @@ object PointInTime {
     * Sinks.upsert: for every o_orderkey % 1000 == 0 the batch carries a
     * STALE update (seq 1, price+1) and a WINNING one (seq 2, price×2 —
     * the de-batch keep-last rule must pick it), plus inserts with fresh
-    * keys (o_orderkey + 10M) for every o_orderkey % 1500 == 0. The batch
+    * keys (o_orderkey + the derived keyspace offset, 10M at the
+    * committed scales) for every o_orderkey % 1500 == 0. The batch
     * is applied TWICE (idempotent re-run), the store read back in full.
     * Oracle reconstructs the merge declaratively: NOT-IN keep set UNION
     * winners UNION inserts. */
@@ -328,15 +329,19 @@ object PointInTime {
       .withColumn("o_year", year(col("o_orderdate")).cast("int"))
     graft.sources.Sinks.upsert(s, base.withColumn("__seq", lit(0L)), store,
       Seq("o_orderkey"), "__seq", "o_year")
-    // The insert branch shifts keys by +10M to guarantee freshness; on a
-    // corpus whose keyspace reaches 10M an insert could collide with an
-    // existing key (upsert keep-last would collapse it, the oracle's
-    // UNION ALL would not) — enforce the assumption instead of leaving
-    // it latent.
+    // The insert branch shifts keys to guarantee freshness. A FIXED
+    // +10M shift collides once the keyspace reaches 10M (the round-19
+    // sf10 sweep hit exactly that fail-fast), so the offset is now
+    // DERIVED: the smallest power of 10 strictly above max(o_orderkey),
+    // floored at the historical 10M so every committed scale keeps its
+    // byte-identical output. The oracle recomputes the identical rule
+    // (double log10/ceil on both sides — exact at these magnitudes).
     val maxKey =
       base.agg(max(col("o_orderkey"))).head.getAs[Number](0).longValue
-    require(maxKey < 10000000L,
-      s"i4 insert offset 10000000 would collide: max(o_orderkey)=$maxKey")
+    val offset = math.max(10000000L,
+      math.pow(10, math.ceil(math.log10(maxKey.toDouble + 1))).toLong)
+    require(offset > maxKey,
+      s"i4 insert offset $offset would collide: max(o_orderkey)=$maxKey")
     val hit = base.filter(col("o_orderkey") % 1000 === 0)
     val updates = hit
       .withColumn("o_totalprice", col("o_totalprice") + 1.0)
@@ -345,7 +350,7 @@ object PointInTime {
         .withColumn("o_totalprice", col("o_totalprice") * 2.0)
         .withColumn("__seq", lit(2L)))
       .unionByName(base.filter(col("o_orderkey") % 1500 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(offset))
         .withColumn("__seq", lit(1L)))
     graft.sources.Sinks.upsert(s, updates, store,
       Seq("o_orderkey"), "__seq", "o_year")
@@ -403,12 +408,16 @@ object PointInTime {
   }
 
   private val upsertOracle: String =
-    """WITH winners AS (
+    """WITH ofs AS (
+         SELECT GREATEST(10000000, CAST(POWER(10, CEIL(LOG10(
+           CAST(MAX(o_orderkey) + 1 AS DOUBLE)))) AS BIGINT)) AS off
+         FROM orders),
+       winners AS (
          SELECT o_orderkey, o_custkey, o_orderstatus,
            o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 1000 = 0),
        inserts AS (
-         SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         SELECT o_orderkey + (SELECT off FROM ofs) AS o_orderkey, o_custkey,
            o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
          FROM orders WHERE o_orderkey % 1500 = 0),
        upd AS (SELECT * FROM winners UNION ALL SELECT * FROM inserts),
