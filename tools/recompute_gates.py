@@ -24,8 +24,11 @@ re-running.
 
 QUIET-RUN ENFORCEMENT (round-19, VERDICT r18 item 2): a campaign run
 is quiet only when BOTH probes sit within 1.10x of the campaign's own
-quietest run (relative basis — comparing to the stale committed
-anchor would reject every run after a deliberate re-anchor). Flagged
+MEDIAN probe (a relative basis — comparing to the stale committed
+anchor would reject every run after a deliberate re-anchor; the
+median rather than the minimum because one outlier-FAST probe — an
+idle-turbo artifact — must not flag ordinary runs as contended, only
+genuinely slower-than-center runs). Flagged
 runs abort the recompute so the elementwise-max policy cannot fold
 transient IO weather into the committed values (the round-18
 episode); pass --allow-flagged to accept them deliberately and
@@ -66,17 +69,20 @@ for p in runs:
     datas.append(d)
 
 # Quiet-run enforcement: both probes within 1.10x of the campaign's
-# quietest run, or the recompute aborts (see module doc).
-min_cpu = min(d["calib_sec"] for d in datas)
-min_io = min(d["calib_io_sec"] for d in datas)
+# MEDIAN probe, or the recompute aborts (see module doc).
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+med_cpu = median([d["calib_sec"] for d in datas])
+med_io = median([d["calib_io_sec"] for d in datas])
 flagged = []
 for p, d in zip(runs, datas):
-    r_cpu = d["calib_sec"] / min_cpu
-    r_io = d["calib_io_sec"] / min_io
+    r_cpu = d["calib_sec"] / med_cpu
+    r_io = d["calib_io_sec"] / med_io
     if r_cpu > 1.10 or r_io > 1.10:
         flagged.append(f"{p}: calib {d['calib_sec']:.3f} ({r_cpu:.2f}x "
-                       f"quietest), calib_io {d['calib_io_sec']:.3f} "
-                       f"({r_io:.2f}x quietest)")
+                       f"median), calib_io {d['calib_io_sec']:.3f} "
+                       f"({r_io:.2f}x median)")
 if flagged:
     msg = "non-quiet campaign runs:\n  " + "\n  ".join(flagged)
     if allow_flagged:
