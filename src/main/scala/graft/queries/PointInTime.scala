@@ -334,12 +334,17 @@ object PointInTime {
     // sf10 sweep hit exactly that fail-fast), so the offset is now
     // DERIVED: the smallest power of 10 strictly above max(o_orderkey),
     // floored at the historical 10M so every committed scale keeps its
-    // byte-identical output. The oracle recomputes the identical rule
-    // (double log10/ceil on both sides — exact at these magnitudes).
+    // byte-identical output. Derived from the DECIMAL DIGIT COUNT, not
+    // floating log10 (round-19 ADVICE): Math.log10 is exact at powers
+    // of 10 on the JVM but DuckDB's LOG10 is libm-dependent, so at
+    // maxKey+1 = 10^k the two CEILs could disagree by 1 and shift one
+    // side's insert keys 10×. 10^len(maxKey) is integer-exact in both
+    // engines (oracle: POWER(10, LENGTH(CAST(... AS VARCHAR)))) and
+    // equals the old rule everywhere: smallest power of 10 > maxKey.
     val maxKey =
       base.agg(max(col("o_orderkey"))).head.getAs[Number](0).longValue
     val offset = math.max(10000000L,
-      math.pow(10, math.ceil(math.log10(maxKey.toDouble + 1))).toLong)
+      BigInt(10).pow(maxKey.toString.length).toLong)
     require(offset > maxKey,
       s"i4 insert offset $offset would collide: max(o_orderkey)=$maxKey")
     val hit = base.filter(col("o_orderkey") % 1000 === 0)
@@ -409,8 +414,8 @@ object PointInTime {
 
   private val upsertOracle: String =
     """WITH ofs AS (
-         SELECT GREATEST(10000000, CAST(POWER(10, CEIL(LOG10(
-           CAST(MAX(o_orderkey) + 1 AS DOUBLE)))) AS BIGINT)) AS off
+         SELECT GREATEST(10000000, CAST(POWER(10,
+           LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT)) AS off
          FROM orders),
        winners AS (
          SELECT o_orderkey, o_custkey, o_orderstatus,
