@@ -842,24 +842,46 @@ object MlQueries {
     // fit is bit-deterministic, so the importance vector and the
     // trajectory frame are stable goldens; dispatch rides the same
     // DuckDB-recomputable n_oot key as m5.
+    // Unharvested-scale guard (round-19 ADVICE): at a scale whose n_oot
+    // key is not in the goldens the dispatch WHERE used to yield ZERO
+    // oracle rows against real engine rows — a bare full-diff hash
+    // mismatch. The UNION'd guard row (derived from the goldens' own
+    // key set, so adding a scale extends it automatically) makes the
+    // oracle emit one explicit re-harvest instruction row instead.
     "m2_feature_importance" ->
-      s"""WITH $abtSql
+      s"""WITH $abtSql,
+            k AS (SELECT CAST(count(*) AS BIGINT) AS n_oot
+                  FROM abt WHERE yr = 1998)
           SELECT CAST(v.n_oot AS BIGINT) AS n_oot, v.feature,
             CAST(v.importance AS DOUBLE) AS importance
           FROM (VALUES
             $m2Goldens) v(n_oot, feature, importance)
-          WHERE v.n_oot = (SELECT count(*) FROM abt WHERE yr = 1998)
-          ORDER BY v.importance DESC, v.feature""",
+          WHERE v.n_oot = (SELECT n_oot FROM k)
+          UNION ALL
+          SELECT k.n_oot,
+            'UNHARVESTED_SCALE: n_oot not in goldens - re-harvest via runMain graft.tools.QDump m2_feature_importance <sfDir> (twice, byte-identical) and extend m2Goldens',
+            0.0
+          FROM k WHERE k.n_oot NOT IN (SELECT CAST(g.n_oot AS BIGINT)
+            FROM (VALUES $m2Goldens) g(n_oot, feature, importance))
+          ORDER BY importance DESC, feature""",
     "m3_top_trajectories" ->
-      s"""WITH $abtSql
+      s"""WITH $abtSql,
+            k AS (SELECT CAST(count(*) AS BIGINT) AS n_oot
+                  FROM abt WHERE yr = 1998)
           SELECT CAST(v.n_oot AS BIGINT) AS n_oot,
             CAST(v.o_custkey AS VARCHAR) AS o_custkey,
             CAST(v.yr AS INT) AS yr,
             CAST(v.p_pct AS DOUBLE) AS p_pct
           FROM (VALUES
             $m3Goldens) v(n_oot, o_custkey, yr, p_pct)
-          WHERE v.n_oot = (SELECT count(*) FROM abt WHERE yr = 1998)
-          ORDER BY v.yr, v.o_custkey""",
+          WHERE v.n_oot = (SELECT n_oot FROM k)
+          UNION ALL
+          SELECT k.n_oot,
+            'UNHARVESTED_SCALE: n_oot not in goldens - re-harvest via runMain graft.tools.QDump m3_top_trajectories <sfDir> (twice, byte-identical) and extend m3Goldens',
+            0, 0.0
+          FROM k WHERE k.n_oot NOT IN (SELECT CAST(g.n_oot AS BIGINT)
+            FROM (VALUES $m3Goldens) g(n_oot, o_custkey, yr, p_pct))
+          ORDER BY yr, o_custkey""",
     "m5_score_histogram" ->
       s"""WITH $abtSql
           SELECT CAST(v.n_oot AS BIGINT) AS n_oot, v.bin,
