@@ -139,6 +139,54 @@ object MediaDecode {
     * order). */
   case class Pixels(width: Int, height: Int, rgb: Array[Byte])
 
+  /** Format tag for the COMPRESSED image formats [[decodeCompressedPixels]]
+    * accepts (magic-sniffed, same fail-loud contract as [[decode]]). */
+  def compressedFormat(b: Array[Byte]): String = {
+    require(b.length >= 4, s"payload too short: ${b.length}B")
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "jpg"
+    else throw new IllegalArgumentException(
+      s"not a supported compressed image (magic ${b.take(4).mkString(",")})")
+  }
+
+  /** COMPRESSED image decode (round-20, VERDICT r19 item 5): JPEG/PNG —
+    * the formats a production corpus actually carries — through
+    * javax.imageio (in the JDK, zero new dependencies), normalized to
+    * the SAME canonical top-down RGB raster as [[decodePixels]], so the
+    * md5/mean/resize machinery downstream is format-blind. PNG is
+    * lossless (decoded raster == planted pixels, bit-exact on any
+    * compliant decoder — its oracle is analytic); JPEG's raster is
+    * decoder-dependent, so its oracle values are harvested goldens of
+    * the committed JDK decoder output (the m2Goldens discipline).
+    * Undecodable payloads throw, same quarantine contract as
+    * [[decode]]. */
+  def decodeCompressedPixels(b: Array[Byte]): Pixels = {
+    compressedFormat(b) // magic validation, fail-loud
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "ImageIO could not decode compressed payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w > 0 && h > 0, s"degenerate geometry ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // getRGB normalizes any underlying raster layout to sRGB ARGB
+        val p = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = ((p >> 16) & 0xff).toByte
+        out(o + 1) = ((p >> 8) & 0xff).toByte
+        out(o + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, out)
+  }
+
   /** Pixel extraction for the image formats [[decode]] accepts, same
     * validation. Canonical layout per [[Pixels]]. */
   def decodePixels(b: Array[Byte]): Pixels = {

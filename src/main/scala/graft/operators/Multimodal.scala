@@ -257,6 +257,49 @@ object Multimodal {
       }.toDF().orderBy("file", "frame_idx")
   }
 
+  /** Committed COMPRESSED media fixtures (tools/GenCompressedMedia —
+    * planted-pixel PNG + JPEG; derivations in its scaladoc). Separate
+    * dir from [[mediaFixtureDir]]: the x1/x2 media table keys payloads
+    * by doc_id % 5 over that dir's 5-file listing, which must not
+    * change. */
+  val compressedFixtureDir = "/root/repo/fixtures/media_compressed"
+
+  /** One row of [[x6CompressedMedia]] output. */
+  case class CompressedRow(file: String, format: String, width: Int,
+                           height: Int, mean_intensity: Double,
+                           pix_md5: String)
+
+  /** X6: COMPRESSED image decode — JPEG/PNG, the formats a production
+    * image corpus actually carries (round-20; the x3 battery covers the
+    * raw/uncompressed formats) — via javax.imageio (in the JDK, zero
+    * new dependencies), through the same injectable mapPartitions shape
+    * as x3 and the same canonical top-down-RGB raster contract as
+    * x4: per file emit the geometry, the raster mean intensity, and the
+    * md5 of the canonical raster bytes — the md5 pins the full pixel
+    * stream, which mean/geometry alone cannot. Oracle: PNG rows are
+    * ANALYTIC (lossless — any compliant decoder recovers the planted
+    * raster bit-exactly); JPEG rows are harvested goldens of the
+    * committed JDK decoder output (lossy decode is decoder-defined —
+    * the m2Goldens discipline, re-harvest on a JDK change). */
+  def x6CompressedMedia: Q = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile").load(compressedFixtureDir)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, bytes) =>
+          val p = MediaDecode.decodeCompressedPixels(bytes)
+          val sum = p.rgb.foldLeft(0L)((a, v) => a + (v & 0xff))
+          val md =
+            java.security.MessageDigest.getInstance("MD5").digest(p.rgb)
+          CompressedRow(f, MediaDecode.compressedFormat(bytes), p.width,
+            p.height, (sum.toDouble / p.rgb.length) / 255.0,
+            md.map("%02x".format(_)).mkString)
+        }
+      }.toDF().orderBy("file")
+  }
+
   /** X2: metadata-pushdown scan — filter/aggregate over the typed meta
     * struct WITHOUT touching payloads (at scale this is the pruning that
     * keeps media scans cheap: parquet reads only meta columns). */
@@ -273,6 +316,7 @@ object Multimodal {
     "x3_decoded_media" -> x3DecodedMedia,
     "x4_resized_media" -> x4ResizedMedia,
     "x5_frame_sample" -> x5FrameSample,
+    "x6_compressed_media" -> x6CompressedMedia,
   )
 
   val oracle: Map[String, String] = Map(
@@ -342,6 +386,27 @@ object Multimodal {
            ('tone.wav',   4, 50.0, 0.5))
          t(file, frame_idx, frame_ms, level)
          ORDER BY file, frame_idx""",
+    // x6: png row is ANALYTIC — PNG is lossless, so the decoded raster
+    // equals tools/GenCompressedMedia's planted pixels: ΣRGB = 1400
+    // over 24 bytes → (1400.0/24)/255 (identical IEEE ops both
+    // engines), md5 = md5 of the planted top-down RGB stream (the
+    // generator prints both; the engine's decode REPRODUCED them —
+    // decoder-independent ground truth). jpg row is a HARVESTED golden
+    // of the committed JDK ImageIO decode (lossy decode is
+    // decoder-defined): QDump x6_compressed_media 2026-08-16, two
+    // fresh-JVM runs byte-identical; re-harvest on a JDK change. The
+    // planted JPEG's mean decoding to exactly 120/255 (the planted
+    // per-channel average) is JPEG preserving the block DC term.
+    "x6_compressed_media" ->
+      """SELECT file, format, width, height,
+           CAST(mean_intensity AS DOUBLE) AS mean_intensity, pix_md5
+         FROM (VALUES
+           ('jpg16x16.jpg', 'jpg', 16, 16, 0.47058823529411764,
+            'd5516254bd0782927c6bb95404dd87bf'),
+           ('png4x2.png',   'png', 4,  2,  (1400.0/24)/255,
+            '8ef8577c73e8a098fd1c29d07aa221ec'))
+         t(file, format, width, height, mean_intensity, pix_md5)
+         ORDER BY file""",
     // media_type mirrors mediaTable's doc_id % 5 payload assignment
     // (files in name order: gray.bmp, rgb.ppm, stereo.wav, tint.bmp,
     // tone.wav — indices 2 and 4 are audio).

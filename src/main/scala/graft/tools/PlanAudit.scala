@@ -73,6 +73,8 @@ object PlanAudit {
     "c6_funnel_drift",   // one disposition pass -> O(sources x stages) bins -> metadata-scale PSI
     "z2_zorder_ranges",  // BIGMIN ranges as BETWEEN partition filters — the 2^20-grid serving form
     "z3_zorder_tick",    // incremental z-fold: tick under persisted bounds, maintenance fold, range-pruned serve
+    "t11_bigram_lm",     // prof3-shaped: bounded-pair model agg + broadcast scoring, one per-doc shuffle (r20)
+    "x6_compressed_media", // ImageIO JPEG/PNG decode in the injectable mapPartitions shape
   )
 
   def main(args: Array[String]): Unit = {

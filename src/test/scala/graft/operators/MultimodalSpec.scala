@@ -152,6 +152,47 @@ class MultimodalSpec extends SparkSpec {
     assert(custom.map(_.getString(0)).toSeq === Seq("k"))
   }
 
+  test("x6: ImageIO compressed decode — PNG recovers the PLANTED raster " +
+    "bit-exactly; JPEG matches the committed-decoder goldens") {
+    def bytes(name: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Multimodal.compressedFixtureDir, name))
+    // PNG is lossless: the decoded canonical raster must equal the
+    // generator's planted pixel formula exactly (decoder-independent)
+    val png = MediaDecode.decodeCompressedPixels(bytes("png4x2.png"))
+    assert((png.width, png.height) === (4, 2))
+    val planted = for {
+      y <- 0 until 2; x <- 0 until 4
+      c <- Seq(40 * x + 10, 40 * y + 20, 20 * x + 10 * y + 30)
+    } yield c.toByte
+    assert(png.rgb.toSeq === planted)
+    assert(MediaDecode.compressedFormat(bytes("png4x2.png")) === "png")
+    // JPEG: lossy — pinned to the committed JDK decoder's harvested
+    // goldens (QDump 2026-08-16, two fresh-JVM runs byte-identical;
+    // re-harvest here AND in the x6 oracle on a JDK change), plus the
+    // decoder-independent invariant that the smooth gradient's mean
+    // stays within 1/255 of the planted per-channel average (120/255)
+    val jpg = MediaDecode.decodeCompressedPixels(bytes("jpg16x16.jpg"))
+    assert((jpg.width, jpg.height) === (16, 16))
+    assert(MediaDecode.compressedFormat(bytes("jpg16x16.jpg")) === "jpg")
+    val mean = jpg.rgb.foldLeft(0L)((a, v) => a + (v & 0xff)).toDouble /
+      jpg.rgb.length / 255.0
+    assert(math.abs(mean - 120.0 / 255) < 1.0 / 255)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(jpg.rgb)
+      .map("%02x".format(_)).mkString
+    assert(md5 === "d5516254bd0782927c6bb95404dd87bf")
+    // fail-loud contract: non-compressed magic throws
+    intercept[IllegalArgumentException] {
+      MediaDecode.decodeCompressedPixels(Array[Byte]('B', 'M', 0, 0, 0))
+    }
+    // gated query runs both files through the mapPartitions path
+    val rows = Multimodal.x6CompressedMedia(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("file")).toSeq ===
+      Seq("jpg16x16.jpg", "png4x2.png"))
+    assert(rows.map(_.getAs[String]("pix_md5")).toSeq ===
+      Seq("d5516254bd0782927c6bb95404dd87bf",
+        "8ef8577c73e8a098fd1c29d07aa221ec"))
+  }
+
   test("x2 meta stats reads only metadata (payload pruned from scan)") {
     val plan = Multimodal.x2MetaStats(spark, dir)
       .queryExecution.executedPlan.toString
