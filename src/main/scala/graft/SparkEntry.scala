@@ -12,21 +12,40 @@ import graft.queries.{Events, MlQueries, Pipeline, PointInTime, Profile, Relatio
   */
 object SparkEntry {
 
-  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
-                            Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracle),
-    (PointInTime.queries, PointInTime.oracle),
-    (Events.queries, Events.oracle),
-    (Pipeline.queries, Pipeline.oracle),
-    (MlQueries.queries, MlQueries.oracle),
-    (TextAnalysis.queries, TextAnalysis.oracleAll),
-    (Dedup.queries, Dedup.oracle),
-    (Similarity.queries, Similarity.oracle),
-    (Multimodal.queries, Multimodal.oracle),
-    (AsOfJoin.queries, AsOfJoin.oracle),
-    (RangeJoin.queries, RangeJoin.oracle),
-    (Profile.queries, Profile.oracle),
-    (ZOrder.queries, ZOrder.oracle),
+  /** One registry module: name + its defining source path (for the
+    * generated REGISTRY.md index) + its query/oracle maps. */
+  private[graft] case class Module(
+      name: String, src: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracle: Map[String, String])
+
+  private[graft] val modules: Seq[Module] = Seq(
+    Module("Relational", "src/main/scala/graft/queries/Relational.scala",
+      Relational.queries, Relational.oracle),
+    Module("PointInTime", "src/main/scala/graft/queries/PointInTime.scala",
+      PointInTime.queries, PointInTime.oracle),
+    Module("Events", "src/main/scala/graft/queries/Events.scala",
+      Events.queries, Events.oracle),
+    Module("Pipeline", "src/main/scala/graft/queries/Pipeline.scala",
+      Pipeline.queries, Pipeline.oracle),
+    Module("MlQueries", "src/main/scala/graft/queries/MlQueries.scala",
+      MlQueries.queries, MlQueries.oracle),
+    Module("TextAnalysis", "src/main/scala/graft/operators/TextAnalysis.scala",
+      TextAnalysis.queries, TextAnalysis.oracleAll),
+    Module("Dedup", "src/main/scala/graft/operators/Dedup.scala",
+      Dedup.queries, Dedup.oracle),
+    Module("Similarity", "src/main/scala/graft/operators/Similarity*.scala",
+      Similarity.queries, Similarity.oracle),
+    Module("Multimodal", "src/main/scala/graft/operators/Multimodal.scala",
+      Multimodal.queries, Multimodal.oracle),
+    Module("AsOfJoin", "src/main/scala/graft/operators/AsOfJoin.scala",
+      AsOfJoin.queries, AsOfJoin.oracle),
+    Module("RangeJoin", "src/main/scala/graft/operators/RangeJoin.scala",
+      RangeJoin.queries, RangeJoin.oracle),
+    Module("Profile", "src/main/scala/graft/queries/Profile.scala",
+      Profile.queries, Profile.oracle),
+    Module("ZOrder", "src/main/scala/graft/operators/ZOrder.scala",
+      ZOrder.queries, ZOrder.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -35,10 +54,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+    modules.map(_.queries).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+    modules.map(_.oracle).reduce(_ ++ _)
 }

@@ -52,9 +52,9 @@ class SparkEntrySpec extends AnyFunSuite {
   test("registry names are unique across modules (no silent override)") {
     // Map ++ silently keeps the last binding on a key collision — the
     // merged sizes must equal the per-module sums.
-    assert(SparkEntry.modules.map(_._1.size).sum === SparkEntry.queries.size,
+    assert(SparkEntry.modules.map(_.queries.size).sum === SparkEntry.queries.size,
       "duplicate query name across modules")
-    assert(SparkEntry.modules.map(_._2.size).sum === SparkEntry.oracleSql.size,
+    assert(SparkEntry.modules.map(_.oracle.size).sum === SparkEntry.oracleSql.size,
       "duplicate oracle name across modules")
   }
 }
