@@ -77,7 +77,11 @@ object Bench {
     * host's IO weather. */
   def calibrationProbeIo(spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions._
-    val dir = sys.props("java.io.tmpdir") +
+    // "file:"-qualified (round-19 ADVICE): a scheme-less tmpdir path
+    // resolves against fs.defaultFS, so on a non-local-FS session the
+    // 'local filesystem/page-cache' probe would silently measure the
+    // shared FS — the same scheme-resolution trap StoreFs.base pins.
+    val dir = "file:" + sys.props("java.io.tmpdir") +
       s"/graft-calib-io-${ProcessHandle.current.pid}"
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -125,19 +129,36 @@ object Bench {
       caught.merge(name, List(entry),
         (old, add) => (old ++ add).take(4))
     }
-    // Pass 1: full-battery warmup (untimed). Errors here are not fatal —
-    // the timed passes record them properly.
+    // Pass 1: full-battery warmup (untimed as a gate basis, but PER-QUERY
+    // TIMED for observability — round-19 VERDICT item 2: warmup grew
+    // 489.8 → 575.6 s at sf0.1 while the battery shrank, and the fused
+    // untimed pass could not say which shared artifact build moved. The
+    // per-query map (warmup_queries) + warmup_top10 land in the full
+    // JSON so a ceiling drift is attributable to a stage. Errors here
+    // are not fatal — the timed passes record them properly.
     val t0w = System.nanoTime()
-    names.foreach { n =>
+    val warmupQueries = names.map { n =>
+      val t0 = System.nanoTime()
       try run(n) catch { case e: Throwable => recordCaught("warmup", n, e) }
+      n -> (System.nanoTime() - t0) / 1e9
     }
     val warmupSec = (System.nanoTime() - t0w) / 1e9
-    // Calibration AFTER warmup (probe runs on the same JVM state the
-    // timed passes see), BEFORE the passes (so a contention wave during
-    // the passes still shows up in per-pass spread, while the probe
-    // anchors the host's speed at measurement start).
-    val calibSec = calibrationProbe(spark)
-    val calibIoSec = calibrationProbeIo(spark)
+    // Calibration probes run in THREE WINDOWS (round-19 VERDICT item 1):
+    // the committed BENCH_r19 run proved a single post-warmup window can
+    // misread — its CPU probe caught a transient spike (2.6× anchor)
+    // that the 3×167-query battery never saw (battery ran 7% FASTER
+    // than r18, IO probe quiet), and the host_factor = max(ratios) rule
+    // would have excused a genuine ≤2.6× regression on such a run.
+    // Window 0 fires after warmup (same JVM state the timed passes
+    // see), windows 1-2 between the timed passes; the REPORTED
+    // calib_sec / calib_io_sec are the MEDIANS of the three windows
+    // (the host-factor rule reads them), the per-window arrays ride
+    // along, and recompute_gates.py flags intra-run spread >1.3× as
+    // "unreliable — re-run". Each window is itself min-of-3 on a
+    // probe-warmed JVM (unchanged per-window methodology).
+    def probeWindow(): (Double, Double) =
+      (calibrationProbe(spark), calibrationProbeIo(spark))
+    val w0 = probeWindow()
     // Passes 2-4: timed; report the per-query min.
     def timedPass(tag: String): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
@@ -145,7 +166,17 @@ object Bench {
         catch { case e: Throwable => recordCaught(tag, name, e); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val passes = (1 to 3).map(i => timedPass(s"pass$i"))
+    val pass1 = timedPass("pass1")
+    val w1 = probeWindow()
+    val pass2 = timedPass("pass2")
+    val w2 = probeWindow()
+    val pass3 = timedPass("pass3")
+    val passes = Seq(pass1, pass2, pass3)
+    val calibWindows = Seq(w0._1, w1._1, w2._1)
+    val calibIoWindows = Seq(w0._2, w1._2, w2._2)
+    def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+    val calibSec = median3(calibWindows)
+    val calibIoSec = median3(calibIoWindows)
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = passes.map(_(i)._2)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -186,8 +217,17 @@ object Bench {
         jstr(k) + ":" + vs.map(jstr).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    def arr(xs: Seq[Double]): String = xs.map(f3).mkString("[", ",", "]")
+    val warmupJson = warmupQueries
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val warmupTop10 = warmupQueries.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val probesJson =
+      s""""calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"calib_windows":${arr(calibWindows)},"calib_io_windows":${arr(calibIoWindows)}"""
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"n_caught":$nCaught,"caught":${caughtJson(caughtSorted)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"n_queries":${names.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"n_caught":$nCaught,"caught":${caughtJson(caughtSorted)},"warmup_sec":${f3(warmupSec)},"warmup_queries":$warmupJson,"warmup_top10":$warmupTop10,$probesJson,"n_queries":${names.size},"sf":"$sfDir"}"""
     // The driver captures a BOUNDED stdout window (~2000 chars, tail):
     // the full 108-query map + per-pass arrays is ~6 KB, so a single fat
     // line arrives tail-only and unparseable (BENCH_r05/r08 lesson:
@@ -228,7 +268,7 @@ object Bench {
         // bounded caught summary: first 3 entries, message pre-truncated
         // — the count + full map are always in queries_file
         def compactLine(caughtEntries: Seq[(String, List[String])]): String =
-          s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":$nCaught,"caught":${caughtJson(caughtEntries)},"warmup_sec":${f3(warmupSec)},"calib_sec":${f3(calibSec)},"calib_io_sec":${f3(calibIoSec)},"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
+          s"""{"metric":"total","value":${f3(total)},"unit":"sec","family_sums":$fams,"n_errors":${errors.size},"errors":$errCompact,"n_caught":$nCaught,"caught":${caughtJson(caughtEntries)},"warmup_sec":${f3(warmupSec)},$probesJson,"n_queries":${names.size},"sf":"$sfDir","per_query_note":"full per-query map + per-pass times + warmup_queries in queries_file (stdout capture is ~2000 chars; ${names.size} entries do not fit)","queries_file":"$fullPath"}"""
         val withCaught = compactLine(
           caughtSorted.take(3).map { case (k, vs) =>
             k -> vs.take(1).map(_.take(120)) })

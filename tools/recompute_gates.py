@@ -34,7 +34,33 @@ transient IO weather into the committed values (the round-18
 episode); pass --allow-flagged to accept them deliberately and
 document why in BASELINE.md.
 
-Usage: python3 tools/recompute_gates.py [--warmup-worst SEC] [--allow-flagged] out.json run1.json run2.json ...
+MULTI-WINDOW PROBES (round-20, VERDICT r19 item 1): Bench now runs
+each probe in THREE windows (post-warmup + between the timed passes)
+and reports the MEDIAN as calib_sec / calib_io_sec plus the raw
+calib_windows / calib_io_windows arrays. A run whose intra-run window
+spread (max/min) exceeds 1.3x on either probe is UNRELIABLE — the
+committed BENCH_r19 failure mode: one transient spike in a lone probe
+window misstates the host factor for the whole run — and aborts the
+recompute (--allow-flagged to override).
+
+RE-ANCHOR GUARD (round-20, round-19 ADVICE): the quiet-run rule above
+is RELATIVE (campaign median), so a UNIFORMLY contended campaign —
+every run inflated, the round-18 ~13% episode — passes it unflagged.
+When out.json already carries committed calib_ref_sec /
+calib_io_ref_sec anchors and the campaign median deviates >1.10x from
+either (EITHER direction — slower folds weather into the gates,
+faster writes gates a normal host breaches), the recompute aborts
+unless --re-anchor is passed, so whole-campaign weather is surfaced
+rather than silently re-anchored.
+
+WARMUP OBSERVABILITY (round-20, VERDICT r19 item 2): runs carrying
+the per-query warmup_queries map get a warmup top-10 report (max
+across runs), and movers vs a basis file's warmup_queries
+(--warmup-basis PATH, e.g. the previous round's committed
+BENCH_FULL_sf0.1.json) are listed so a warmup-ceiling drift is
+attributable to a stage.
+
+Usage: python3 tools/recompute_gates.py [--warmup-worst SEC] [--allow-flagged] [--re-anchor] [--warmup-basis PATH] out.json run1.json run2.json ...
 """
 import json
 import math
@@ -46,6 +72,8 @@ if not args:
     sys.exit(__doc__)
 warmup_worst = None
 allow_flagged = False
+re_anchor = False
+warmup_basis = None
 while args and args[0].startswith("--"):
     if args[0] == "--warmup-worst":
         warmup_worst = float(args[1])
@@ -53,6 +81,12 @@ while args and args[0].startswith("--"):
     elif args[0] == "--allow-flagged":
         allow_flagged = True
         args = args[1:]
+    elif args[0] == "--re-anchor":
+        re_anchor = True
+        args = args[1:]
+    elif args[0] == "--warmup-basis":
+        warmup_basis = args[1]
+        args = args[2:]
     else:
         sys.exit(f"unknown flag {args[0]}")
 out_path, runs = args[0], args[1:]
@@ -83,6 +117,18 @@ for p, d in zip(runs, datas):
         flagged.append(f"{p}: calib {d['calib_sec']:.3f} ({r_cpu:.2f}x "
                        f"median), calib_io {d['calib_io_sec']:.3f} "
                        f"({r_io:.2f}x median)")
+    # Intra-run probe-window spread (multi-window probes, round-20):
+    # a lone spiked window inside an otherwise-quiet run makes the
+    # run's host factor unreliable — BENCH_r19's committed run read a
+    # 2.6x CPU probe while its battery ran 7% FASTER than r18.
+    for field, label in (("calib_windows", "calib"),
+                         ("calib_io_windows", "calib_io")):
+        ws = d.get(field)
+        if ws and min(ws) > 0 and max(ws) / min(ws) > 1.3:
+            flagged.append(
+                f"{p}: {label} windows {[round(w, 3) for w in ws]} "
+                f"spread {max(ws) / min(ws):.2f}x > 1.3x — unreliable "
+                "probe, re-run")
 if flagged:
     msg = "non-quiet campaign runs:\n  " + "\n  ".join(flagged)
     if allow_flagged:
@@ -91,6 +137,32 @@ if flagged:
         sys.exit(f"ABORT: {msg}\n"
                  "re-run the flagged runs on a quiet host, or pass "
                  "--allow-flagged to fold them in deliberately")
+
+# Re-anchor guard (round-19 ADVICE): uniform whole-campaign weather is
+# invisible to the relative quiet-run rule above — compare the campaign
+# medians against the PREVIOUSLY COMMITTED anchors and require an
+# explicit --re-anchor when either deviates >1.10x in either direction.
+if not re_anchor and os.path.exists(out_path):
+    try:
+        prev = json.load(open(out_path))
+    except (ValueError, OSError):
+        prev = {}
+    drifted = []
+    for ref_key, med, label in (("calib_ref_sec", med_cpu, "calib"),
+                                ("calib_io_ref_sec", med_io, "calib_io")):
+        ref = prev.get(ref_key)
+        if ref and not (1 / 1.10 <= med / ref <= 1.10):
+            drifted.append(f"{label} campaign median {med:.3f} vs "
+                           f"committed {ref_key} {ref:.3f} "
+                           f"({med / ref:.2f}x)")
+    if drifted:
+        sys.exit("ABORT: whole-campaign probe drift vs committed "
+                 "anchors:\n  " + "\n  ".join(drifted) + "\n"
+                 "the relative quiet-run rule cannot see uniform "
+                 "contention (round-18 episode) — re-run on a quiet "
+                 "host, or pass --re-anchor to deliberately adopt the "
+                 "new anchors and document the host change in "
+                 "BASELINE.md")
 
 # The warmup ceiling is CROSS-HOST calibrated (BASELINE.md): without an
 # explicit --warmup-worst, never silently tighten below the previously
@@ -141,6 +213,27 @@ gate = {
     "calib_io_ref_sec": calib_io_ref,
     "sf": datas[0]["sf"],
 }
+# Warmup observability (VERDICT r19 item 2): report where the untimed
+# warmup pass spends its time, and the top movers vs an optional basis.
+wq_runs = [d.get("warmup_queries") for d in datas if d.get("warmup_queries")]
+if wq_runs:
+    wq_max = {q: max(w[q] for w in wq_runs if q in w)
+              for q in {k for w in wq_runs for k in w}}
+    top = sorted(wq_max.items(), key=lambda kv: -kv[1])[:10]
+    print("warmup top-10 (max across runs): " +
+          ", ".join(f"{q} {t:.1f}s" for q, t in top))
+    if warmup_basis and os.path.exists(warmup_basis):
+        base = json.load(open(warmup_basis)).get("warmup_queries", {})
+        movers = sorted(((q, base[q], t) for q, t in wq_max.items()
+                         if q in base and base[q] >= 1.0
+                         and t / base[q] > 1.5),
+                        key=lambda x: -(x[2] / x[1]))[:10]
+        if movers:
+            print("warmup movers >1.5x vs basis: " + ", ".join(
+                f"{q} {b:.1f}->{t:.1f}s" for q, b, t in movers))
+        else:
+            print("warmup movers vs basis: none >1.5x (of stages >=1s)")
+
 json.dump(gate, open(out_path, "w"), indent=2)
 print(f"wrote {out_path}: {len(queries)} queries, committed sum "
       f"{gate['value']}, total_gate {total_gate}, warmup_gate "
