@@ -105,6 +105,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bpe < chars)
   }
 
+  test("t11 native bigram machinery: PairCountsBuf (incl. growth and " +
+    "merge) and BigramModel.score agree with naive recounting") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc defé"
+    def randDoc(): String =
+      (0 until (rnd.nextInt(40) + 2))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 500).map(_ => randDoc())
+    // naive model: pair counts + prefix totals over the whole corpus
+    val naive = docs.flatMap(s => s.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    // buffer path, split across 7 partial buffers then merged — forces
+    // both the open-address growth and the mergeFrom path
+    val bufs = Array.fill(7)(new graft.plans.PairCountsBuf)
+    docs.zipWithIndex.foreach { case (s, i) => bufs(i % 7).addPairsOf(s) }
+    val merged = bufs.reduce { (a, b) => a.mergeFrom(b); a }
+    var got = Map.empty[String, Long]
+    merged.foreachEntry { (code, cnt) =>
+      got += s"${(code >>> 16).toChar}${(code & 0xFFFF).toChar}" -> cnt
+    }
+    assert(got === naive)
+    // model scoring = Σ ln(c_pair / c_prefix) recomputed naively
+    val counts = got.toSeq.map { case (p, c) =>
+      ((p.charAt(0).toInt << 16) | p.charAt(1).toInt, c)
+    }
+    val model = graft.plans.BigramModel.build(counts)
+    val pre = naive.groupBy(_._1.charAt(0)).map {
+      case (c, m) => c -> m.values.sum
+    }
+    docs.take(50).foreach { s =>
+      val expect = s.sliding(2).filter(_.length == 2)
+        .map(p => math.log(naive(p).toDouble / pre(p.charAt(0)).toDouble))
+        .sum
+      assert(math.abs(model.score(s) - expect) < 1e-9, s"doc=$s")
+    }
+  }
+
   test("t11 bigram LM: hand-computed log-probs on a planted corpus; " +
     "scores are never positive") {
     val dir = tmpDir("bigram-lm")
