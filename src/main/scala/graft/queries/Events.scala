@@ -174,22 +174,44 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
+  /** Replay micro-batch size of [[e8StreamJoin]] — the arrival count a
+    * production trigger would see. State per batch ≈ this plus the 2 h
+    * look-back window, independent of corpus size; the 64-file clamp
+    * only bounds the REPLAY's file count (a real stream has no such
+    * cap — its batch count is its uptime). */
+  private val e8BatchRows = 250000L
+
   /** E8: STREAM-STREAM inner join inside the oracle gate — click→purchase
     * attribution: each click joins the same user's purchases within the
     * following hour. Both sides are watermarked streams over the staged
     * events dir; the time-range condition lets Spark bound the join state
     * (state eviction = watermark + range, THE scale mechanism for
-    * stream-stream joins). Under one AvailableNow batch the append-mode
-    * output converges to the batch join — which is exactly the oracle. */
+    * stream-stream joins). The staged replay is EVENT-TIME-ORDERED
+    * multi-batch (stageForOrderedReplay + maxFilesPerTrigger(1)) at a
+    * FIXED BATCH SIZE — production's posture (a streaming job sees a
+    * bounded arrival count per trigger, so batch COUNT grows with the
+    * corpus while state stays O(batch + look-back window)) — so that
+    * eviction actually RUNS: a single-batch replay never advances the
+    * watermark mid-batch and holds both inputs fully in state — the
+    * round-20 sf10 sweep measured that shape at 275 s vs 107 s for the
+    * bounded-state replay of the same data. Ordered batches also make
+    * the multi-batch output exactly the batch join (no late data can
+    * exist; the 2 h watermark's slack over the 1 h range keeps every
+    * cross-batch match alive) — which is exactly the oracle. Small
+    * corpora (≤ [[e8BatchRows]]) stay single-batch, where batch and
+    * corpus coincide. */
   val e8StreamJoin: Q = (s, dir) => {
     val src = s.read.parquet(s"$dir/events.parquet")
-    val streamDir = graft.streaming.Streams.stageForReplay(src.coalesce(1),
+    val nFiles = math.min(64L, math.max(1L,
+      (src.count() + e8BatchRows - 1) / e8BatchRows)).toInt
+    val streamDir = graft.streaming.Streams.stageForOrderedReplay(src,
       s"sess-${graft.core.Tables.sourceFingerprint(s"$dir/events.parquet")}",
-      shape = "c1")
+      "ts", nFiles)
     val name = sinkName("e8")
     graft.streaming.Streams.withStatePartitions(s) { iso =>
       def stream = EventTime.withTsTimestamp(
-        iso.readStream.schema(src.schema).parquet(streamDir))
+        iso.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir))
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "2 hours")

@@ -82,9 +82,10 @@ object Streams {
     * layout via `shape`, which is folded into the staging key: two
     * callers staging differently-shaped frames under the same logical
     * key would otherwise silently share whichever layout was written
-    * first (round-11 advice; e5/e9/e10 stage the natural layout while
-    * e6/e8 stage coalesce(1), previously distinguished only by
-    * convention). Returns the dir path. */
+    * first (round-11 advice; e5/e9/e10 stage the natural layout, e6
+    * stages coalesce(1), e8 stages the ordered-replay range layout —
+    * previously distinguished only by convention). Returns the dir
+    * path. */
   def stageForReplay(df: DataFrame, key: String, shape: String): String = {
     val fullKey = s"$key-$shape"
     val s = df.sparkSession
@@ -93,6 +94,46 @@ object Streams {
     stagingLocks.computeIfAbsent(fullKey, _ => new Object).synchronized {
       if (!graft.core.StoreFs.exists(s, s"$dir/_SUCCESS"))
         df.write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Stage `df` as `nFiles` EVENT-TIME-ORDERED parquet files (range
+    * partitioned + sorted on `tsCol`) whose modification times strictly
+    * increase with the range order. FileStreamSource replays files in
+    * mtime order, so a `maxFilesPerTrigger(1)` reader consumes the
+    * frame as `nFiles` micro-batches of non-decreasing event time —
+    * which is what lets a WATERMARK actually advance between batches
+    * and evict state. A single-file (c1) staging replays as ONE batch:
+    * semantically fine for append sinks, but the watermark never moves
+    * mid-batch, so a stream-stream join holds its entire input in
+    * state — the round-20 sf10 sweep measured e8 at 275 s that way,
+    * ~8× the bounded-state replay of the same data. The mtime stamp is
+    * what makes the order deterministic: local listings are OS-order
+    * and same-job writes share mtimes, so ties would otherwise replay
+    * in arbitrary order and ordered batches are exactly the
+    * no-late-data guarantee the watermark correctness argument needs
+    * (batch i+1's min event time ≥ batch i's max, while every
+    * watermark lags ≥ the join's look-back range — nothing is ever
+    * dropped, so the AvailableNow output still converges to the batch
+    * join the oracle computes). Idempotent: a re-stamp over an
+    * already-staged dir recomputes the same name-ordered sequence. */
+  def stageForOrderedReplay(df: DataFrame, key: String, tsCol: String,
+                            nFiles: Int): String = {
+    val dir = stageForReplay(
+      df.repartitionByRange(nFiles, col(tsCol)).sortWithinPartitions(tsCol),
+      key, s"rts$nFiles")
+    val s = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // part-NNNNN name order IS range order (partition 0 = lowest range)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    if (parts.nonEmpty) {
+      val base = parts.map(fs.getFileStatus(_).getModificationTime).max
+      parts.zipWithIndex.foreach { case (f, i) =>
+        fs.setTimes(f, base + (i + 1) * 1000L, -1)
+      }
     }
     dir
   }
