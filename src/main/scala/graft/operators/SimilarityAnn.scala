@@ -102,6 +102,19 @@ private[operators] trait SimilarityAnn { this: Similarity.type =>
   val s5KnnJoin: Q = (s, dir) => lshAnn(s, dir, planes,
     queriesOnly = false, k = 3)
 
+  /** s5's PRODUCTION geometry as a runnable, measurable entry point:
+    * the same [[lshAnn]] core under P = [[planesFor]](n) instead of the
+    * committed oracle geometry. ScaleRun runs this as s5's tuned twin,
+    * so the scale table MEASURES the claim the fixed-P gated row can't:
+    * candidate volume ≈ n·(P+1)·occupancy stays ~linear in n (the
+    * round-20 sf10 sweep read the committed P=6 row at 4.6B candidate
+    * pairs — the quadratic fixed-geometry signature this dial exists
+    * to prevent — vs 1.6B at the tuned P=8). */
+  private[graft] def s5TunedGeometry(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "embeddings").count()
+    lshAnn(s, dir, planesFor(n), queriesOnly = false, k = 3)
+  }
+
   /** S3: bucket histogram — the LSH load-balance diagnostic (bucket id →
     * vector count). At 100 TB this is the skew check run before choosing P. */
   val s3BucketStats: Q = (s, dir) =>
@@ -323,6 +336,35 @@ private[operators] trait SimilarityAnn { this: Similarity.type =>
 
   val s8Semdedup: Q = (s, dir) => {
     val assigned = kmeansAssigned(s, dir)
+    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    pruneVerdicts(assigned,
+      a.join(b, Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .select(col("b"),
+          (dotD(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cosine")))
+  }
+
+  /** s8's PRODUCTION clustering as a runnable, measurable entry point:
+    * re-cluster at K = [[kForCorpus]](n) (fixed expected occupancy)
+    * with the same deterministic Lloyd loop, then the same
+    * within-cluster exact prune + keep rule. ScaleRun runs this as
+    * s8's tuned twin: pair volume ≈ n·occupancy/2 grows ~linearly in n
+    * where the committed-k gated row grows quadratically (the round-20
+    * sf10 sweep read the k=4 row at 774 s — 50k-vector clusters —
+    * exactly the fixed-geometry signature [[kForCorpus]] prevents).
+    * The assignment frame is localCheckpointed for its three
+    * references (two join sides + the verdict frame), mirroring the
+    * persisted artifact the gated path probes. */
+  private[graft] def s8TunedK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = kForCorpus(e.count())
+    val assigned = kmeansAssign(e, lloyd(e, 0L until k.toLong))
+      .withColumn("nrm", normD(col("embedding")))
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b"),

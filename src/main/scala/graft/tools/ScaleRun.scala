@@ -49,14 +49,17 @@ object ScaleRun {
     val names =
       if (args.length > 2 && args(2).contains(','))
         args(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-          .map { n => require(all.contains(n), s"unknown query $n"); n }
+          .map { n =>
+            require(all.contains(n) || n.contains('~'), s"unknown query $n")
+            n
+          }
       else if (args.length > 2) all.filter(_.startsWith(args(2)))
       else all
     require(names.nonEmpty, s"no registry query matches prefix ${args(2)}")
     // s5 pre-flight cost model: candidate volume (bucket-join pairs) at
     // the committed P=6 geometry vs the planesFor-tuned one — the
     // fixed-P quadratic risk, measured.
-    locally {
+    if (names.contains("s5_knn_join")) {
       import graft.operators.Similarity
       val n = graft.core.Tables.t(spark, dir, "embeddings").count()
       val pT = Similarity.planesFor(n)
@@ -65,17 +68,37 @@ object ScaleRun {
       println(s"[scale] s5 candidates: n=$n committedP=6 -> $vC pairs; " +
         s"tuned P=$pT -> $vT pairs")
     }
+    // Tuned PRODUCTION twins of the geometry-pinned gated queries: the
+    // gated rows run the committed geometry their oracles embed (fixed
+    // P / fixed k — quadratic at scale BY CONSTRUCTION), so the sweep
+    // additionally measures the data-driven entry points SURVEY's
+    // scale posture actually claims (planesFor / kForCorpus). Each
+    // twin runs right after its base query so the table carries both.
+    val twins: Map[String, Seq[(String, (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame)]] = Map(
+      "s5_knn_join" -> Seq(("s5~planesFor",
+        graft.operators.Similarity.s5TunedGeometry _)),
+      "s8_semdedup" -> Seq(("s8~kForCorpus",
+        graft.operators.Similarity.s8TunedK _)))
+    val twinByLabel = twins.values.flatten.toMap
     (1 to passes).foreach { pass =>
       names.foreach { name =>
-        val (r0, w0, s0) = (shufRead, shufWrite, peakStateRows)
-        val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(name)(spark, dir)
-          .queryExecution.toRdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] pass=$pass q=$name%-20s ${sec}%7.2fs rows=$n%-8d " +
-          f"shufR=${(shufRead - r0) / 1e6}%9.1fMB " +
-          f"shufW=${(shufWrite - w0) / 1e6}%9.1fMB " +
-          f"stateRows=${math.max(peakStateRows - s0, 0)}")
+        // a twin label in the comma-list runs just that twin
+        val runs =
+          if (twinByLabel.contains(name)) Seq(name -> twinByLabel(name))
+          else (name, graft.SparkEntry.queries(name)) +:
+            twins.getOrElse(name, Nil)
+        runs.foreach { case (label, q) =>
+          val (r0, w0, s0) = (shufRead, shufWrite, peakStateRows)
+          val t0 = System.nanoTime()
+          val n = q(spark, dir).queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] pass=$pass q=$label%-20s ${sec}%7.2fs " +
+            f"rows=$n%-8d " +
+            f"shufR=${(shufRead - r0) / 1e6}%9.1fMB " +
+            f"shufW=${(shufWrite - w0) / 1e6}%9.1fMB " +
+            f"stateRows=${math.max(peakStateRows - s0, 0)}")
+        }
       }
     }
     spark.stop()

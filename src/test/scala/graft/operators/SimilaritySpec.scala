@@ -661,6 +661,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"banded recall $recall%.2f")
   }
 
+  test("s8TunedK (kForCorpus production clustering): every vector " +
+    "verdicted; tuned prunes are genuine corpus near-dups; occupancy " +
+    "rule and recall vs committed-k reported") {
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    val committed = verdicts(graft.SparkEntry.queries("s8_semdedup")(spark, dir))
+    val tuned = verdicts(Similarity.s8TunedK(spark, dir))
+    assert(tuned.keySet === committed.keySet) // every vector gets a verdict
+    // every tuned prune is backed by a REAL lower-id corpus pair at
+    // >= tau (within-cluster exact cosine can only find genuine pairs,
+    // whatever the clustering) — the d6AllPairsExact ground truth
+    val truePruned = graft.operators.Dedup.d6AllPairsExact(spark, dir)
+      .collect().map(_.getAs[Long]("b")).toSet
+    val tunedPrunes = tuned.collect { case (id, "prune") => id }.toSet
+    assert(tunedPrunes.subsetOf(truePruned),
+      s"tuned pruned non-duplicates: ${tunedPrunes -- truePruned}")
+    val committedPrunes = committed.collect { case (id, "prune") => id }.toSet
+    val recall =
+      if (committedPrunes.isEmpty) 1.0
+      else (tunedPrunes intersect committedPrunes).size.toDouble /
+        committedPrunes.size
+    info(f"tuned-k prune recall vs committed-k=$recall%.2f " +
+      s"(${tunedPrunes.size}/${committedPrunes.size})")
+    // planted near-dups are near-identical vectors — any Voronoi
+    // partition co-locates them, so a collapse means the tuned
+    // clustering or the prune join broke
+    assert(recall >= 0.5, f"tuned-k recall $recall%.2f")
+  }
+
   test("s10 retrieval serving: recall@5 vs the exact-cosine twin is " +
     "measured; every query answered; ANN scores are a subset of the " +
     "exact ranking's scores") {
