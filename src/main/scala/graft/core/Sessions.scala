@@ -66,6 +66,19 @@ object Sessions {
       // path (functions.Agg) A/B-able per-run for ScaleRun evidence
       .config(graft.functions.Agg.ApproxFlag,
         sys.env.getOrElse("SPARK_GRAFT_APPROX_PCT", "false"))
+      // FileOutputCommitter version — MEASURED BOTH WAYS in round 20
+      // (OPTIMIZATION_r20.md): v2 (task-commit renames files straight
+      // into the destination) was the candidate for the lifecycle
+      // gates' many-partition-dir writes, but on the LOCAL filesystem
+      // it measured consistently SLOWER (z3 4.2→5.5 s, i4 2.8→3.6 s,
+      // d17 9.1→10.6 s) — v1's job commit renames one DIRECTORY per
+      // task while v2 renames every FILE, and local renames are cheap
+      // enough that v1's serial merge never dominates. Default stays
+      // v1 (also the stronger failure contract); the env knob is the
+      // deployment dial for object stores, where per-dir renames are
+      // copies and v2/cloud committers win.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_FOC_VERSION", "1"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

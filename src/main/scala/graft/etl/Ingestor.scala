@@ -48,6 +48,38 @@ class Ingestor(
   def execRange(build: String => DataFrame, dates: Seq[String]): Unit =
     dates.foreach(execDate(build, _))
 
+  /** Pipelined per-date backfill (guide §2.6 — its worked example IS a
+    * list of independent date partitions): materialize date i+1's
+    * slice on a pool thread WHILE date i's slice is being written, so
+    * the compute of the next battery back-fills the executors the
+    * current write's task tail leaves idle. The WRITES stay strictly
+    * sequential in date order — the store keeps its single-writer
+    * contract and every replaceSlice swap is unchanged; only the
+    * (idempotent, side-effect-free) slice compute overlaps. Output
+    * contract identical to [[execRange]]. Each slice is persisted for
+    * its write (replaceSlices re-executes its input twice — the same
+    * reason it persists internally) and freed right after. */
+  def execRangePipelined(build: String => DataFrame,
+                         dates: Seq[String]): Unit = {
+    def materialize(d: String): DataFrame = {
+      val df = build(d).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+    if (dates.isEmpty) return
+    var cur = materialize(dates.head)
+    dates.indices.foreach { i =>
+      val (next, _) = graft.core.Jobs.concurrently {
+        if (i + 1 < dates.size) Some(materialize(dates(i + 1))) else None
+      } {
+        Sinks.replaceSlice(spark, cur, storePath, sliceCol, dates(i), partCol)
+        cur.unpersist(false)
+      }
+      next.foreach(cur = _)
+    }
+  }
+
   /** Batched backfill: union `batch` consecutive date-slices per write.
     * Output contract identical to execRange (each row still carries its
     * own sliceCol value; all touched slices are first dropped). */

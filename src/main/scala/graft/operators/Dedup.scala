@@ -884,9 +884,15 @@ object Dedup {
     // no id join whose build side scales with the corpus (at 100 TB the
     // full batch's id frame would blow the broadcast ceiling and
     // degrade to shuffling the 4×-corpus banded index on doc_id).
+    // orderBy HERE, not in the shared probe body: this is the only
+    // consumer whose returned frame IS the gated output (r20 measure:
+    // every streaming consumer re-sorts after its sink union, so a sort
+    // inside the probe body paid a range-sample + sort per micro-batch
+    // for row order the sink write immediately discarded).
     d11ProbeFrames(s, dir,
       banded(s, dir).filter(isBatch),
       t(s, dir, "documents").filter(isBatch).select("doc_id"))
+      .orderBy("doc_id")
   }
 
   /** The d11 probe over an ARBITRARY frame of arriving doc ids — d12's
@@ -933,7 +939,11 @@ object Dedup {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("best_jaccard"),
         when(col("n_dups").isNull, "ingest").otherwise("drop").as("verdict"))
-      .orderBy("doc_id")
+    // NO final orderBy here (r20): per-doc verdicts are row-complete as
+    // computed; the one-shot d11 gate sorts at its own seam, and every
+    // streaming consumer (d12/d13 sink unions, the d16/d17/d18 tick
+    // outputs) re-sorts after union — the sort here cost one range
+    // sample + global sort PER MICRO-BATCH, discarded by the sink write.
   }
 
   /** D12: STREAMING INGEST GATE — the d11 screen as it actually runs in
@@ -1148,16 +1158,30 @@ object Dedup {
         // full chunking pipeline per fold write.
         val bounds = mb.agg(min("doc_id"), max("doc_id")).collect()(0)
         if (!bounds.isNullAt(0)) {
+          // ONE chunk-chain run per micro-batch (r20 measure: the dense
+          // and sparse folds each re-ran the curation ∩ chunking chain
+          // — persist the batch-sized chunk frame for the fold's
+          // duration so both sides read it; bounded memory at any scale,
+          // unpersisted before the batch commits)
           val chunks = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
             .filter(col("doc_id").between(bounds.getLong(0),
                 bounds.getLong(1)) &&
               pmod(col("doc_id"), lit(d11Mod)) === lit(d11Res))
-          Similarity.encodeChunks(chunks).write.mode("overwrite")
-            .parquet(s"$deltaRoot/dense/batch=$batchId")
-          Similarity.rawPostings(chunks
-              .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
-            .write.mode("overwrite")
-            .parquet(s"$deltaRoot/sparse/batch=$batchId")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // the two fold writes are independent (different dirs, both
+          // pure functions of `chunks`) — run them concurrently (guide
+          // §2.6) so the sparse fold's tasks back-fill the executors
+          // the dense fold's write tail leaves idle (r20 measure:
+          // sequential folds were the largest cost of the tick)
+          try graft.core.Jobs.concurrently {
+            Similarity.encodeChunks(chunks).write.mode("overwrite")
+              .parquet(s"$deltaRoot/dense/batch=$batchId")
+          } {
+            Similarity.rawPostings(chunks
+                .select(col("doc_id"), col("chunk_idx"), col("chunk_text")))
+              .write.mode("overwrite")
+              .parquet(s"$deltaRoot/sparse/batch=$batchId")
+          } finally chunks.unpersist(false)
         }
       })
     // post-tick serving state: base artifact + the accumulated fold
@@ -1310,14 +1334,20 @@ object Dedup {
       .reduce(_ && _)
     val chunksAll = TextAnalysis.queries("c3_chunk_corpus")(s, dir)
     val (store, ticks) = Similarity.buildStoreVersion(s, dir, tag) { store =>
-      Similarity.writeStore(
-        d16BaseDense(s, dir).filter(notArriving)
-          .withColumn("batch", lit(-1L)),
-        s"$store/dense", tickDensePart)
-      Similarity.writeStore(
-        withTsh(d16BasePostings(s, dir).filter(notArriving))
-          .withColumn("batch", lit(-1L)),
-        s"$store/sparse", tickSparsePart)
+      // independent sides, independent dirs: snapshot them concurrently
+      // (guide §2.6) — the sparse write's shuffle reads back-fill the
+      // dense write's task tail
+      graft.core.Jobs.concurrently {
+        Similarity.writeStore(
+          d16BaseDense(s, dir).filter(notArriving)
+            .withColumn("batch", lit(-1L)),
+          s"$store/dense", tickDensePart)
+      } {
+        Similarity.writeStore(
+          withTsh(d16BasePostings(s, dir).filter(notArriving))
+            .withColumn("batch", lit(-1L)),
+          s"$store/sparse", tickSparsePart)
+      }
       arrivalResidues.zipWithIndex.map { case (res, i) =>
         val isTick = pmod(col("doc_id"), lit(d11Mod)) === lit(res)
         val arriving = t(s, dir, "documents").filter(isTick)
@@ -1340,18 +1370,29 @@ object Dedup {
                 s"micro-batch id $batchId outside the per-tick span " +
                   s"$tickBatchSpan — widen tickBatchSpan")
               val seq = i * tickBatchSpan + batchId
+              // ONE chunk-chain run per micro-batch, shared by both
+              // sides (the d16 fold rationale); unpersisted before the
+              // batch commits — bounded memory at any scale
               val chunks = chunksAll.filter(
                 col("doc_id").between(bounds.getLong(0),
                   bounds.getLong(1)) && isTick)
-              Similarity.writeStore(
-                Similarity.encodeChunks(chunks)
-                  .withColumn("batch", lit(seq)),
-                s"$store/dense", tickDensePart, dynamicOverwrite = true)
-              Similarity.writeStore(
-                withTsh(Similarity.rawPostings(chunks.select(
-                  col("doc_id"), col("chunk_idx"), col("chunk_text"))))
-                  .withColumn("batch", lit(seq)),
-                s"$store/sparse", tickSparsePart, dynamicOverwrite = true)
+                .persist(org.apache.spark.storage.StorageLevel
+                  .MEMORY_AND_DISK)
+              // independent sides, independent partition dirs (each
+              // fold dynamic-overwrites only its own batch=<seq>
+              // namespace on its own side) — concurrent per guide §2.6
+              try graft.core.Jobs.concurrently {
+                Similarity.writeStore(
+                  Similarity.encodeChunks(chunks)
+                    .withColumn("batch", lit(seq)),
+                  s"$store/dense", tickDensePart, dynamicOverwrite = true)
+              } {
+                Similarity.writeStore(
+                  withTsh(Similarity.rawPostings(chunks.select(
+                    col("doc_id"), col("chunk_idx"), col("chunk_text"))))
+                    .withColumn("batch", lit(seq)),
+                  s"$store/sparse", tickSparsePart, dynamicOverwrite = true)
+              } finally chunks.unpersist(false)
             }
           })
         afterTick(i, store)
@@ -1423,6 +1464,13 @@ object Dedup {
   private[operators] def d18Maintain(s: SparkSession, dir: String,
       store: String, afterLeg: String => Unit = _ => ()): DataFrame = {
     val tomb = Similarity.s24Tombstones(s, dir)
+    // SEQUENTIAL by contract, not an oversight (r20 optimization pass):
+    // a concurrent dense ∥ sparse fold was tried and reverted — the
+    // spec-pinned crash contract says a crash before the DENSE swap's
+    // first rename leaves BOTH sides serving pre-fold content (DedupSpec
+    // "crash mid-swap"), which only holds when the dense swap strictly
+    // precedes the sparse one; the concurrent variant also let one
+    // side's staged-write listing race the other's rename window.
     Seq("dense", "sparse").foreach { sub =>
       val partCols = if (sub == "dense") tickDensePart else tickSparsePart
       val all = s.read.parquet(s"$store/$sub")

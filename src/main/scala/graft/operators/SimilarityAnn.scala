@@ -828,11 +828,16 @@ private[operators] trait SimilarityAnn { this: Similarity.type =>
     * this shape with the s10 query window as the sample. */
   val s32PostEventRecall: Q = (s, dir) => {
     val store = buildStoreVersion(s, dir, "s32") { store =>
-      // serving state BEFORE the trigger: committed-geometry index
-      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
-      // the re-bucket event: staged planes+1 rebuild, atomic swap
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        rebucketIndex(s, dir), Seq("bkt"))
+      // stage ∥ base (the s26 overlap): the planes+1 rebuild stages
+      // while the committed-geometry store writes; swap after both
+      val (staged, _) = graft.core.Jobs.concurrently {
+        graft.sources.Sinks.stageRewrite(s, store,
+          rebucketIndex(s, dir), Seq("bkt"))
+      } {
+        // serving state BEFORE the trigger: committed-geometry index
+        writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
+      }
+      graft.sources.Sinks.commitStagedRewrite(s, store, staged)
     }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))

@@ -322,13 +322,22 @@ private[operators] trait SimilarityRetrieval { this: Similarity.type =>
     * halves back, which is the entire point of the trigger. */
   val s26RebucketRebuild: Q = (s, dir) => {
     val store = buildStoreVersion(s, dir, "s26") { store =>
-      // the store serving holds BEFORE the trigger fires: the
-      // committed-geometry index under the s21 bucket layout
-      writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
-      // the re-bucket ACTION: stage the planes+1 re-encode aside and
-      // swap it into the serving path (rename-aside, crash-safe)
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        rebucketIndex(s, dir), Seq("bkt"))
+      // the re-bucket rebuild STAGES CONCURRENTLY with the committed-
+      // geometry store write (guide §2.6; production reality — the
+      // offline re-encode runs while the old store serves): the staged
+      // dir is a sibling path, so the two writes never collide, and
+      // the swap commits only after both complete
+      val (staged, _) = graft.core.Jobs.concurrently {
+        // the re-bucket ACTION's stage: the planes+1 re-encode aside
+        graft.sources.Sinks.stageRewrite(s, store,
+          rebucketIndex(s, dir), Seq("bkt"))
+      } {
+        // the store serving holds BEFORE the trigger fires: the
+        // committed-geometry index under the s21 bucket layout
+        writeStore(retrievalIndex(s, dir), store, Seq("bkt"))
+      }
+      // the swap commit (rename-aside, crash-safe)
+      graft.sources.Sinks.commitStagedRewrite(s, store, staged)
     }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
@@ -600,15 +609,20 @@ private[operators] trait SimilarityRetrieval { this: Similarity.type =>
     * columns. */
   val s29BandedRebucket: Q = (s, dir) => {
     val store = buildStoreVersion(s, dir, "s29") { store =>
-      // the banded store a deployment serves under the committed
-      // geometry (what its pruned readers hold when the trigger fires)
-      writeStore(withQband(retrievalIndex(s, dir)), store,
-        Seq("bkt", "qband"))
-      // the re-bucket ACTION on the banded layout: geometry and
+      // stage ∥ base (the s26 overlap, banded layout): geometry and
       // directory keyspace change together, bands carry over — one
-      // staged rewrite, one atomic swap
-      graft.sources.Sinks.rewritePartitioned(s, store,
-        withQband(rebucketIndex(s, dir)), Seq("bkt", "qband"))
+      // staged rewrite concurrent with the committed-geometry store
+      // write, one atomic swap after both complete
+      val (staged, _) = graft.core.Jobs.concurrently {
+        graft.sources.Sinks.stageRewrite(s, store,
+          withQband(rebucketIndex(s, dir)), Seq("bkt", "qband"))
+      } {
+        // the banded store a deployment serves under the committed
+        // geometry (what its pruned readers hold when the trigger fires)
+        writeStore(withQband(retrievalIndex(s, dir)), store,
+          Seq("bkt", "qband"))
+      }
+      graft.sources.Sinks.commitStagedRewrite(s, store, staged)
     }._1
     val idx = s.read.parquet(store)
       .withColumn("bkt", col("bkt").cast("long"))
@@ -655,8 +669,12 @@ private[operators] trait SimilarityRetrieval { this: Similarity.type =>
       lit(Dedup.d11Res)
     val tombstoned = pmod(col("doc_id"), lit(s24DelMod)) === lit(s24DelRes)
     val store = buildStoreVersion(s, dir, "s30") { st =>
-      writeStore(idx.filter(!arriving), s"$st/prev", Seq("bkt"))
-      writeStore(idx.filter(!tombstoned), s"$st/curr", Seq("bkt"))
+      // independent subtrees of one snapshot — concurrent per guide §2.6
+      graft.core.Jobs.concurrently {
+        writeStore(idx.filter(!arriving), s"$st/prev", Seq("bkt"))
+      } {
+        writeStore(idx.filter(!tombstoned), s"$st/curr", Seq("bkt"))
+      }
     }._1
     val np = s.read.parquet(s"$store/prev")
       .groupBy("doc_id").agg(count(lit(1)).as("n_prev"))

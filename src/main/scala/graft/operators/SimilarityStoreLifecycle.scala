@@ -140,7 +140,15 @@ private[operators] trait SimilarityStoreLifecycle { this: Similarity.type =>
           .option("partitionOverwriteMode", "dynamic")
       else if (append) w.mode(org.apache.spark.sql.SaveMode.Append)
       else w
-    modal.partitionBy(partCols: _*).parquet(store)
+    // phase label (guide §1.5): store writes dominate the lifecycle
+    // gates' job lists — name them by store leaf + mode so JobProfile /
+    // the UI attribute the cost
+    val leaf = store.split('/').takeRight(3).mkString("/")
+    val mode = if (dynamicOverwrite) "fold" else if (append) "append"
+      else "base"
+    graft.core.Jobs.labeled(df.sparkSession, s"writeStore[$mode] $leaf") {
+      modal.partitionBy(partCols: _*).parquet(store)
+    }
   }
 
   /** The arriving batch of the s15 fold, split into `parts` sub-batches

@@ -235,7 +235,10 @@ object PointInTime {
     graft.core.StoreFs.deleteQuietly(s, root)
     val ing = new graft.etl.Ingestor(s, store)
     def build(d: String): DataFrame = singlePassCore(s, dir, d)
-    ing.execRange(build, backfillDates)
+    // pipelined loop (r20, guide §2.6): date i+1's battery computes
+    // while date i's slice writes; write order and the per-date output
+    // contract are identical to execRange
+    ing.execRangePipelined(build, backfillDates)
     ing.execDate(build, backfillDates.head) // idempotent re-run
     s.read.parquet(store)
       .select("l_suppkey", "dt_ref", "dt_year", "qtd_runs", "qtd_returns",

@@ -184,6 +184,30 @@ object Sinks {
     stageSwapChecked(spark, path, df, partCols, "rewritePartitioned")
   }
 
+  /** The STAGE half of [[rewritePartitioned]], split out so a caller
+    * can overlap the staged re-encode with other independent work —
+    * production reality for a re-bucket: the offline rebuild job stages
+    * its output WHILE the old store keeps serving (and, in the gated
+    * replays, while the old store is still being written). Same
+    * empty-output guard as the fused path; returns the staged dir for
+    * [[commitStagedRewrite]]. The staged dir is a sibling of `path`
+    * (`$path-staging-*`), so it never collides with a concurrent write
+    * of `path` itself. */
+  private[graft] def stageRewrite(spark: SparkSession, path: String,
+                                  df: DataFrame,
+                                  partCols: Seq[String]): String = {
+    require(partCols.nonEmpty, "stageRewrite needs partition columns")
+    stageChecked(spark, path, df, partCols, "rewritePartitioned")
+  }
+
+  /** The COMMIT half of [[rewritePartitioned]]: the checked
+    * rename-aside swap of a dir staged by [[stageRewrite]]. Must run
+    * AFTER every write of `path` has completed — the swap renames the
+    * whole table dir. */
+  private[graft] def commitStagedRewrite(spark: SparkSession, path: String,
+                                         staged: String): Unit =
+    swapInPlace(spark, path, staged)
+
   /** THE guarded commit shared by every partitioned swap client
     * (compaction's tombstone fold, the re-bucket rewrite): stage the
     * partitioned write, REFUSE the swap if the staged output holds no
@@ -200,10 +224,20 @@ object Sinks {
     * (unlike the swap failure paths, which keep everything). */
   private def stageSwapChecked(spark: SparkSession, path: String,
                                df: DataFrame, partCols: Seq[String],
-                               what: String): Unit = {
+                               what: String): Unit =
+    swapInPlace(spark, path, stageChecked(spark, path, df, partCols, what))
+
+  private def stageChecked(spark: SparkSession, path: String,
+                           df: DataFrame, partCols: Seq[String],
+                           what: String): String = {
     val staged = stagePath(path)
-    df.repartition(partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(staged)
+    // phase label (guide §1.5): the staged rewrite is the dominant job
+    // of every swap client — name it so profilers attribute the cost
+    graft.core.Jobs.labeled(spark,
+      s"$what stage ${new Path(path).getName}") {
+      df.repartition(partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(staged)
+    }
     val fs = new Path(staged)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(staged), true)
@@ -218,7 +252,7 @@ object Sinks {
         s"requirement failed: $what would swap an empty table " +
           s"into $path — refusing; drop the store explicitly instead")
     }
-    swapInPlace(spark, path, staged)
+    staged
   }
 
   /** THE tombstone anti-join — one definition for the read-time
@@ -295,19 +329,25 @@ object Sinks {
     val slices = newSlices.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val incoming = collectPartValues(slices.select(partCol).distinct(), partCol)
+      val incoming = graft.core.Jobs.labeled(spark, "replaceSlices discover") {
+        collectPartValues(slices.select(partCol).distinct(), partCol)
+      }
       require(incoming.nonEmpty, s"empty slice for $sliceCol in $sliceValues")
-      val stale = collectPartValues(
-        spark.read.parquet(path)
-          .filter(col(sliceCol).isin(sliceValues: _*))
-          .select(partCol).distinct(), partCol)
+      val stale = graft.core.Jobs.labeled(spark, "replaceSlices stale-scan") {
+        collectPartValues(
+          spark.read.parquet(path)
+            .filter(col(sliceCol).isin(sliceValues: _*))
+            .select(partCol).distinct(), partCol)
+      }
       val affected = (incoming ++ stale).distinct
       val existing = spark.read.parquet(path)
         .filter(col(partCol).isin(affected.map(_.toString): _*))
         .filter(!col(sliceCol).isin(sliceValues: _*) || col(sliceCol).isNull)
       val merged = existing.unionByName(slices)
       val staged = stagePath(path)
-      clustered(merged).write.partitionBy(partCol).parquet(staged)
+      graft.core.Jobs.labeled(spark, "replaceSlices stage") {
+        clustered(merged).write.partitionBy(partCol).parquet(staged)
+      }
       commitSwap(spark, fs, root, staged, partCol, affected.map(dirName(partCol, _)))
     } finally slices.unpersist(false)
   }
@@ -355,19 +395,25 @@ object Sinks {
     val latestP = latest.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val incoming = collectPartValues(latestP.select(partCol).distinct(), partCol)
+      val incoming = graft.core.Jobs.labeled(spark, "upsert discover") {
+        collectPartValues(latestP.select(partCol).distinct(), partCol)
+      }
       val keys = latestP.select(keyCols.map(col): _*)
-      val stale = collectPartValues(
-        spark.read.parquet(path)
-          .join(keys, keyCols, "left_semi")
-          .select(partCol).distinct(), partCol)
+      val stale = graft.core.Jobs.labeled(spark, "upsert stale-scan") {
+        collectPartValues(
+          spark.read.parquet(path)
+            .join(keys, keyCols, "left_semi")
+            .select(partCol).distinct(), partCol)
+      }
       val affected = (incoming ++ stale).distinct
       val kept = spark.read.parquet(path)
         .filter(col(partCol).isin(affected.map(_.toString): _*))
         .join(keys, keyCols, "left_anti")
       val merged = kept.unionByName(latestP)
       val staged = stagePath(path)
-      clustered(merged).write.partitionBy(partCol).parquet(staged)
+      graft.core.Jobs.labeled(spark, "upsert stage") {
+        clustered(merged).write.partitionBy(partCol).parquet(staged)
+      }
       // audit evidence: the CDC apply plan as EXECUTED (the staged write
       // runs on a cloned execution) — PlanAudit-gated, free otherwise
       if (graft.core.PlanEvidence.auditing) {

@@ -244,9 +244,13 @@ object Streams {
         // can land in their own idempotent batch=<id> subdirs; the
         // empty-fallback probe below never invokes it (a zero-batch
         // replay folds nothing)
-        foldEach(mb, batchId)
+        graft.core.Jobs.labeled(s, s"$tag fold b$batchId") {
+          foldEach(mb, batchId)
+        }
         val out = probe(mb)
-        out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        graft.core.Jobs.labeled(s, s"$tag probe b$batchId") {
+          out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        }
         // audit evidence: the probe plan as EXECUTED (the sink write
         // ran on a cloned execution, so finalize this one explicitly)
         // — only under PlanAudit, so gated runs never pay it
